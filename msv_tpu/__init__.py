@@ -1,0 +1,35 @@
+"""msv_tpu — TPU-native multi-track spectrogram/waveform viewer framework.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of
+Sytronik/multi-spectrogram-viewer ("thesia"): decode audio -> centered STFT
+-> optional Slaney-mel projection -> dB -> globally-normalized grey ->
+Lanczos3 resize -> colormapped RGB spectrogram images, plus min/max-envelope
+waveform RGBA images, for N tracks at heterogeneous sample rates sharing one
+time axis.
+
+Where the reference is a Rust+rayon per-frame-FFT design (SURVEY.md §1), this
+framework runs one fused, batched, statically-shaped device pipeline:
+frames -> windowed-DFT GEMM -> |.| -> mel GEMM -> dB -> normalize -> separable
+Lanczos3 resize (two GEMMs) -> colormap LUT, with pjit/shard_map batch and
+sequence sharding for multi-chip scaling (msv_tpu.parallel).
+"""
+
+from .config import FreqScale, SpecSetting, StftParams, derive_stft_params
+from .config import get_precision_mode, set_precision_mode
+from .session import AudioTrack, MultiTrack
+from .render.colormap import get_colormap
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "FreqScale",
+    "SpecSetting",
+    "StftParams",
+    "derive_stft_params",
+    "get_precision_mode",
+    "set_precision_mode",
+    "AudioTrack",
+    "MultiTrack",
+    "get_colormap",
+    "__version__",
+]

@@ -1,0 +1,119 @@
+"""Command-line shell (our analogue of the reference's Electron/React shell,
+SURVEY.md §1 L6 — the reference GUI is an empty scaffold, so a CLI that
+drives the full session API is the equivalent surface).
+
+    python -m msv_tpu render a.wav b.wav -o outdir --px-per-sec 100 --height 500
+    python -m msv_tpu info a.wav
+    python -m msv_tpu serve outdir        # static viewer for rendered PNGs
+"""
+
+import argparse
+import os
+import sys
+import time
+
+
+def _build_parser():
+    p = argparse.ArgumentParser(
+        prog="msv_tpu", description="TPU-native multi-track spectrogram viewer"
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="render spectrogram + waveform PNGs")
+    r.add_argument("files", nargs="+")
+    r.add_argument("-o", "--outdir", default=".")
+    r.add_argument("--px-per-sec", type=float, default=100.0)
+    r.add_argument("--height", type=int, default=500)
+    r.add_argument("--wav-height", type=int, default=150)
+    r.add_argument("--freq-scale", choices=["mel", "linear"], default="mel")
+    r.add_argument("--win-ms", type=float, default=40.0)
+    r.add_argument("--t-overlap", type=int, default=4)
+    r.add_argument("--f-overlap", type=int, default=1)
+    r.add_argument("--db-range", type=float, default=120.0)
+    r.add_argument("--fast", action="store_true", help="bf16 fast mode")
+    r.add_argument("--no-wav", action="store_true")
+
+    i = sub.add_parser("info", help="show decoded file + derived STFT params")
+    i.add_argument("files", nargs="+")
+
+    s = sub.add_parser("serve", help="serve rendered PNGs over HTTP")
+    s.add_argument("dir")
+    s.add_argument("--port", type=int, default=8000)
+    return p
+
+
+def main(argv=None):
+    from .utils.errors import MsvError
+
+    try:
+        return _main(argv)
+    except MsvError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+def _main(argv=None):
+    args = _build_parser().parse_args(argv)
+    if args.cmd == "info":
+        from .config import SpecSetting, derive_stft_params
+        from .io.audio import open_audio_file
+
+        for f in args.files:
+            wav, sr = open_audio_file(f)
+            p = derive_stft_params(sr, SpecSetting())
+            print(
+                f"{f}: sr={sr} ch={wav.shape[0]} samples={wav.shape[1]} "
+                f"sec={wav.shape[1]/sr:.3f} win={p.win_length} "
+                f"hop={p.hop_length} n_fft={p.n_fft}"
+            )
+        return 0
+
+    if args.cmd == "serve":
+        import functools
+        import http.server
+
+        handler = functools.partial(
+            http.server.SimpleHTTPRequestHandler, directory=args.dir
+        )
+        print(f"serving {args.dir} on http://localhost:{args.port}")
+        http.server.HTTPServer(("", args.port), handler).serve_forever()
+        return 0
+
+    # render
+    from . import FreqScale, MultiTrack, SpecSetting, set_precision_mode
+    from .io.png import write_png
+
+    if args.fast:
+        set_precision_mode("fast")
+    setting = SpecSetting(
+        win_ms=args.win_ms,
+        t_overlap=args.t_overlap,
+        f_overlap=args.f_overlap,
+        freq_scale=FreqScale.MEL if args.freq_scale == "mel" else FreqScale.LINEAR,
+        db_range=args.db_range,
+    )
+    os.makedirs(args.outdir, exist_ok=True)
+    mt = MultiTrack(setting)
+    t0 = time.perf_counter()
+    mt.add_tracks(list(range(len(args.files))), args.files)
+    t1 = time.perf_counter()
+    print(f"loaded {len(args.files)} tracks in {t1 - t0:.3f}s "
+          f"(db range [{mt.get_min_db():.1f}, {mt.get_max_db():.1f}])")
+    for i, f in enumerate(args.files):
+        stem = os.path.splitext(os.path.basename(f))[0]
+        img = mt.get_spec_image(i, args.px_per_sec, args.height)
+        out = os.path.join(args.outdir, f"spec_{stem}.png")
+        write_png(out, img)
+        print(f"  {out}  {img.shape[1]}x{img.shape[0]}")
+        if not args.no_wav:
+            wimg = mt.get_wav_image(i, args.px_per_sec, args.wav_height, -1.0, 1.0)
+            wout = os.path.join(args.outdir, f"wav_{stem}.png")
+            write_png(wout, wimg)
+            print(f"  {wout}  {wimg.shape[1]}x{wimg.shape[0]}")
+    t2 = time.perf_counter()
+    print(f"rendered in {t2 - t1:.3f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

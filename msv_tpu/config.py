@@ -1,0 +1,98 @@
+"""Settings & derived STFT parameters (SURVEY.md §5.f).
+
+Mirrors the reference's ``SpecSetting`` struct (lib.rs:64-70) with the
+hard-coded defaults from ``MultiTrack::new`` (lib.rs:93-99):
+win_ms=40, t_overlap=4, f_overlap=1, freq_scale=Mel, db_range=120.
+
+The per-track parameter derivation follows ``AudioTrack::new`` (lib.rs:43-46)
+*exactly*, including its f32 arithmetic and Rust round-half-away-from-zero:
+
+    win_length = win_ms * sr / 1000                       (f32)
+    hop_length = round(win_length / t_overlap)            (f32 round -> usize)
+    win_length = hop_length * t_overlap                   (exact int)
+    n_fft      = next_pow2(win_length) * f_overlap
+
+Note the guarantee ``win_length % hop_length == 0`` — the device framing
+kernels exploit it (frames become t_overlap static slices of a (N, hop)
+reshape; no gather needed).
+"""
+
+from dataclasses import dataclass
+from enum import Enum
+
+import numpy as np
+
+from .utils import next_pow2
+
+
+class FreqScale(Enum):
+    """Frequency axis scaling (reference: ``FreqScale``, lib.rs:25-28)."""
+
+    LINEAR = "linear"
+    MEL = "mel"
+
+
+@dataclass(frozen=True)
+class SpecSetting:
+    """Spectrogram settings (reference: ``SpecSetting``, lib.rs:64-70)."""
+
+    win_ms: float = 40.0
+    t_overlap: int = 4
+    f_overlap: int = 1
+    freq_scale: FreqScale = FreqScale.MEL
+    db_range: float = 120.0
+
+
+@dataclass(frozen=True)
+class StftParams:
+    """Derived per-sample-rate STFT parameters (lib.rs:43-46)."""
+
+    sr: int
+    win_length: int
+    hop_length: int
+    n_fft: int
+
+    @property
+    def n_freq(self) -> int:
+        return self.n_fft // 2 + 1
+
+
+def derive_stft_params(sr: int, setting: SpecSetting) -> StftParams:
+    """Replicates AudioTrack::new's derivation (lib.rs:43-46) in f32.
+
+    Examples under defaults (40 ms, x4, x1):
+      8000  -> win 320,  hop 80,  n_fft 512
+      16000 -> win 640,  hop 160, n_fft 1024
+      22050 -> win 884,  hop 221, n_fft 1024   (882/4 = 220.5 rounds away -> 221)
+      24000 -> win 960,  hop 240, n_fft 1024
+      44100 -> win 1764, hop 441, n_fft 2048
+      48000 -> win 1920, hop 480, n_fft 2048
+    """
+    f32 = np.float32
+    win_f = f32(setting.win_ms) * f32(sr) / f32(1000.0)
+    hop_f = win_f / f32(setting.t_overlap)
+    # Rust f32::round — half away from zero — then `as usize` truncation.
+    hop = int(np.floor(hop_f + f32(0.5))) if hop_f >= 0 else 0
+    win = hop * setting.t_overlap
+    n_fft = next_pow2(win) * setting.f_overlap
+    return StftParams(sr=int(sr), win_length=win, hop_length=hop, n_fft=n_fft)
+
+
+# Precision mode for the device compute path.
+#   "parity": f32 matmuls at HIGHEST precision — bit-faithful dB values,
+#             used by all parity tests and default sessions.
+#   "fast":   bf16 matmul inputs with f32 accumulation — ~2x MXU rate;
+#             dB error ~0.04 dB, well under one grey quantization step
+#             (db_range 120 / 255 levels = 0.47 dB).
+_PRECISION_MODE = "parity"
+
+
+def set_precision_mode(mode: str) -> None:
+    global _PRECISION_MODE
+    if mode not in ("parity", "fast"):
+        raise ValueError(f"unknown precision mode: {mode!r}")
+    _PRECISION_MODE = mode
+
+
+def get_precision_mode() -> str:
+    return _PRECISION_MODE

@@ -1,0 +1,7 @@
+"""Audio + image I/O (reference L0: ``src_rust/audio.rs``; PNG output used
+by the reference's integration test lib.rs:516-546)."""
+
+from .audio import open_audio_file, write_wav
+from .png import write_png
+
+__all__ = ["open_audio_file", "write_wav", "write_png"]

@@ -1,0 +1,148 @@
+"""Audio file decoding (reference: ``open_audio_file``, audio.rs:9-37).
+
+Returns (wav, sr) with wav channel-major float32 (n_channels, n_samples),
+matching the reference's layout (audio.rs:33-35: strides (1, n_ch) over the
+interleaved buffer).  Int PCM is normalized by 2^(bits-1) (audio.rs:15-19);
+float samples pass through.
+
+The decoder prefers the native C++ parser (msv_tpu.native) when built — the
+reference's L0 is native (Rust hound/rodio) and ours mirrors that — with a
+pure-numpy RIFF parser as the always-available fallback.  Non-WAV codecs
+(flac/vorbis, handled by rodio in the reference) are delegated to
+``soundfile`` when present, else raise AudioReadError (this image has no
+audio-codec library baked in).
+"""
+
+import struct
+
+import numpy as np
+
+from ..utils.errors import AudioReadError
+
+_WAVE_FORMAT_PCM = 0x0001
+_WAVE_FORMAT_IEEE_FLOAT = 0x0003
+_WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+def _parse_wav_numpy(data: bytes, path: str):
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise AudioReadError(f"{path}: not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    fmt_body = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise AudioReadError(f"{path}: missing fmt/data chunk")
+    audio_fmt, n_ch, sr, _byte_rate, _block_align, bits = fmt
+    if audio_fmt == _WAVE_FORMAT_EXTENSIBLE and len(fmt_body) >= 26:
+        # WAVE_FORMAT_EXTENSIBLE: the SubFormat GUID (offset 24 in the fmt
+        # body) carries the real format tag in its first two bytes.
+        (audio_fmt,) = struct.unpack_from("<H", fmt_body, 24)
+    if n_ch == 0:
+        raise AudioReadError(f"{path}: zero channels")
+
+    if audio_fmt == _WAVE_FORMAT_IEEE_FLOAT:
+        if bits == 32:
+            x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+        elif bits == 64:
+            x = np.frombuffer(raw, dtype="<f8").astype(np.float32)
+        else:
+            raise AudioReadError(f"{path}: unsupported float width {bits}")
+    elif audio_fmt == _WAVE_FORMAT_PCM:
+        if bits == 8:
+            # WAV 8-bit is unsigned; hound yields centered i8 -> /2^7.
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128).astype(
+                np.float32
+            ) / np.float32(128.0)
+        elif bits == 16:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / np.float32(
+                1 << 15
+            )
+        elif bits == 24:
+            b = np.frombuffer(raw, dtype=np.uint8)
+            b = b[: (len(b) // 3) * 3].reshape(-1, 3)
+            vals = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            x = vals.astype(np.float32) / np.float32(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / np.float32(
+                1 << 31
+            )
+        else:
+            raise AudioReadError(f"{path}: unsupported PCM width {bits}")
+    else:
+        raise AudioReadError(f"{path}: unsupported WAV format tag {audio_fmt:#x}")
+
+    n_samples = len(x) // n_ch
+    x = x[: n_samples * n_ch]  # defensive truncation (audio.rs:34)
+    wav = np.ascontiguousarray(x.reshape(n_samples, n_ch).T)
+    return wav, int(sr)
+
+
+def open_audio_file(path: str):
+    """Decode an audio file -> (float32 (n_ch, n_samples), sample_rate)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(12)
+            f.seek(0)
+            is_wav = head[:4] == b"RIFF" and head[8:12] == b"WAVE"
+            if is_wav:
+                from . import _native_audio
+
+                native = _native_audio.try_decode(path)
+                if native is not None:
+                    return native
+                return _parse_wav_numpy(f.read(), path)
+    except OSError as e:
+        raise AudioReadError(f"{path}: {e}") from e
+
+    # rodio fallback path (flac/vorbis) — delegate to soundfile if available.
+    try:
+        import soundfile  # noqa: F401  (not baked into this image)
+    except ImportError:
+        raise AudioReadError(
+            f"{path}: not a WAV file and no codec backend available "
+            "(install soundfile for flac/vorbis)"
+        )
+    data, sr = soundfile.read(path, dtype="float32", always_2d=True)
+    return np.ascontiguousarray(data.T), int(sr)
+
+
+def write_wav(path: str, wav: np.ndarray, sr: int, bits: int = 16) -> None:
+    """Write (n_ch, n_samples) float32 -> PCM WAV (test fixture generator)."""
+    wav = np.atleast_2d(np.asarray(wav, dtype=np.float32))
+    n_ch, n_samples = wav.shape
+    interleaved = wav.T.reshape(-1)
+    if bits == 16:
+        pcm = np.clip(interleaved * (1 << 15), -(1 << 15), (1 << 15) - 1).astype(
+            "<i2"
+        )
+        raw = pcm.tobytes()
+        fmt_tag, bytes_per = _WAVE_FORMAT_PCM, 2
+    elif bits == 32:
+        raw = interleaved.astype("<f4").tobytes()
+        fmt_tag, bytes_per = _WAVE_FORMAT_IEEE_FLOAT, 4
+    else:
+        raise ValueError("write_wav supports 16 (PCM) or 32 (float) bits")
+    block = n_ch * bytes_per
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, fmt_tag, n_ch, sr, sr * block, block, bits
+    )
+    hdr += b"data" + struct.pack("<I", len(raw))
+    with open(path, "wb") as f:
+        f.write(hdr + raw)

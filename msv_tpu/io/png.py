@@ -1,0 +1,46 @@
+"""Minimal dependency-free PNG writer.
+
+The reference's integration test saves spec/wav PNGs via the Rust ``image``
+crate (lib.rs:535-542); ours writes them with stdlib zlib.  Used by the CLI
+and golden-image tests.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """Write (H, W), (H, W, 3) or (H, W, 4) uint8 as grayscale/RGB/RGBA PNG."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("write_png expects uint8")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 3: 2, 4: 6}.get(c)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {c}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # filter byte 0 per scanline
+    body = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), img.reshape(h, w * c)], axis=1
+    ).tobytes()
+    data = zlib.compress(body, 6)
+    with open(path, "wb") as f:
+        f.write(
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", data)
+            + _chunk(b"IEND", b"")
+        )

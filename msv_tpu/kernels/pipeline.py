@@ -1,0 +1,103 @@
+"""Fused spectrogram + render pipelines (pure JAX/XLA).
+
+This is the TPU-native reshape of the reference's hot path (SURVEY.md §3.1):
+where Rust runs per-frame FFTs on rayon threads then a mel GEMM then in-place
+dB (lib.rs:112-136), the device here runs ONE jitted program per track:
+
+    framed reshape -> windowed-DFT GEMMs (MXU) -> magnitude (VPU)
+    -> mel GEMM (MXU) -> dB (VPU) -> masked min/max reduction
+
+and for rendering (SURVEY.md §3.2):
+
+    normalize+flip+pad (VPU) -> vertical Lanczos GEMM -> clamp
+    -> horizontal Lanczos GEMM/banded gather -> clamp -> colormap LUT -> u8
+
+Shapes are statically bucketed (frame count, image width) so the jit cache
+stays bounded while zoom varies continuously (SURVEY.md §7 "Static shapes vs
+arbitrary zoom").
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import get_precision_mode
+from ..ops.decibel import amp_to_db
+from ..ops.stft import frame_device
+from ..render.colormap import grey_to_rgb_array
+from ..render.grey import spec_to_grey
+from ..render.resize import _apply_banded_cols
+
+
+def _precision():
+    return (
+        jax.lax.Precision.HIGHEST
+        if get_precision_mode() == "parity"
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("win", "hop", "n_frames", "use_mel"))
+def spec_pipeline(padded, c, s, mel_fb, n_valid, *, win, hop, n_frames, use_mel):
+    """padded wav -> (spec_db (n_frames, n_out), spec_min, spec_max).
+
+    ``n_frames`` is the bucketed frame count; ``n_valid`` the true one.
+    Rows >= n_valid come from zero padding (they dB-floor at -360) and are
+    excluded from the min/max reduction; callers treat them as garbage.
+
+    Equivalent of MultiTrack::calc_spec_of (lib.rs:112-136) + the per-spec
+    part of the global dB reduce (lib.rs:194-207).
+    """
+    prec = _precision()
+    if get_precision_mode() == "fast":
+        frames = frame_device(padded, win, hop, n_frames).astype(jnp.bfloat16)
+        c = c.astype(jnp.bfloat16)
+        s = s.astype(jnp.bfloat16)
+        if use_mel:
+            mel_fb = mel_fb.astype(jnp.bfloat16)
+    else:
+        frames = frame_device(padded, win, hop, n_frames)
+    re = jnp.dot(frames, c, precision=prec, preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, s, precision=prec, preferred_element_type=jnp.float32)
+    mag = jnp.sqrt(re * re + im * im)
+    if use_mel:
+        if get_precision_mode() == "fast":
+            mag = mag.astype(jnp.bfloat16)
+        spec = jnp.dot(
+            mag, mel_fb, precision=prec, preferred_element_type=jnp.float32
+        )
+    else:
+        spec = mag
+    db = amp_to_db(spec)
+    fmask = (jnp.arange(n_frames) < n_valid)[:, None]
+    smax = jnp.max(jnp.where(fmask, db, -jnp.inf))
+    smin = jnp.min(jnp.where(fmask, db, jnp.inf))
+    return db, smin, smax
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "banded"),
+)
+def render_rgb(spec_db, max_db, min_db, wv, wh_or_weights, *, height, banded):
+    """dB spec -> u8 RGB image (bucketed output size; caller crops).
+
+    wv: dense vertical weights (out_h_b, height).
+    wh_or_weights: dense horizontal weights (out_w_b, W_b) when banded=False,
+    else a (left (out_w_b,), w (out_w_b, M)) tuple.
+
+    Equivalent of spec_to_grey + grey_to_rgb (display.rs:44-61) with the
+    grey cached... except here even the grey lives on device, so a zoom is a
+    kernel relaunch, never a host round-trip (SURVEY.md §3.2 key property).
+    """
+    grey = spec_to_grey(spec_db, max_db, min_db, height=height)  # (H, W_b)
+    prec = jax.lax.Precision.HIGHEST
+    x = jnp.clip(jnp.dot(wv, grey, precision=prec), 0.0, 1.0)
+    if banded:
+        left, wb = wh_or_weights
+        y = _apply_banded_cols(x, left, wb)
+    else:
+        y = jnp.dot(x, wh_or_weights.T, precision=prec)
+    y = jnp.clip(y, 0.0, 1.0)
+    return grey_to_rgb_array(y)

@@ -1,0 +1,29 @@
+"""DSP + rendering primitives (reference layer L1/L2/L4, SURVEY.md §1).
+
+Host-side (numpy) constant builders: windows, mel filterbanks, DFT matrices,
+resize weights.  Device-side (jnp, jit) compute: STFT, dB, grey/colormap,
+waveform envelope.
+"""
+
+from .windows import hann, cosine_window
+from .mel import hz_to_mel, mel_to_hz, calc_mel_fb, calc_mel_fb_default
+from .decibel import amp_to_db, power_to_db, db_to_amp, db_to_power
+from .stft import perform_stft, stft_magnitude
+from .framing import n_frames_for, reflect_pad_center
+
+__all__ = [
+    "hann",
+    "cosine_window",
+    "hz_to_mel",
+    "mel_to_hz",
+    "calc_mel_fb",
+    "calc_mel_fb_default",
+    "amp_to_db",
+    "power_to_db",
+    "db_to_amp",
+    "db_to_power",
+    "perform_stft",
+    "stft_magnitude",
+    "n_frames_for",
+    "reflect_pad_center",
+]

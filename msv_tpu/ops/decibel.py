@@ -1,0 +1,53 @@
+"""Decibel conversions (reference: ``src_rust/decibel.rs``, which follows
+librosa 0.8 ``core/spectrum.html``).
+
+Device-side jnp ops (they sit at the end of the fused spectrogram pipeline),
+with exact reference floor semantics (decibel.rs:33-56):
+
+    log_ref = log10(ref)  if ref  > amin else log10(amin)
+    out     = log10(x) - log_ref  if x > amin else log10(amin) - log_ref
+    amp_to_db   = 20 * out,  amin default 1e-18  (decibel.rs:7)
+    power_to_db = 10 * out,  amin default 1e-36  (decibel.rs:8)
+
+The branch is strict ``>`` (not >=) — SURVEY.md §7 flags this as an
+easy-to-miss ULP hazard, so it is jnp.where on exactly that predicate.
+Unlike the in-place Rust trait, these are pure functions.
+"""
+
+import math
+
+import jax.numpy as jnp
+
+REF_DEFAULT = 1.0
+AMIN_AMP_DEFAULT = 1e-18
+AMIN_POWER_DEFAULT = 1e-36
+
+
+def _log_for_db(x, ref_value: float, amin: float):
+    if ref_value < 0 or amin < 0:
+        raise ValueError("reference and amin must be >= 0 (decibel.rs:34-38)")
+    log_amin = math.log10(amin) if amin > 0 else -math.inf
+    log_ref = math.log10(ref_value) if ref_value > amin else log_amin
+    log_amin = jnp.asarray(log_amin, dtype=x.dtype)
+    return jnp.where(x > amin, jnp.log10(x) - log_ref, log_amin - log_ref)
+
+
+def amp_to_db(x, ref_value: float = REF_DEFAULT, amin: float = AMIN_AMP_DEFAULT):
+    """20*log10 with floor (decibel.rs:68-76, defaults decibel.rs:78-88)."""
+    return 20.0 * _log_for_db(x, ref_value, amin)
+
+
+def power_to_db(x, ref_value: float = REF_DEFAULT, amin: float = AMIN_POWER_DEFAULT):
+    """10*log10 with floor (decibel.rs:58-66, defaults decibel.rs:90-100)."""
+    return 10.0 * _log_for_db(x, ref_value, amin)
+
+
+def db_to_amp(x, ref_value: float = REF_DEFAULT):
+    """Inverse of amp_to_db (decibel.rs:102-104; unused by the reference app
+    but part of its public trait surface)."""
+    return ref_value * jnp.power(10.0, 0.05 * x)
+
+
+def db_to_power(x, ref_value: float = REF_DEFAULT):
+    """Inverse of power_to_db (decibel.rs:106-108)."""
+    return ref_value * jnp.power(10.0, 0.1 * x)

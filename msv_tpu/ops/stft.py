@@ -1,0 +1,157 @@
+"""Centered STFT (reference: ``perform_stft``, lib.rs:388-471).
+
+Host wrapper + jitted device core.  The device core is a single fused,
+statically-shaped computation:
+
+    (N', hop) reshape --t_overlap slices--> frames (n_frames, win)
+    frames @ C, frames @ S   (windowed real DFT GEMMs, see ops/dft.py)
+
+Shape bucketing: callers can pad the frame count to a bucket multiple so jit
+cache keys stay bounded; invalid tail frames read zero samples and are
+sliced/masked downstream.
+
+The reference runs per-frame FFTs on rayon threads when a single track is
+added (lib.rs:449-458).  Here frame-parallelism is the MXU batch dimension;
+the ``parallel`` knob is accepted for API parity and ignored.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import get_precision_mode
+from ..utils import round_up_to
+from .dft import windowed_dft_matrices
+from .framing import n_frames_for, reflect_pad_center
+from .windows import default_stft_window
+
+FRAME_BUCKET = 256  # jit-cache frame-count granularity
+
+
+def _precision():
+    return (
+        jax.lax.Precision.HIGHEST
+        if get_precision_mode() == "parity"
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def frame_device(padded, win: int, hop: int, n_frames: int):
+    """Device framing: (n_frames, win) view of a padded 1-D signal.
+
+    When win % hop == 0 (guaranteed for session-derived params,
+    config.derive_stft_params), frames are t_overlap static slices of a
+    (N', hop) reshape — no gather, fuses into the following GEMM.
+    Otherwise falls back to a gather.
+    """
+    if win % hop == 0:
+        t_overlap = win // hop
+        n_rows = n_frames + t_overlap - 1
+        x2d = padded[: n_rows * hop].reshape(n_rows, hop)
+        parts = [
+            jax.lax.slice_in_dim(x2d, t, t + n_frames, axis=0)
+            for t in range(t_overlap)
+        ]
+        return jnp.concatenate(parts, axis=1)
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(win)[None, :]
+    return padded[jnp.asarray(idx)]
+
+
+@functools.partial(jax.jit, static_argnames=("win", "hop", "n_frames"))
+def _stft_core(padded, c, s, *, win: int, hop: int, n_frames: int):
+    frames = frame_device(padded, win, hop, n_frames)
+    prec = _precision()
+    re = jnp.dot(frames, c, precision=prec, preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, s, precision=prec, preferred_element_type=jnp.float32)
+    return re, im
+
+
+@functools.partial(jax.jit, static_argnames=("win", "hop", "n_frames"))
+def _stft_mag_core(padded, c, s, *, win: int, hop: int, n_frames: int):
+    re, im = _stft_core(padded, c, s, win=win, hop=hop, n_frames=n_frames)
+    return jnp.sqrt(re * re + im * im)
+
+
+def _prepare(wav, win, hop, n_fft, window, pad_frames_to):
+    wav = np.ascontiguousarray(wav, dtype=np.float32)
+    if window is None:
+        window = default_stft_window(win, n_fft)
+    else:
+        window = np.ascontiguousarray(window, dtype=np.float32)
+        if len(window) != win:
+            raise ValueError(
+                f"window length {len(window)} != win_length {win} (lib.rs:404)"
+            )
+    n_frames = n_frames_for(len(wav), win, hop)
+    n_frames_pad = round_up_to(max(n_frames, 1), pad_frames_to or 1)
+    padded = reflect_pad_center(wav, win)
+    need = (n_frames_pad - 1) * hop + win
+    if len(padded) < need:
+        padded = np.pad(padded, (0, need - len(padded)))
+    c, s = windowed_dft_matrices(window, n_fft)
+    return padded, c, s, n_frames, n_frames_pad
+
+
+def perform_stft(
+    wav,
+    win_length: int,
+    hop_length: int,
+    n_fft: int,
+    window=None,
+    fft_module=None,
+    parallel: bool = False,
+):
+    """Centered STFT -> complex64 (n_frames, n_fft//2+1).
+
+    API-parity port of ``perform_stft`` (lib.rs:388-396): default window is
+    periodic hann / n_fft (lib.rs:407 — the 1/n_fft scale lives in the
+    window).  ``fft_module``/``parallel`` are accepted for parity; the former
+    must be None, the latter is meaningless on TPU (the MXU batches frames).
+    """
+    del parallel
+    if fft_module is not None:
+        raise ValueError("fft_module is not applicable to the TPU backend")
+    padded, c, s, n_frames, n_frames_pad = _prepare(
+        wav, win_length, hop_length, n_fft, window, None
+    )
+    re, im = _stft_core(
+        jnp.asarray(padded),
+        jnp.asarray(c),
+        jnp.asarray(s),
+        win=win_length,
+        hop=hop_length,
+        n_frames=n_frames_pad,
+    )
+    out = jax.lax.complex(re, im)[:n_frames]
+    return out
+
+
+def stft_magnitude(
+    wav,
+    win_length: int,
+    hop_length: int,
+    n_fft: int,
+    window=None,
+    pad_frames_to: int = FRAME_BUCKET,
+):
+    """|STFT| with bucketed frame count.
+
+    Returns (mag, n_frames): mag is (n_frames_padded, n_freq) float32 on
+    device; rows >= n_frames are garbage from zero-padding and must be
+    masked/sliced by the caller (the session does this inside its fused
+    pipeline so reductions stay on-device).
+    """
+    padded, c, s, n_frames, n_frames_pad = _prepare(
+        wav, win_length, hop_length, n_fft, window, pad_frames_to
+    )
+    mag = _stft_mag_core(
+        jnp.asarray(padded),
+        jnp.asarray(c),
+        jnp.asarray(s),
+        win=win_length,
+        hop=hop_length,
+        n_frames=n_frames_pad,
+    )
+    return mag, n_frames

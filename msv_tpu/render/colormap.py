@@ -1,0 +1,61 @@
+"""10-stop magma-like colormap (reference: display.rs:10-42).
+
+Piecewise-linear interpolation on the VPU with the reference's exact
+quantization quirks:
+
+  * position = 10 * x, index = floor(position)                (display.rs:26-27)
+  * index >= 9 saturates to the LAST stop — i.e. the top 10% of the grey
+    range renders as a flat color                              (display.rs:28-29)
+  * channel lerp is rounded half-away-from-zero to u8          (display.rs:38)
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+COLORMAP = np.array(
+    [
+        [0, 0, 4],
+        [27, 12, 65],
+        [74, 12, 107],
+        [120, 28, 109],
+        [165, 44, 96],
+        [207, 68, 70],
+        [237, 105, 37],
+        [251, 155, 6],
+        [247, 209, 61],
+        [252, 255, 164],
+    ],
+    dtype=np.uint8,
+)  # display.rs:10-21
+
+WAVECOLOR = np.array([200, 21, 103, 255], dtype=np.uint8)  # display.rs:22
+
+
+def get_colormap() -> bytes:
+    """Flattened 30-byte colormap for host/GUI consumers (lib.rs:473-480)."""
+    return COLORMAP.tobytes()
+
+
+@jax.jit
+def grey_to_rgb_array(grey):
+    """Map grey f32 in [0, 1] (any shape) -> u8 RGB (shape + (3,)).
+
+    Exact port of convert_grey_to_color (display.rs:24-42); assumes the
+    caller already clamped grey >= 0 (the resize pass does).
+    """
+    stops = jnp.asarray(COLORMAP, dtype=jnp.float32)  # (10, 3)
+    n = stops.shape[0]
+    position = grey.astype(jnp.float32) * n
+    index = jnp.floor(position).astype(jnp.int32)
+    last = index >= n - 1
+    i0 = jnp.clip(index, 0, n - 2)
+    ratio = (position - i0.astype(jnp.float32))[..., None]
+    a = stops[i0]
+    b = stops[i0 + 1]
+    lerped = ratio * b + (1.0 - ratio) * a
+    rgb = jnp.where(last[..., None], stops[n - 1], lerped)
+    # Rust .round() as u8: half away from zero (values are >= 0 here).
+    return jnp.floor(rgb + 0.5).astype(jnp.uint8)

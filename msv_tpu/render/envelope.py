@@ -1,0 +1,232 @@
+"""Min/max-envelope waveform renderer (reference: wav_to_image,
+display.rs:63-115).
+
+Per output column i the reference takes min/max over samples in
+[rust_round((i-1.5)*spp), rust_round((i+1.5)*spp)) where spp = len/nwidth,
+paints a >= 3 px thick column of WAVECOLOR, and, when zoomed past
+1 sample/px (spp < 1), first linearly upsamples by ceil(1/spp)
+(display.rs:76-91 — including its quirk of indexing the upsampled buffer
+with ORIGINAL-scale sample offsets; replicated bit-for-bit below).
+
+TPU design: column windows are host-precomputed (start, end) int arrays; the
+device reduces min/max on the VPU and rasterizes the column mask with
+broadcasted iota — no per-column host loop.  Two reduction strategies:
+
+  * direct: gather each column's window (chunked with lax.map to bound
+    memory) — used when windows are narrow (deep zoom).
+  * pooled: precompute block min/max (block B=1024 via reshape-reduce), then
+    each column combines its fully-covered blocks plus two raw edge windows
+    of < B samples.  Exact (no approximation) and keeps hour-scale
+    zoomed-out renders at O(len/B) gathered elements.
+
+Documented deviations from the reference (robustness fixes, see tests):
+  * empty windows (very deep zoom) would panic in Rust via
+    ``wav_slice.max().unwrap()``; we clamp end >= start+1.
+  * a sample equal to amp_min maps to row nheight and Rust's
+    ``slice_mut(s![top..bottom+1])`` would panic; we clamp bottom to
+    nheight-1.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import round_up_to
+from ..utils.rounding import rust_round_np
+from .colormap import WAVECOLOR
+
+_COL_BUCKET = 512
+_CHUNK = 512
+_BLOCK = 1024  # pooled-reduction block size
+_DIRECT_LIMIT = 4096  # use direct gather when max window <= this
+_WAV_BUCKET = 1 << 16
+
+
+def _upsample_reference_quirk(wav: np.ndarray, factor: int) -> np.ndarray:
+    """Linear upsample exactly like display.rs:76-91 (f32):
+    out[i] = b * (i%f)/f + wav[i//f] * (1 - (i%f)/f),
+    b = wav[i//f + 1] if in range else 0."""
+    f32 = np.float32
+    n = len(wav)
+    i = np.arange(n * factor)
+    j = i // factor
+    r = (i % factor).astype(np.float32) / f32(factor)
+    b = np.where(j + 1 < n, wav[np.minimum(j + 1, n - 1)], f32(0.0))
+    return (b * r + wav[j] * (f32(1.0) - r)).astype(np.float32)
+
+
+def _chunked_window_minmax(wav, starts, ends, m, n_cols):
+    """Direct path: per-column (max, min) over [starts, ends), windows <= m."""
+    n_chunks = n_cols // _CHUNK
+    offs = jnp.arange(m, dtype=jnp.int32)[None, :]
+    idx_all = starts[:, None] + offs
+    valid_all = idx_all < ends[:, None]
+    idx_all = jnp.clip(idx_all, 0, wav.shape[0] - 1)
+    idx_all = idx_all.reshape(n_chunks, _CHUNK, m)
+    valid_all = valid_all.reshape(n_chunks, _CHUNK, m)
+
+    def body(args):
+        idx_c, valid_c = args
+        g = wav[idx_c]
+        return (
+            jnp.max(jnp.where(valid_c, g, -jnp.inf), axis=1),
+            jnp.min(jnp.where(valid_c, g, jnp.inf), axis=1),
+        )
+
+    mx, mn = jax.lax.map(body, (idx_all, valid_all))
+    return mx.reshape(n_cols), mn.reshape(n_cols)
+
+
+def _pooled_window_minmax(wav, starts, ends, mp, n_cols):
+    """Pooled path: block min/max + raw edges.  Exact for any window size."""
+    nb = wav.shape[0] // _BLOCK
+    blocks = wav[: nb * _BLOCK].reshape(nb, _BLOCK)
+    bmax = jnp.max(blocks, axis=1)
+    bmin = jnp.min(blocks, axis=1)
+
+    s_blk = -(-starts // _BLOCK)  # ceil
+    e_blk = ends // _BLOCK  # floor
+    offs = jnp.arange(mp, dtype=jnp.int32)[None, :]
+
+    n_chunks = n_cols // _CHUNK
+
+    def reshape_c(x):
+        return x.reshape(n_chunks, _CHUNK) if x.ndim == 1 else x.reshape(
+            (n_chunks, _CHUNK) + x.shape[1:]
+        )
+
+    bidx = s_blk[:, None] + offs
+    bvalid = bidx < e_blk[:, None]
+    bidx = jnp.clip(bidx, 0, nb - 1)
+
+    eoffs = jnp.arange(_BLOCK, dtype=jnp.int32)[None, :]
+    # left edge: [start, min(s_blk*B, end));  right edge: [max(e_blk*B, start), end)
+    le_start, le_end = starts, jnp.minimum(s_blk * _BLOCK, ends)
+    re_start, re_end = jnp.maximum(e_blk * _BLOCK, starts), ends
+    lidx = le_start[:, None] + eoffs
+    lvalid = lidx < le_end[:, None]
+    lidx = jnp.clip(lidx, 0, wav.shape[0] - 1)
+    ridx = re_start[:, None] + eoffs
+    rvalid = ridx < re_end[:, None]
+    ridx = jnp.clip(ridx, 0, wav.shape[0] - 1)
+
+    args = tuple(
+        map(reshape_c, (bidx, bvalid, lidx, lvalid, ridx, rvalid))
+    )
+
+    def body(a):
+        bidx_c, bvalid_c, lidx_c, lvalid_c, ridx_c, rvalid_c = a
+        gb_max = jnp.where(bvalid_c, bmax[bidx_c], -jnp.inf)
+        gb_min = jnp.where(bvalid_c, bmin[bidx_c], jnp.inf)
+        gl = wav[lidx_c]
+        gr = wav[ridx_c]
+        mx = jnp.maximum(
+            jnp.max(gb_max, axis=1),
+            jnp.maximum(
+                jnp.max(jnp.where(lvalid_c, gl, -jnp.inf), axis=1),
+                jnp.max(jnp.where(rvalid_c, gr, -jnp.inf), axis=1),
+            ),
+        )
+        mn = jnp.minimum(
+            jnp.min(gb_min, axis=1),
+            jnp.minimum(
+                jnp.min(jnp.where(lvalid_c, gl, jnp.inf), axis=1),
+                jnp.min(jnp.where(rvalid_c, gr, jnp.inf), axis=1),
+            ),
+        )
+        return mx, mn
+
+    mx, mn = jax.lax.map(body, args)
+    return mx.reshape(n_cols), mn.reshape(n_cols)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "nheight", "n_cols", "pooled")
+)
+def _envelope_core(
+    wav, starts, ends, amp_min, amp_max, *, m, nheight, n_cols, pooled
+):
+    if pooled:
+        mx, mn = _pooled_window_minmax(wav, starts, ends, m, n_cols)
+    else:
+        mx, mn = _chunked_window_minmax(wav, starts, ends, m, n_cols)
+
+    # amp -> row: rust_round((amp_max - x) * nheight / range) as isize
+    scale = nheight / (amp_max - amp_min)
+
+    def to_px(x):
+        v = (amp_max - x) * scale
+        return jnp.where(v >= 0, jnp.floor(v + 0.5), jnp.ceil(v - 0.5)).astype(
+            jnp.int32
+        )
+
+    top = to_px(mx)
+    bottom = to_px(mn)
+    d = 3 - (bottom - top)
+    pad_top = jnp.where(d > 0, d // 2, 0)  # floor(d/2)  (display.rs:102)
+    pad_bottom = jnp.where(d > 0, (d + 1) // 2, 0)  # ceil(d/2)  (display.rs:101)
+    top = jnp.maximum(top - pad_top, 0)
+    bottom = jnp.clip(bottom + pad_bottom, None, nheight - 1)
+
+    rows = jnp.arange(nheight, dtype=jnp.int32)[:, None]  # (H, 1)
+    mask = (rows >= top[None, :]) & (rows <= bottom[None, :])  # (H, n_cols)
+    color = jnp.asarray(WAVECOLOR, dtype=jnp.uint8)
+    return jnp.where(mask[:, :, None], color[None, None, :], jnp.uint8(0))
+
+
+def wav_to_image(wav: np.ndarray, nwidth: int, nheight: int, amp_range) -> np.ndarray:
+    """Render the waveform envelope -> (nheight, nwidth, 4) RGBA u8."""
+    f32 = np.float32
+    amp_min, amp_max = f32(amp_range[0]), f32(amp_range[1])
+    wav = np.ascontiguousarray(wav, dtype=np.float32)
+    if nwidth <= 0 or nheight <= 0:
+        return np.zeros((max(nheight, 0), max(nwidth, 0), 4), dtype=np.uint8)
+
+    samples_per_px = f32(len(wav)) / f32(nwidth)
+    if samples_per_px < 1.0:
+        factor = int(np.ceil(f32(1.0) / samples_per_px))
+        buf = _upsample_reference_quirk(wav, factor)
+    else:
+        buf = wav
+
+    i_px = np.arange(nwidth, dtype=np.float32)
+    starts = rust_round_np((i_px - f32(1.5)) * samples_per_px)
+    starts = np.maximum(starts, 0.0).astype(np.int64)
+    ends = rust_round_np((i_px + f32(1.5)) * samples_per_px).astype(np.int64)
+    ends = np.minimum(ends, len(buf))
+    ends = np.maximum(ends, starts + 1)  # deviation: avoid empty-window panic
+
+    n_cols = round_up_to(nwidth, _COL_BUCKET)
+    starts_p = np.zeros(n_cols, dtype=np.int32)
+    ends_p = np.zeros(n_cols, dtype=np.int32)
+    starts_p[:nwidth] = starts
+    ends_p[:nwidth] = ends
+    ends_p[nwidth:] = 1  # dummy non-empty windows for the padded tail
+
+    buf_p = buf
+    pad_len = round_up_to(max(len(buf), _WAV_BUCKET), _WAV_BUCKET) - len(buf)
+    if pad_len:
+        buf_p = np.pad(buf, (0, pad_len))
+
+    max_win = int((ends - starts).max())
+    if max_win <= _DIRECT_LIMIT:
+        pooled = False
+        m = int(round_up_to(max(max_win, 1), 128))
+    else:
+        pooled = True
+        m = int(round_up_to(max_win // _BLOCK + 2, 8))
+
+    img = _envelope_core(
+        jnp.asarray(buf_p),
+        jnp.asarray(starts_p),
+        jnp.asarray(ends_p),
+        float(amp_min),
+        float(amp_max),
+        m=m,
+        nheight=int(nheight),
+        n_cols=n_cols,
+        pooled=pooled,
+    )
+    return np.asarray(img)[:, :nwidth, :]

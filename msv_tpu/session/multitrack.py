@@ -1,0 +1,393 @@
+"""MultiTrack session — the app's core state machine (reference:
+``MultiTrack``, lib.rs:72-365; ``AudioTrack``, lib.rs:30-62).
+
+Host Python owns file I/O, caches, and the global-dB state machine; the TPU
+owns every per-sample computation via the fused pipelines in
+``msv_tpu.kernels.pipeline``.  State mirrored from the reference:
+
+  tracks, per-sample-rate ``windows``/``mel_fbs`` caches, computed ``specs``
+  (device-resident dB arrays), global max_db/min_db/max_sec/id_max_sec/max_sr
+  (lib.rs:73-85).
+
+Key behavioral contracts (all parity-tested):
+  * dB window: max_db = min(global_max, 0), min_db = max(global_min,
+    max_db - db_range), 1e-3 change hysteresis (lib.rs:193-218).
+  * grey images rebuilt for ALL tracks only when max/min/max_sr changed
+    (lib.rs:230-262).
+  * up_ratio frequency alignment: Linear -> max_sr/sr;
+    Mel -> mel(max_sr/2)/mel(sr/2)  (lib.rs:231-248, f32).
+  * channel sum (not mean) to mono (lib.rs:42); window = hann/n_fft
+    (lib.rs:138-140).
+
+Unlike the reference, "grey" state is just (spec_db, dB-range scalars) on
+device: a zoom/resize re-render is one kernel relaunch over cached HBM data
+(SURVEY.md §3.2), and renormalization after add/remove is fused into it.
+"""
+
+import numpy as np
+
+from ..config import FreqScale, SpecSetting, derive_stft_params
+from ..io.audio import open_audio_file
+from ..kernels.pipeline import render_rgb, spec_pipeline
+from ..ops.framing import n_frames_for, reflect_pad_center
+from ..ops.mel import calc_mel_fb_default, hz_to_mel, mel_to_hz
+from ..ops.dft import windowed_dft_matrices
+from ..ops.windows import default_stft_window
+from ..render.envelope import wav_to_image
+from ..render.grey import grey_height
+from ..render.resize import DENSE_LIMIT, resize_weights, resize_weights_dense
+from ..utils import round_up_to
+from ..utils.errors import TrackNotFoundError
+from ..utils.profiling import StageTimer, get_logger
+from ..utils.rounding import trunc_int
+
+FRAME_BUCKET = 256
+OUT_BUCKET = 128
+
+
+class AudioTrack:
+    """Loaded track + derived STFT params (lib.rs:30-62)."""
+
+    def __init__(self, path: str, setting: SpecSetting):
+        wav2d, sr = open_audio_file(path)
+        self.path = path
+        self.wav = wav2d.sum(axis=0)  # SUM, not mean (lib.rs:42)
+        self.sr = int(sr)
+        p = derive_stft_params(sr, setting)
+        self.win_length = p.win_length
+        self.hop_length = p.hop_length
+        self.n_fft = p.n_fft
+
+    @property
+    def sec(self) -> float:
+        """Duration in f32 seconds (lib.rs:178: len as f32 / sr as f32)."""
+        return float(np.float32(len(self.wav)) / np.float32(self.sr))
+
+    def reload(self, setting: SpecSetting) -> None:
+        """Re-derive params after a setting change (lib.rs:57-61)."""
+        self.__init__(self.path, setting)
+
+
+class _TrackState:
+    """Device-side artifacts for one track."""
+
+    __slots__ = ("spec_db", "n_frames", "n_frames_pad", "n_out", "smin", "smax")
+
+
+class MultiTrack:
+    """Multi-track spectrogram/waveform session (lib.rs:72-365)."""
+
+    def __init__(self, setting: SpecSetting | None = None):
+        import jax.numpy as jnp  # deferred so host-only use stays light
+
+        self._jnp = jnp
+        self.setting = setting or SpecSetting()
+        self.tracks: dict[int, AudioTrack] = {}
+        self.windows: dict[int, np.ndarray] = {}  # sr -> window (hann/n_fft)
+        self.mel_fbs: dict[int, np.ndarray] = {}  # sr -> (n_freq, n_mel) f32
+        self._dfts: dict[int, tuple] = {}  # sr -> (C, S) device arrays
+        self._mel_dev: dict[int, object] = {}  # sr -> device mel fb
+        self._state: dict[int, _TrackState] = {}
+        self.max_db = -np.inf
+        self.min_db = np.inf
+        self.max_sec = 0.0
+        self.id_max_sec = 0
+        self.max_sr = 0
+        self.timer = StageTimer()
+        self._log = get_logger()
+
+    # ------------------------------------------------------------- caches
+
+    def _ensure_sr_caches(self, sr: int, win: int, n_fft: int) -> None:
+        if sr in self.windows:
+            return
+        self._log.debug("window/mel cache miss for sr=%d", sr)
+        window = default_stft_window(win, n_fft)  # hann/n_fft (lib.rs:138-140)
+        self.windows[sr] = window
+        c, s = windowed_dft_matrices(window, n_fft)
+        self._dfts[sr] = (self._jnp.asarray(c), self._jnp.asarray(s))
+        if self.setting.freq_scale == FreqScale.MEL:
+            fb = calc_mel_fb_default(sr, n_fft)
+            self.mel_fbs[sr] = fb
+            self._mel_dev[sr] = self._jnp.asarray(fb)
+
+    def _calc_spec_of(self, id: int) -> _TrackState:
+        """STFT -> |.| -> [mel] -> dB on device (lib.rs:112-136)."""
+        track = self._track(id)
+        jnp = self._jnp
+        use_mel = self.setting.freq_scale == FreqScale.MEL
+        c, s = self._dfts[track.sr]
+        mel_fb = self._mel_dev.get(track.sr) if use_mel else None
+        win, hop = track.win_length, track.hop_length
+
+        n_frames = n_frames_for(len(track.wav), win, hop)
+        n_frames_pad = round_up_to(max(n_frames, 1), FRAME_BUCKET)
+        padded = reflect_pad_center(track.wav.astype(np.float32), win)
+        need = (n_frames_pad - 1) * hop + win
+        if len(padded) < need:
+            padded = np.pad(padded, (0, need - len(padded)))
+
+        if mel_fb is None:
+            # pass a dummy so the jit signature is stable per (shape, use_mel)
+            mel_fb = jnp.zeros((1, 1), dtype=jnp.float32)
+        db, smin, smax = spec_pipeline(
+            jnp.asarray(padded),
+            c,
+            s,
+            mel_fb,
+            jnp.int32(n_frames),
+            win=win,
+            hop=hop,
+            n_frames=n_frames_pad,
+            use_mel=use_mel,
+        )
+        st = _TrackState()
+        st.spec_db = db
+        st.n_frames = n_frames
+        st.n_frames_pad = n_frames_pad
+        st.n_out = db.shape[1]
+        st.smin = float(smin)
+        st.smax = float(smax)
+        return st
+
+    # ------------------------------------------------------------ tracks
+
+    def _track(self, id: int) -> AudioTrack:
+        try:
+            return self.tracks[id]
+        except KeyError:
+            raise TrackNotFoundError(id) from None
+
+    def add_tracks(self, id_list, path_list) -> bool:
+        """Add tracks and recompute state (lib.rs:170-191).
+
+        ``path_list`` may be a list of paths or, for reference-FFI parity,
+        one newline-joined string (lib.rs:171-173).  Returns whether the
+        global dB range / max_sr changed (=> all greys renormalized).
+        """
+        if isinstance(path_list, str):
+            path_list = path_list.split("\n")
+        with self.timer.stage("add_tracks.decode"):
+            for id, path in zip(id_list, path_list):
+                track = AudioTrack(path, self.setting)
+                if track.sec > self.max_sec:
+                    self.max_sec = track.sec
+                    self.id_max_sec = id
+                self._ensure_sr_caches(track.sr, track.win_length, track.n_fft)
+                self.tracks[id] = track
+        with self.timer.stage("add_tracks.spec"):
+            for id in id_list:
+                self._state[id] = self._calc_spec_of(id)
+        return self._update_db_state()
+
+    def remove_track(self, id: int) -> bool:
+        """Remove a track (lib.rs:265-292)."""
+        track = self._track(id)
+        sr = track.sr
+        del self.tracks[id]
+        self._state.pop(id, None)
+        if self.id_max_sec == id:
+            best_id, best_sec = 0, 0.0
+            for tid, t in self.tracks.items():
+                if t.sec > best_sec:
+                    best_id, best_sec = tid, t.sec
+            self.id_max_sec, self.max_sec = best_id, best_sec
+        if all(t.sr != sr for t in self.tracks.values()):
+            self.windows.pop(sr, None)
+            self.mel_fbs.pop(sr, None)
+            self._dfts.pop(sr, None)
+            self._mel_dev.pop(sr, None)
+        return self._update_db_state()
+
+    # ----------------------------------------------------- global dB state
+
+    def _update_db_state(self) -> bool:
+        """Global dB window + max_sr bookkeeping (lib.rs:193-263).
+
+        The reference also eagerly rebuilds all grey images here; we keep
+        the dB range and render lazily from the cached device specs — same
+        observable pixels, no wasted work when nothing is queried.
+        """
+        gmax, gmin = -np.inf, np.inf
+        for st in self._state.values():
+            gmax = max(gmax, st.smax)
+            gmin = min(gmin, st.smin)
+        gmax = min(gmax, 0.0)
+        gmin = max(gmin, gmax - self.setting.db_range)
+        changed = False
+        if not abs(self.max_db - gmax) <= 1e-3:  # abs_diff_ne!, lib.rs:211
+            self.max_db = gmax
+            changed = True
+        if not abs(self.min_db - gmin) <= 1e-3:
+            self.min_db = gmin
+            changed = True
+        max_sr = max((t.sr for t in self.tracks.values()), default=0)
+        if self.max_sr != max_sr:
+            self.max_sr = max_sr
+            changed = True
+        return changed
+
+    def _up_ratio(self, sr: int) -> float:
+        """Cross-track frequency alignment ratio, f32 (lib.rs:231-248)."""
+        f32 = np.float32
+        if self.setting.freq_scale == FreqScale.LINEAR:
+            return float(f32(self.max_sr) / f32(sr))
+        return float(
+            hz_to_mel(f32(self.max_sr) / f32(2.0))
+            / hz_to_mel(f32(sr) / f32(2.0))
+        )
+
+    # ------------------------------------------------------------ renders
+
+    def get_spec_image(self, id: int, px_per_sec: float, nheight: int) -> np.ndarray:
+        """Colormapped spectrogram image (lib.rs:294-298) -> (h, w, 3) u8.
+
+        Width = trunc(px_per_sec * len / sr) like the reference's `as u32`
+        (lib.rs:296).  Use ``.tobytes()`` for the reference's raw-Vec<u8>
+        form.
+        """
+        track = self._track(id)
+        st = self._state[id]
+        jnp = self._jnp
+        f32 = np.float32
+        nwidth = trunc_int(f32(px_per_sec) * f32(len(track.wav)) / f32(track.sr))
+        if nwidth == 0 or nheight == 0:
+            return np.zeros((nheight, nwidth, 3), dtype=np.uint8)
+
+        height = grey_height(st.n_out, self._up_ratio(track.sr))
+        out_h_b = round_up_to(nheight, OUT_BUCKET)
+        out_w_b = round_up_to(nwidth, OUT_BUCKET)
+
+        wv = resize_weights_dense(height, nheight)
+        wv_p = np.zeros((out_h_b, height), dtype=np.float32)
+        wv_p[:nheight] = wv
+
+        w_valid = st.n_frames
+        banded = not (w_valid <= DENSE_LIMIT and nwidth <= DENSE_LIMIT)
+        if banded:
+            left, wb = resize_weights(w_valid, nwidth)
+            left_p = np.zeros(out_w_b, dtype=np.int32)
+            wb_p = np.zeros((out_w_b, wb.shape[1]), dtype=np.float32)
+            left_p[:nwidth] = left
+            wb_p[:nwidth] = wb
+            wh = (jnp.asarray(left_p), jnp.asarray(wb_p))
+        else:
+            whd = resize_weights_dense(w_valid, nwidth)
+            wh_p = np.zeros((out_w_b, st.n_frames_pad), dtype=np.float32)
+            wh_p[:nwidth, :w_valid] = whd
+            wh = jnp.asarray(wh_p)
+
+        with self.timer.stage("get_spec_image.render"):
+            img = render_rgb(
+                st.spec_db,
+                jnp.float32(self.max_db),
+                jnp.float32(self.min_db),
+                jnp.asarray(wv_p),
+                wh,
+                height=height,
+                banded=banded,
+            )
+        return np.asarray(img)[:nheight, :nwidth, :]
+
+    def get_wav_image(
+        self, id: int, px_per_sec: float, nheight: int, amp_min: float, amp_max: float
+    ) -> np.ndarray:
+        """Waveform envelope image (lib.rs:300-313) -> (h, w, 4) RGBA u8."""
+        track = self._track(id)
+        f32 = np.float32
+        nwidth = trunc_int(f32(px_per_sec) * f32(len(track.wav)) / f32(track.sr))
+        with self.timer.stage("get_wav_image.render"):
+            return wav_to_image(track.wav, nwidth, nheight, (amp_min, amp_max))
+
+    def get_grey(self, id: int) -> np.ndarray:
+        """The normalized grey image (display.rs:44-54) — exposed for tests
+        and for parity with the reference's spec_greys cache."""
+        from ..render.grey import spec_to_grey
+
+        track = self._track(id)
+        st = self._state[id]
+        height = grey_height(st.n_out, self._up_ratio(track.sr))
+        g = spec_to_grey(
+            st.spec_db,
+            self._jnp.float32(self.max_db),
+            self._jnp.float32(self.min_db),
+            height=height,
+        )
+        return np.asarray(g)[:, : st.n_frames]
+
+    # ------------------------------------------------------------ getters
+
+    def get_frequency_hz(self, id: int, relative_freq: float) -> float:
+        """Cursor frequency readout (lib.rs:315-322), f32 math."""
+        f32 = np.float32
+        half_sr = f32(self._track(id).sr) / f32(2.0)
+        if self.setting.freq_scale == FreqScale.LINEAR:
+            return float(half_sr * f32(relative_freq))
+        return float(mel_to_hz(hz_to_mel(half_sr) * f32(relative_freq)))
+
+    def get_max_db(self) -> float:
+        return float(self.max_db)
+
+    def get_min_db(self) -> float:
+        return float(self.min_db)
+
+    def get_max_sec(self) -> float:
+        return float(self.max_sec)
+
+    def get_sec(self, id: int) -> float:
+        return self._track(id).sec
+
+    def get_sr(self, id: int) -> int:
+        return self._track(id).sr
+
+    def get_path(self, id: int) -> str:
+        return self._track(id).path
+
+    def get_filename(self, id: int) -> str:
+        import os
+
+        return os.path.basename(self._track(id).path)
+
+    # --------------------------------------------------------- checkpoint
+
+    def save_session(self, path: str) -> None:
+        """Serialize session state (SURVEY.md §5.d): track list + settings +
+        dB stats.  Spectrogram caches are recomputable, so a restart is
+        re-add + renormalize from this manifest."""
+        import json
+
+        manifest = {
+            "version": 1,
+            "setting": {
+                "win_ms": self.setting.win_ms,
+                "t_overlap": self.setting.t_overlap,
+                "f_overlap": self.setting.f_overlap,
+                "freq_scale": self.setting.freq_scale.value,
+                "db_range": self.setting.db_range,
+            },
+            "tracks": {str(i): t.path for i, t in self.tracks.items()},
+            "max_db": self.max_db if np.isfinite(self.max_db) else None,
+            "min_db": self.min_db if np.isfinite(self.min_db) else None,
+        }
+        with open(path, "w") as f:
+            json.dump(manifest, f, indent=1)
+
+    @classmethod
+    def load_session(cls, path: str) -> "MultiTrack":
+        import json
+
+        with open(path) as f:
+            m = json.load(f)
+        s = m["setting"]
+        setting = SpecSetting(
+            win_ms=s["win_ms"],
+            t_overlap=s["t_overlap"],
+            f_overlap=s["f_overlap"],
+            freq_scale=FreqScale(s["freq_scale"]),
+            db_range=s["db_range"],
+        )
+        mt = cls(setting)
+        ids = sorted(int(k) for k in m["tracks"])
+        if ids:
+            mt.add_tracks(ids, [m["tracks"][str(i)] for i in ids])
+        return mt

@@ -1,0 +1,49 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not available in CI; sharding tests use
+xla_force_host_platform_device_count per the project instructions.  Must run
+before the first jax import.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize force-registers the TPU backend regardless of env
+# vars; this config update reliably pins tests to the 8-device virtual CPU.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_SAMPLES = "/root/reference/samples"
+
+
+@pytest.fixture(scope="session")
+def reference_sample_paths():
+    """Bundled reference WAVs (read-only), or skip if unavailable."""
+    if not os.path.isdir(REFERENCE_SAMPLES):
+        pytest.skip("reference samples not available")
+    names = [
+        "sample_8k.wav",
+        "sample_16k.wav",
+        "sample_22k05.wav",
+        "sample_24k.wav",
+        "sample_44k1.wav",
+    ]
+    paths = [os.path.join(REFERENCE_SAMPLES, n) for n in names]
+    if not all(os.path.exists(p) for p in paths):
+        pytest.skip("reference samples incomplete")
+    return paths
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(20260816)

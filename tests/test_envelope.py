@@ -1,0 +1,100 @@
+"""Waveform envelope tests (reference: wav_to_image, display.rs:63-115)."""
+
+import numpy as np
+import pytest
+
+from msv_tpu.render.colormap import WAVECOLOR
+from msv_tpu.render.envelope import wav_to_image
+
+
+def _rust_round(x):
+    x = np.float32(x)
+    return np.floor(x + 0.5) if x >= 0 else np.ceil(x - 0.5)
+
+
+def _wav_to_image_oracle(wav, nwidth, nheight, amp_range):
+    """Scalar port of display.rs:63-115 (with the two documented guards:
+    non-empty windows and bottom clamped to nheight-1)."""
+    f32 = np.float32
+    amp_min, amp_max = f32(amp_range[0]), f32(amp_range[1])
+
+    def amp_to_px(x):
+        return int(_rust_round((amp_max - x) * f32(nheight) / (amp_max - amp_min)))
+
+    spp = f32(len(wav)) / f32(nwidth)
+    arr = np.zeros((nheight, nwidth, 4), np.uint8)
+    buf = wav
+    if spp < 1.0:
+        factor = int(np.ceil(f32(1.0) / spp))
+        new = np.zeros(factor * len(wav), np.float32)
+        for i in range(len(new)):
+            b = wav[i // factor + 1] if i // factor + 1 < len(wav) else f32(0.0)
+            r = f32(i % factor) / f32(factor)
+            new[i] = b * r + wav[i // factor] * (f32(1.0) - r)
+        buf = new
+    for i_px in range(nwidth):
+        i_start = int(max(_rust_round((f32(i_px) - 1.5) * spp), 0.0))
+        i_end = min(int(_rust_round((f32(i_px) + 1.5) * spp)), len(buf))
+        i_end = max(i_end, i_start + 1)  # guard (deviation, documented)
+        sl = buf[i_start:i_end]
+        top = amp_to_px(sl.max())
+        bottom = amp_to_px(sl.min())
+        if bottom - top < 3:
+            d = 3 - (bottom - top)
+            top -= d // 2
+            bottom += (d + 1) // 2
+        top = max(top, 0)
+        bottom = min(bottom, nheight - 1)  # guard (deviation, documented)
+        arr[top : bottom + 1, i_px, :] = WAVECOLOR
+    return arr
+
+
+@pytest.mark.parametrize(
+    "n,nwidth,nheight",
+    [
+        (4800, 100, 50),  # spp = 48
+        (4800, 480, 120),  # spp = 10
+        (100, 300, 60),  # spp < 1 -> upsample quirk path
+        (5000, 4999, 40),  # spp ~ 1
+    ],
+)
+def test_envelope_matches_oracle(n, nwidth, nheight, rng):
+    wav = (0.8 * np.sin(np.linspace(0, 60, n)) * rng.random(n)).astype(np.float32)
+    got = wav_to_image(wav, nwidth, nheight, (-1.0, 1.0))
+    expect = _wav_to_image_oracle(wav, nwidth, nheight, (-1.0, 1.0))
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_pooled_path_equals_direct(rng):
+    """Force the pooled (hour-scale) reduction and compare to direct."""
+    from msv_tpu.render import envelope as env
+
+    wav = rng.standard_normal(200_000).astype(np.float32)
+    direct = wav_to_image(wav, 40, 64, (-3.0, 3.0))  # spp = 5000 > limit? no:
+    # spp=5000 -> max window ~3*5000=15000 > _DIRECT_LIMIT so this IS pooled;
+    # force the direct path for comparison instead.
+    old = env._DIRECT_LIMIT
+    try:
+        env._DIRECT_LIMIT = 10**9
+        forced_direct = wav_to_image(wav, 40, 64, (-3.0, 3.0))
+    finally:
+        env._DIRECT_LIMIT = old
+    np.testing.assert_array_equal(direct, forced_direct)
+
+
+def test_amplitude_range_and_thickness(rng):
+    wav = np.zeros(1000, np.float32)  # silent -> 3px line at the midline
+    img = wav_to_image(wav, 100, 100, (-1.0, 1.0))
+    col = img[:, 50, 3] > 0
+    rows = np.where(col)[0]
+    assert len(rows) == 3 + 1  # top..bottom inclusive with d=3 padding
+    assert abs(rows.mean() - 50) <= 2
+
+
+def test_full_scale_sample_no_crash():
+    # a sample at exactly amp_min hits row nheight; reference would panic,
+    # we clamp (documented deviation).
+    wav = np.concatenate([np.full(100, -1.0, np.float32), np.full(100, 1.0, np.float32)])
+    img = wav_to_image(wav, 20, 64, (-1.0, 1.0))
+    assert img.shape == (64, 20, 4)
+    assert (img[:, :, 3] > 0).any()

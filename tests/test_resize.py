@@ -1,0 +1,102 @@
+"""Lanczos3 resize parity tests (reference: display.rs:56-61 via image-rs).
+
+The oracle below is an independent per-pixel port of the image crate's
+``vertical_sample``/``horizontal_sample`` (image 0.23, FilterType::Lanczos3)
+as documented in msv_tpu/render/resize.py; the production path (weight
+matmuls / banded gathers) must match it exactly.
+"""
+
+import numpy as np
+import pytest
+
+from msv_tpu.render.resize import lanczos3_resize, resize_weights_dense
+
+
+def _lanczos3(x):
+    x = np.float32(x)
+    if abs(x) >= 3.0:
+        return np.float32(0.0)
+
+    def sinc(t):
+        t = np.float32(t)
+        if t == 0:
+            return np.float32(1.0)
+        a = t * np.float32(np.pi)
+        return np.float32(np.sin(a) / a)
+
+    return np.float32(sinc(x) * sinc(x / np.float32(3.0)))
+
+
+def _sample_axis_oracle(img, out_size, axis):
+    """Scalar port of image-rs *_sample for f32 Luma (clamped to [0,1])."""
+    img = np.moveaxis(img, axis, -1)
+    in_size = img.shape[-1]
+    f32 = np.float32
+    ratio = f32(in_size) / f32(out_size)
+    sratio = max(ratio, f32(1.0))
+    support = f32(3.0) * sratio
+    out = np.zeros(img.shape[:-1] + (out_size,), np.float32)
+    for o in range(out_size):
+        inputx = (f32(o) + f32(0.5)) * ratio
+        left = int(np.clip(np.floor(inputx - support), 0, in_size - 1))
+        right = int(np.clip(np.ceil(inputx + support), left + 1, in_size))
+        center = inputx - f32(0.5)
+        ws = np.array(
+            [_lanczos3((f32(i) - center) / sratio) for i in range(left, right)],
+            np.float32,
+        )
+        ws = ws / ws.sum(dtype=np.float32)
+        val = (img[..., left:right] * ws).sum(axis=-1, dtype=np.float32)
+        out[..., o] = np.clip(val, 0.0, 1.0)
+    return np.moveaxis(out, -1, axis)
+
+
+def _resize_oracle(img, out_h, out_w):
+    # image-rs resize: vertical pass first, then horizontal.
+    return _sample_axis_oracle(_sample_axis_oracle(img, out_h, 0), out_w, 1)
+
+
+@pytest.mark.parametrize(
+    "in_h,in_w,out_h,out_w",
+    [
+        (64, 80, 32, 40),  # downscale
+        (32, 40, 64, 100),  # upscale
+        (50, 33, 50, 33),  # identity-ish
+        (129, 257, 500, 100),  # mixed up/down
+        (7, 9, 3, 20),  # tiny
+    ],
+)
+def test_resize_matches_image_rs_oracle(in_h, in_w, out_h, out_w, rng):
+    img = rng.random((in_h, in_w), dtype=np.float32)
+    got = np.asarray(lanczos3_resize(img, out_h, out_w))
+    expect = _resize_oracle(img, out_h, out_w)
+    np.testing.assert_allclose(got, expect, atol=3e-6)
+
+
+def test_banded_equals_dense(rng):
+    """The chunked banded path must equal the dense matmul path exactly."""
+    from msv_tpu.render import resize as rz
+
+    img = rng.random((40, 600), dtype=np.float32)
+    dense = np.asarray(lanczos3_resize(img, 20, 100))
+    old = rz.DENSE_LIMIT
+    try:
+        rz.DENSE_LIMIT = 10  # force the banded path
+        banded = np.asarray(lanczos3_resize(img, 20, 100))
+    finally:
+        rz.DENSE_LIMIT = old
+    np.testing.assert_allclose(banded, dense, atol=1e-6)
+
+
+def test_weights_partition_of_unity():
+    for in_s, out_s in [(100, 37), (37, 100), (1025, 500)]:
+        w = resize_weights_dense(in_s, out_s)
+        np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_overshoot_is_clamped(rng):
+    # Lanczos overshoots on step edges; image-rs clamps to [0, 1] per pass.
+    img = np.zeros((8, 64), np.float32)
+    img[:, 32:] = 1.0
+    out = np.asarray(lanczos3_resize(img, 8, 32))
+    assert out.min() >= 0.0 and out.max() <= 1.0

@@ -1,0 +1,151 @@
+"""MultiTrack session tests (reference: lib.rs:72-365, multitrack_works
+lib.rs:516-546 — but with real assertions instead of eyeball PNGs,
+fixing the reference's weakest point per SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from msv_tpu import FreqScale, MultiTrack, SpecSetting
+from msv_tpu.io.audio import write_wav
+from msv_tpu.utils.errors import TrackNotFoundError
+
+
+@pytest.fixture()
+def wav_dir(tmp_path, rng):
+    """Synthetic multi-rate fixtures: chirp + tone, 0.5 s each."""
+    paths = {}
+    for sr in [8000, 16000, 24000]:
+        t = np.arange(int(sr * 0.5)) / sr
+        x = 0.5 * np.sin(2 * np.pi * (200 + 400 * t) * t) + 0.1 * rng.standard_normal(
+            len(t)
+        )
+        p = str(tmp_path / f"tone_{sr}.wav")
+        write_wav(p, x.astype(np.float32)[None, :], sr)
+        paths[sr] = p
+    return paths
+
+
+def test_add_tracks_and_state(wav_dir):
+    mt = MultiTrack()
+    changed = mt.add_tracks([0, 1, 2], [wav_dir[8000], wav_dir[16000], wav_dir[24000]])
+    assert changed  # first add always changes the dB range
+    assert mt.max_sr == 24000
+    assert mt.get_sr(1) == 16000
+    assert mt.get_sec(0) == pytest.approx(0.5, abs=1e-3)
+    assert mt.get_max_sec() == pytest.approx(0.5, abs=1e-3)
+    # dB window invariants (lib.rs:208-209)
+    assert mt.get_max_db() <= 0.0
+    assert mt.get_min_db() >= mt.get_max_db() - 120.0
+    assert mt.get_filename(2).endswith("tone_24000.wav")
+    assert mt.get_path(2) == wav_dir[24000]
+
+
+def test_spec_image_shapes_and_content(wav_dir):
+    mt = MultiTrack()
+    mt.add_tracks([0], [wav_dir[16000]])
+    img = mt.get_spec_image(0, 100.0, 200)
+    # nwidth = trunc(100 * 0.5) = 50
+    assert img.shape == (200, 50, 3)
+    assert img.dtype == np.uint8
+    # a chirp must produce non-constant output
+    assert img.std() > 1.0
+    # raw bytes form (reference returns Vec<u8>)
+    assert img.tobytes() == np.asarray(img).tobytes()
+
+
+def test_wav_image_shapes(wav_dir):
+    mt = MultiTrack()
+    mt.add_tracks([0], [wav_dir[16000]])
+    img = mt.get_wav_image(0, 100.0, 120, -1.0, 1.0)
+    assert img.shape == (120, 50, 4)
+    assert (img[:, :, 3] > 0).any()
+
+
+def test_grey_alignment_multirate(wav_dir):
+    """Tracks with lower sr get zero rows on top (display.rs:44-54) scaled
+    by the mel up_ratio (lib.rs:238-247)."""
+    mt = MultiTrack()
+    mt.add_tracks([0, 1], [wav_dir[8000], wav_dir[24000]])
+    g8 = mt.get_grey(0)
+    g24 = mt.get_grey(1)
+    from msv_tpu.ops.mel import hz_to_mel
+
+    f32 = np.float32
+    up8 = float(hz_to_mel(f32(12000.0)) / hz_to_mel(f32(4000.0)))
+    n_out8 = mt.mel_fbs[8000].shape[1]
+    assert g8.shape[0] == int(np.floor(np.float32(n_out8) * np.float32(up8) + 0.5))
+    n_out24 = mt.mel_fbs[24000].shape[1]
+    assert g24.shape[0] == n_out24  # up_ratio 1 for the max-sr track
+    # top pad rows of the low-rate track are exactly zero
+    pad_rows = g8.shape[0] - n_out8
+    assert pad_rows > 0
+    assert np.all(g8[:pad_rows] == 0.0)
+    assert g8.min() >= 0.0 and g8.max() <= 1.0
+
+
+def test_remove_track_bookkeeping(wav_dir):
+    mt = MultiTrack()
+    mt.add_tracks([0, 1], [wav_dir[8000], wav_dir[24000]])
+    assert 8000 in mt.windows and 24000 in mt.windows
+    mt.remove_track(0)
+    assert 8000 not in mt.windows  # sr cache dropped (lib.rs:287-290)
+    assert mt.max_sr == 24000
+    assert 0 not in mt.tracks
+    with pytest.raises(TrackNotFoundError):
+        mt.get_sr(0)
+    with pytest.raises(TrackNotFoundError):
+        mt.remove_track(0)
+
+
+def test_db_hysteresis(wav_dir):
+    """Re-adding an identical track must not flip `changed` (1e-3 epsilon,
+    lib.rs:211-218)."""
+    mt = MultiTrack()
+    assert mt.add_tracks([0], [wav_dir[16000]])
+    assert not mt.add_tracks([1], [wav_dir[16000]])  # same content, same range
+
+
+def test_linear_scale_session(wav_dir):
+    mt = MultiTrack(SpecSetting(freq_scale=FreqScale.LINEAR))
+    mt.add_tracks([0, 1], [wav_dir[8000], wav_dir[16000]])
+    g8 = mt.get_grey(0)
+    st = mt._state[0]
+    # linear up_ratio = 16000/8000 = 2 -> height doubles
+    assert g8.shape[0] == 2 * st.n_out
+    img = mt.get_spec_image(0, 50.0, 100)
+    assert img.shape == (100, 25, 3)
+
+
+def test_frequency_readout(wav_dir):
+    mt = MultiTrack(SpecSetting(freq_scale=FreqScale.LINEAR))
+    mt.add_tracks([0], [wav_dir[16000]])
+    assert mt.get_frequency_hz(0, 0.5) == pytest.approx(4000.0)
+    mt2 = MultiTrack()  # mel
+    mt2.add_tracks([0], [wav_dir[16000]])
+    # relative 1.0 -> nyquist either way (lib.rs:315-322)
+    assert mt2.get_frequency_hz(0, 1.0) == pytest.approx(8000.0, rel=1e-4)
+    mid = mt2.get_frequency_hz(0, 0.5)
+    assert 0 < mid < 4000.0  # mel is denser at low frequencies
+
+
+def test_session_checkpoint_roundtrip(wav_dir, tmp_path):
+    mt = MultiTrack()
+    mt.add_tracks([0, 1], [wav_dir[8000], wav_dir[24000]])
+    p = str(tmp_path / "session.json")
+    mt.save_session(p)
+    mt2 = MultiTrack.load_session(p)
+    assert set(mt2.tracks) == {0, 1}
+    assert mt2.get_max_db() == pytest.approx(mt.get_max_db(), abs=1e-4)
+    assert mt2.get_min_db() == pytest.approx(mt.get_min_db(), abs=1e-4)
+    img1 = mt.get_spec_image(1, 60.0, 100)
+    img2 = mt2.get_spec_image(1, 60.0, 100)
+    np.testing.assert_array_equal(img1, img2)
+
+
+def test_newline_joined_paths_ffi_parity(wav_dir):
+    # lib.rs:171-173: wasm-bindgen passes one newline-joined string
+    mt = MultiTrack()
+    mt.add_tracks([0, 1], wav_dir[8000] + "\n" + wav_dir[16000])
+    assert set(mt.tracks) == {0, 1}

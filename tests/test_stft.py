@@ -1,0 +1,79 @@
+"""STFT tests (reference: lib.rs:482-514 stft_works; realfft.rs tests)."""
+
+import numpy as np
+import pytest
+
+from msv_tpu.ops.dft import rdft_reference_np, windowed_dft_matrices
+from msv_tpu.ops.framing import reference_framing_oracle
+from msv_tpu.ops.stft import perform_stft, stft_magnitude
+from msv_tpu.ops.windows import default_stft_window
+
+
+def impulse(size, location, dtype=np.float32):
+    # utils.rs:21-34 test fixture
+    x = np.zeros(size, dtype)
+    x[location] = 1
+    return x
+
+
+def test_stft_impulse_golden():
+    # lib.rs:491-514: perform_stft(impulse(4, 2), 4, 2, 4) exact values,
+    # incl. the 1/n_fft scaling baked into the default window.
+    out = np.asarray(perform_stft(impulse(4, 2), 4, 2, 4))
+    expect = np.array(
+        [
+            [0.0, 0.0, 0.0],
+            [0.25, -0.25, 0.25],
+            [0.25, -0.25, 0.25],
+        ],
+        dtype=np.complex64,
+    )
+    assert out.shape == (3, 3)
+    np.testing.assert_allclose(out, expect, atol=1e-6)
+
+
+def test_dft_matrices_match_numpy_rfft(rng):
+    # Pattern from realfft.rs:253-272: verify the optimized path against a
+    # trusted general implementation.
+    for win, n_fft in [(16, 16), (12, 16), (320, 512), (884, 1024)]:
+        window = default_stft_window(win, n_fft)
+        frames = rng.standard_normal((7, win)).astype(np.float32)
+        c, s = windowed_dft_matrices(window, n_fft)
+        got = frames @ c + 1j * (frames @ s)
+
+        from msv_tpu.ops.dft import n_pad_split
+
+        pl, pr = n_pad_split(n_fft, win)
+        padded = np.pad(frames * window, ((0, 0), (pl, pr)))
+        expect = rdft_reference_np(padded)
+        np.testing.assert_allclose(got, expect, atol=2e-5)
+
+
+def test_perform_stft_vs_full_oracle(rng):
+    # End-to-end: framing oracle + numpy rfft vs device pipeline.
+    for L, win, hop, n_fft in [(1000, 320, 80, 512), (777, 100, 25, 128)]:
+        wav = rng.standard_normal(L).astype(np.float32)
+        window = default_stft_window(win, n_fft)
+        got = np.asarray(perform_stft(wav, win, hop, n_fft))
+        frames = reference_framing_oracle(wav, win, hop, n_fft, window)
+        expect = rdft_reference_np(frames)
+        assert got.shape == expect.shape
+        np.testing.assert_allclose(got, expect, atol=2e-5)
+
+
+def test_stft_magnitude_bucketing(rng):
+    wav = rng.standard_normal(1000).astype(np.float32)
+    mag, n_frames = stft_magnitude(wav, 320, 80, 512)
+    assert mag.shape[0] % 256 == 0 and mag.shape[0] >= n_frames
+    full = np.abs(np.asarray(perform_stft(wav, 320, 80, 512)))
+    np.testing.assert_allclose(np.asarray(mag)[:n_frames], full, atol=2e-5)
+
+
+def test_custom_window_and_validation(rng):
+    wav = rng.standard_normal(256).astype(np.float32)
+    w = np.hamming(64).astype(np.float32)
+    out = np.asarray(perform_stft(wav, 64, 16, 64, window=w))
+    frames = reference_framing_oracle(wav, 64, 16, 64, w)
+    np.testing.assert_allclose(out, rdft_reference_np(frames), atol=2e-5)
+    with pytest.raises(ValueError):
+        perform_stft(wav, 64, 16, 64, window=np.ones(32, np.float32))
