@@ -44,7 +44,9 @@ def _build_parser():
 
 def main(argv=None):
     from .utils.errors import MsvError
+    from .utils.jaxcache import enable_compilation_cache
 
+    enable_compilation_cache()
     try:
         return _main(argv)
     except MsvError as e:

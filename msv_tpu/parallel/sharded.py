@@ -1,0 +1,138 @@
+"""Sequence-sharded + batch-sharded spectrogram pipeline (shard_map).
+
+The full multi-chip "step": a batch of equal-length waveforms is sharded
+(batch -> "dp", time -> "sp"); each device frames its local chunk after a
+(win - hop)-sample halo exchange with its right neighbor over ICI
+(jax.lax.ppermute), runs the windowed-DFT + mel GEMMs on local frames, and
+the global dB min/max is an all-reduce (pmax/pmin) over BOTH mesh axes —
+the TPU form of the reference's rayon reductions (lib.rs:194-207).
+
+Frame-grid layout: the host supplies the reflect-padded signal P with
+n_frames_total = n_sp * frames_per_shard and len(P) >= n_frames_total*hop +
+(win - hop).  Device s owns P[s*L : (s+1)*L], L = frames_per_shard*hop, and
+frame (s*fps + j) covers P[(s*fps + j)*hop : ... + win] — the last frame of
+each shard reaches (win - hop) samples into the next shard: exactly the
+halo.  The final shard's halo comes from a small replicated tail argument
+instead of a neighbor.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import get_precision_mode
+from ..ops.decibel import amp_to_db
+
+
+def _precision():
+    return (
+        jax.lax.Precision.HIGHEST
+        if get_precision_mode() == "parity"
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def _local_spec(chunk, halo, c, s, mel_fb, win, hop, fps):
+    """Frame a local chunk (+halo) and run the DFT/mel GEMM chain."""
+    x = jnp.concatenate([chunk, halo], axis=-1)  # (..., L + win - hop)
+    t_overlap = win // hop
+    n_rows = fps + t_overlap - 1
+    x2d = x[..., : n_rows * hop].reshape(x.shape[:-1] + (n_rows, hop))
+    parts = [
+        jax.lax.slice_in_dim(x2d, t, t + fps, axis=-2) for t in range(t_overlap)
+    ]
+    frames = jnp.concatenate(parts, axis=-1)  # (..., fps, win)
+    prec = _precision()
+    re = jnp.dot(frames, c, precision=prec, preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, s, precision=prec, preferred_element_type=jnp.float32)
+    mag = jnp.sqrt(re * re + im * im)
+    if mel_fb is not None:
+        mag = jnp.dot(mag, mel_fb, precision=prec, preferred_element_type=jnp.float32)
+    return amp_to_db(mag)
+
+
+def make_sharded_spec_fn(mesh, *, win, hop, frames_per_shard, use_mel):
+    """Build the jitted shard_map pipeline for one (win, hop, fps) bucket.
+
+    Returns fn(wavs (B, n_sp*L), tail (B, win-hop), c, s, mel_fb, n_valid)
+      -> (db (B, n_frames_total, n_out) sharded (dp, sp, None),
+          min_db, max_db replicated scalars)
+    """
+    n_sp = mesh.shape["sp"]
+    halo_len = win - hop
+    fps = frames_per_shard
+
+    def per_device(wav_l, tail, c, s, mel_fb, n_valid):
+        # wav_l: (B_l, L) local shard;  tail: (B_l, halo) replicated over sp
+        sp = jax.lax.axis_index("sp")
+        if halo_len > 0:
+            own_head = wav_l[:, :halo_len]
+            # right neighbor's head -> our halo (ring shift left)
+            perm = [((i + 1) % n_sp, i) for i in range(n_sp)]
+            halo = jax.lax.ppermute(own_head, "sp", perm)
+            halo = jnp.where(sp == n_sp - 1, tail, halo)
+        else:
+            halo = wav_l[:, :0]
+        db = _local_spec(wav_l, halo, c, s, mel_fb if use_mel else None, win, hop, fps)
+        # masked global min/max over valid frames (global frame index)
+        gidx = sp * fps + jnp.arange(fps)
+        fmask = (gidx < n_valid)[None, :, None]
+        lmax = jnp.max(jnp.where(fmask, db, -jnp.inf))
+        lmin = jnp.min(jnp.where(fmask, db, jnp.inf))
+        gmax = jax.lax.pmax(jax.lax.pmax(lmax, "sp"), "dp")
+        gmin = jax.lax.pmin(jax.lax.pmin(lmin, "sp"), "dp")
+        return db, gmin, gmax
+
+    shmapped = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(
+            P("dp", "sp"),  # wav body
+            P("dp", None),  # tail (replicated along sp)
+            P(None, None),  # C
+            P(None, None),  # S
+            P(None, None),  # mel fb
+            P(),  # n_valid scalar
+        ),
+        out_specs=(P("dp", "sp", None), P(), P()),
+    )
+    return jax.jit(shmapped)
+
+
+def sharded_spec_pipeline(mesh, wavs, win, hop, c, s, mel_fb, n_valid_frames):
+    """Host-facing wrapper: shard inputs onto the mesh and run the step.
+
+    ``wavs``: (B, Lp) host array of reflect-padded signals; B must divide by
+    mesh dp, and the function derives frames_per_shard from Lp.
+    """
+    import numpy as np
+
+    n_sp = mesh.shape["sp"]
+    halo = win - hop
+    B, lp = wavs.shape
+    # choose fps so that n_sp * fps * hop + halo <= Lp (pad host-side first)
+    fps = (lp - halo) // (n_sp * hop)
+    body_len = n_sp * fps * hop
+    body = wavs[:, :body_len]
+    tail = wavs[:, body_len : body_len + halo]
+    if tail.shape[1] < halo:
+        tail = np.pad(tail, ((0, 0), (0, halo - tail.shape[1])))
+
+    fn = make_sharded_spec_fn(
+        mesh, win=win, hop=hop, frames_per_shard=fps, use_mel=mel_fb is not None
+    )
+    dev_body = jax.device_put(body, NamedSharding(mesh, P("dp", "sp")))
+    dev_tail = jax.device_put(tail, NamedSharding(mesh, P("dp", None)))
+    rep = NamedSharding(mesh, P(None, None))
+    c_d = jax.device_put(np.asarray(c), rep)
+    s_d = jax.device_put(np.asarray(s), rep)
+    fb_d = jax.device_put(
+        np.asarray(mel_fb) if mel_fb is not None else np.zeros((1, 1), np.float32),
+        rep,
+    )
+    db, gmin, gmax = fn(
+        dev_body, dev_tail, c_d, s_d, fb_d, jnp.int32(n_valid_frames)
+    )
+    return db, gmin, gmax, fps * n_sp

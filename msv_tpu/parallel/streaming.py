@@ -1,0 +1,120 @@
+"""Streaming long-file spectrogram on one chip (SURVEY.md §5.g).
+
+The reference materializes ALL frames at once (lib.rs:436) — fine for 44 s
+clips, fatal for the hour-scale north star: 1 h @ 48 kHz is ~360k frames,
+and the frame tensor alone would be ~2.8 GB with another ~3 GB of rfft
+intermediates.  Here the waveform stays resident in HBM and a lax.scan
+walks overlapped chunks: each step frames chunk_frames frames, runs the
+windowed-DFT + mel GEMMs, and emits dB rows; peak intermediate memory is
+one chunk (~tens of MB) regardless of file length, and XLA double-buffers
+the scan naturally.  Running min/max ride the carry — the global dB range
+costs no second pass.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import get_precision_mode
+from ..ops.decibel import amp_to_db
+from ..ops.framing import n_frames_for, reflect_pad_center
+from ..utils import round_up_to
+
+
+def _precision():
+    return (
+        jax.lax.Precision.HIGHEST
+        if get_precision_mode() == "parity"
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("win", "hop", "chunk_frames", "n_chunks", "use_mel")
+)
+def _streaming_core(
+    padded, c, s, mel_fb, n_valid, *, win, hop, chunk_frames, n_chunks, use_mel
+):
+    t_overlap = win // hop
+    chunk_len = chunk_frames * hop + (win - hop)
+    prec = _precision()
+    fast = get_precision_mode() == "fast"
+    cc = c.astype(jnp.bfloat16) if fast else c
+    ss = s.astype(jnp.bfloat16) if fast else s
+    fb = mel_fb.astype(jnp.bfloat16) if (fast and use_mel) else mel_fb
+
+    def step(carry, i):
+        gmin, gmax = carry
+        start = i * (chunk_frames * hop)
+        x = jax.lax.dynamic_slice(padded, (start,), (chunk_len,))
+        n_rows = chunk_frames + t_overlap - 1
+        x2d = x[: n_rows * hop].reshape(n_rows, hop)
+        frames = jnp.concatenate(
+            [jax.lax.slice_in_dim(x2d, t, t + chunk_frames, axis=0)
+             for t in range(t_overlap)],
+            axis=1,
+        )
+        if fast:
+            frames = frames.astype(jnp.bfloat16)
+        re = jnp.dot(frames, cc, precision=prec, preferred_element_type=jnp.float32)
+        im = jnp.dot(frames, ss, precision=prec, preferred_element_type=jnp.float32)
+        mag = jnp.sqrt(re * re + im * im)
+        if use_mel:
+            if fast:
+                mag = mag.astype(jnp.bfloat16)
+            mag = jnp.dot(mag, fb, precision=prec, preferred_element_type=jnp.float32)
+        db = amp_to_db(mag)
+        gidx = i * chunk_frames + jnp.arange(chunk_frames)
+        fmask = (gidx < n_valid)[:, None]
+        gmax = jnp.maximum(gmax, jnp.max(jnp.where(fmask, db, -jnp.inf)))
+        gmin = jnp.minimum(gmin, jnp.min(jnp.where(fmask, db, jnp.inf)))
+        return (gmin, gmax), db
+
+    (gmin, gmax), dbs = jax.lax.scan(
+        step, (jnp.inf, -jnp.inf), jnp.arange(n_chunks)
+    )
+    n_out = dbs.shape[-1]
+    return dbs.reshape(n_chunks * chunk_frames, n_out), gmin, gmax
+
+
+def streaming_spec_db(
+    wav: np.ndarray,
+    win: int,
+    hop: int,
+    c: np.ndarray,
+    s: np.ndarray,
+    mel_fb=None,
+    chunk_frames: int = 4096,
+):
+    """Full-file dB spectrogram via chunked scan.
+
+    Returns (db (n_frames_padded, n_out) device, n_frames, min_db, max_db).
+    Semantically identical to the one-shot pipeline (parity-tested); only
+    the schedule differs.
+    """
+    wav = np.ascontiguousarray(wav, dtype=np.float32)
+    n_frames = n_frames_for(len(wav), win, hop)
+    n_total = round_up_to(max(n_frames, 1), chunk_frames)
+    n_chunks = n_total // chunk_frames
+    padded = reflect_pad_center(wav, win)
+    need = n_total * hop + (win - hop)
+    if len(padded) < need:
+        padded = np.pad(padded, (0, need - len(padded)))
+    use_mel = mel_fb is not None
+    db, gmin, gmax = _streaming_core(
+        jnp.asarray(padded),
+        jnp.asarray(np.asarray(c)),
+        jnp.asarray(np.asarray(s)),
+        jnp.asarray(
+            np.asarray(mel_fb) if use_mel else np.zeros((1, 1), np.float32)
+        ),
+        jnp.int32(n_frames),
+        win=win,
+        hop=hop,
+        chunk_frames=chunk_frames,
+        n_chunks=n_chunks,
+        use_mel=use_mel,
+    )
+    return db, n_frames, float(gmin), float(gmax)

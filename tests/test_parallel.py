@@ -1,0 +1,102 @@
+"""Multi-chip sharding + streaming tests on the 8-device virtual CPU mesh.
+
+Proves the sequence-sharded halo-exchange STFT and the streaming scan are
+bit-compatible with the single-device pipeline, and that the global dB
+reduce (pmax/pmin over dp+sp — the TPU form of lib.rs:194-207) matches.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from msv_tpu.config import SpecSetting, derive_stft_params
+from msv_tpu.ops.dft import windowed_dft_matrices
+from msv_tpu.ops.framing import n_frames_for, reflect_pad_center
+from msv_tpu.ops.mel import calc_mel_fb_default
+from msv_tpu.ops.stft import perform_stft
+from msv_tpu.ops.windows import default_stft_window
+from msv_tpu.parallel import make_mesh, sharded_spec_pipeline, streaming_spec_db
+from msv_tpu.ops.decibel import amp_to_db
+
+
+def _reference_db(wav, p, window, mel_fb=None):
+    spec = np.abs(np.asarray(perform_stft(wav, p.win_length, p.hop_length, p.n_fft)))
+    if mel_fb is not None:
+        spec = spec @ mel_fb
+    import jax.numpy as jnp
+
+    return np.asarray(amp_to_db(jnp.asarray(spec)))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    p = derive_stft_params(16000, SpecSetting())
+    window = default_stft_window(p.win_length, p.n_fft)
+    c, s = windowed_dft_matrices(window, p.n_fft)
+    mel_fb = calc_mel_fb_default(16000, p.n_fft)
+    return p, window, c, s, mel_fb
+
+
+@pytest.mark.parametrize("n_dp,n_sp", [(1, 8), (2, 4), (4, 2)])
+def test_sharded_matches_single_device(setup, rng, n_dp, n_sp):
+    p, window, c, s, mel_fb = setup
+    mesh = make_mesh(n_dp, n_sp)
+    B = n_dp * 2
+    L = 16000  # 1 second
+    wavs = rng.standard_normal((B, L)).astype(np.float32) * 0.3
+    n_frames = n_frames_for(L, p.win_length, p.hop_length)
+
+    padded = np.stack([reflect_pad_center(w, p.win_length) for w in wavs])
+    # make room so every valid frame fits the sharded grid
+    need = (n_frames + n_sp) * p.hop_length * n_sp // n_sp + p.win_length
+    if padded.shape[1] < need:
+        padded = np.pad(padded, ((0, 0), (0, need - padded.shape[1])))
+
+    db, gmin, gmax, n_total = sharded_spec_pipeline(
+        mesh, padded, p.win_length, p.hop_length, c, s, mel_fb, n_frames
+    )
+    assert n_total >= n_frames
+    db = np.asarray(db)
+
+    for b in range(B):
+        expect = _reference_db(wavs[b], p, window, mel_fb)
+        np.testing.assert_allclose(db[b, :n_frames], expect, atol=2e-3, rtol=1e-5)
+
+    emin = min(
+        _reference_db(wavs[b], p, window, mel_fb).min() for b in range(B)
+    )
+    emax = max(
+        _reference_db(wavs[b], p, window, mel_fb).max() for b in range(B)
+    )
+    assert float(gmax) == pytest.approx(emax, abs=2e-3)
+    assert float(gmin) == pytest.approx(emin, abs=2e-3)
+
+
+def test_streaming_matches_oneshot(setup, rng):
+    p, window, c, s, mel_fb = setup
+    wav = (rng.standard_normal(16000 * 3) * 0.2).astype(np.float32)
+    db, n_frames, gmin, gmax = streaming_spec_db(
+        wav, p.win_length, p.hop_length, c, s, mel_fb, chunk_frames=64
+    )
+    expect = _reference_db(wav, p, window, mel_fb)
+    assert n_frames == expect.shape[0]
+    np.testing.assert_allclose(np.asarray(db)[:n_frames], expect, atol=2e-3, rtol=1e-5)
+    assert gmax == pytest.approx(expect.max(), abs=2e-3)
+    assert gmin == pytest.approx(expect.min(), abs=2e-3)
+
+
+def test_streaming_linear_no_mel(setup, rng):
+    p, window, c, s, _ = setup
+    wav = (rng.standard_normal(16000) * 0.5).astype(np.float32)
+    db, n_frames, _, _ = streaming_spec_db(
+        wav, p.win_length, p.hop_length, c, s, None, chunk_frames=32
+    )
+    expect = _reference_db(wav, p, window, None)
+    np.testing.assert_allclose(np.asarray(db)[:n_frames], expect, atol=2e-3, rtol=1e-5)
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh(4, 4)  # 16 > 8 devices
+    m = make_mesh(2, 4)
+    assert m.shape == {"dp": 2, "sp": 4}
