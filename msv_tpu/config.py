@@ -96,3 +96,23 @@ def set_precision_mode(mode: str) -> None:
 
 def get_precision_mode() -> str:
     return _PRECISION_MODE
+
+
+# Spectrogram compute engine.
+#   "auto":   XLA for interactive sessions (host-transfer-bound; i16 fast
+#             path; cheap compiles).  Streaming/offline paths may still pick
+#             the fused kernel.
+#   "xla":    the pure-JAX pipeline (always available; parity oracle).
+#   "pallas": force the fused kernel (interpret mode off-TPU — tests only).
+_ENGINE = "auto"
+
+
+def set_engine(engine: str) -> None:
+    global _ENGINE
+    if engine not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown engine: {engine!r}")
+    _ENGINE = engine
+
+
+def get_engine() -> str:
+    return _ENGINE

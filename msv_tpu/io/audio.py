@@ -59,15 +59,28 @@ def _parse_wav_numpy(data: bytes, path: str):
         else:
             raise AudioReadError(f"{path}: unsupported float width {bits}")
     elif audio_fmt == _WAVE_FORMAT_PCM:
+        if bits == 16:
+            i16 = np.frombuffer(raw, dtype="<i2")
+            n_samples = len(i16) // n_ch
+            i16 = i16[: n_samples * n_ch]
+            wav = (
+                np.ascontiguousarray(i16.reshape(n_samples, n_ch).T).astype(
+                    np.float32
+                )
+                / np.float32(1 << 15)
+            )
+            # expose the raw int16 for mono sources: transferring i16 to the
+            # device and scaling by 2^-15 there is bit-identical and halves
+            # host->device bytes (the axon tunnel is the bottleneck).
+            raw_i16 = (
+                np.ascontiguousarray(i16) if n_ch == 1 else None
+            )
+            return wav, int(sr), raw_i16
         if bits == 8:
             # WAV 8-bit is unsigned; hound yields centered i8 -> /2^7.
             x = (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128).astype(
                 np.float32
             ) / np.float32(128.0)
-        elif bits == 16:
-            x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / np.float32(
-                1 << 15
-            )
         elif bits == 24:
             b = np.frombuffer(raw, dtype=np.uint8)
             b = b[: (len(b) // 3) * 3].reshape(-1, 3)
@@ -90,22 +103,41 @@ def _parse_wav_numpy(data: bytes, path: str):
     n_samples = len(x) // n_ch
     x = x[: n_samples * n_ch]  # defensive truncation (audio.rs:34)
     wav = np.ascontiguousarray(x.reshape(n_samples, n_ch).T)
-    return wav, int(sr)
+    return wav, int(sr), None
 
 
 def open_audio_file(path: str):
     """Decode an audio file -> (float32 (n_ch, n_samples), sample_rate)."""
+    wav, sr, _ = open_audio_file_ex(path)
+    return wav, sr
+
+
+def open_audio_file_ex(path: str):
+    """Decode -> (wav f32 (n_ch, n_samples), sr, raw_i16 | None).
+
+    ``raw_i16`` is the untouched PCM16 sample vector when the source is
+    16-bit mono WAV — the device pipelines use it as a half-width transfer
+    format (scaled by 2^-15 on device, bit-identical to the f32 path).
+    """
     try:
         with open(path, "rb") as f:
             head = f.read(12)
             f.seek(0)
             is_wav = head[:4] == b"RIFF" and head[8:12] == b"WAVE"
             if is_wav:
-                from . import _native_audio
+                # The C++ decoder (msv_tpu/native) is an alternative backend
+                # kept at parity with the numpy parser (tests/test_audio.py);
+                # opt in via MSV_NATIVE_AUDIO=1.  The numpy parser stays the
+                # default because it also extracts the raw-i16 transfer
+                # format for the device pipelines.
+                import os as _os
 
-                native = _native_audio.try_decode(path)
-                if native is not None:
-                    return native
+                if _os.environ.get("MSV_NATIVE_AUDIO") == "1":
+                    from . import _native_audio
+
+                    native = _native_audio.try_decode(path)
+                    if native is not None:
+                        return native[0], native[1], None
                 return _parse_wav_numpy(f.read(), path)
     except OSError as e:
         raise AudioReadError(f"{path}: {e}") from e
@@ -119,7 +151,7 @@ def open_audio_file(path: str):
             "(install soundfile for flac/vorbis)"
         )
     data, sr = soundfile.read(path, dtype="float32", always_2d=True)
-    return np.ascontiguousarray(data.T), int(sr)
+    return np.ascontiguousarray(data.T), int(sr), None
 
 
 def write_wav(path: str, wav: np.ndarray, sr: int, bits: int = 16) -> None:

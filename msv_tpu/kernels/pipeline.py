@@ -49,6 +49,9 @@ def spec_pipeline(padded, c, s, mel_fb, n_valid, *, win, hop, n_frames, use_mel)
     Equivalent of MultiTrack::calc_spec_of (lib.rs:112-136) + the per-spec
     part of the global dB reduce (lib.rs:194-207).
     """
+    if padded.dtype == jnp.int16:
+        # PCM16 transfer format: exact power-of-two scaling on device.
+        padded = padded.astype(jnp.float32) * jnp.float32(2.0**-15)
     prec = _precision()
     if get_precision_mode() == "fast":
         frames = frame_device(padded, win, hop, n_frames).astype(jnp.bfloat16)

@@ -1,0 +1,232 @@
+"""Hand-fused Pallas TPU kernel for the mel-spectrogram hot path.
+
+One kernel does framing + windowed-DFT GEMMs + magnitude + mel GEMM + dB,
+keeping every intermediate in VMEM:
+
+    HBM:  wav2d (N_rows, hop)       c3d (nk, win, TILE_K)
+          s3d (nk, win, TILE_K)     fb3d (nk, TILE_K, n_mel_p)
+          ->  out db (n_frames_p, n_mel_p)
+
+    grid (frame_tiles,); per tile i:
+      - DMA wav rows [i*TF, i*TF + TF + t_overlap - 1) -> VMEM and assemble
+        frames (TF, win) as t_overlap static shifted slices
+        (win == t_overlap * hop, guaranteed by the config derivation)
+      - fori over frequency tiles k with DOUBLE-BUFFERED DMA of the
+        C/S/mel-fb tiles (compute on slot k%2 while slot (k+1)%2 loads):
+          re = frames @ C_k ; im = frames @ S_k          (MXU)
+          acc += sqrt(re^2 + im^2) @ fb_k                (MXU)
+      - dB with the librosa floor (decibel.rs:33-56)     (VPU)
+
+Why: the XLA version materializes frames (win/hop = 4x the waveform bytes)
+and the (n_frames, n_freq) magnitude in HBM; for an hour-long file that is
+GBs of HBM traffic.  Here HBM sees the waveform once and the mel output
+once — everything else stays on-chip.
+
+Mosaic note: DMAs must NOT sit under pl.when on this toolchain (predicated
+make_async_copy crashes the compiler) — hence the 1-D grid + explicit inner
+loop instead of a 2-D grid with a k==0-predicated load.
+
+vs reference: this kernel replaces the rayon per-frame-FFT pipeline
+(lib.rs:449-458 + realfft.rs) fused with the mel GEMM (lib.rs:131) and the
+dB pass (decibel.rs:33-56).
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import round_up_to
+
+TILE_F = 128  # frames per tile
+TILE_K = 256  # frequency columns per tile
+
+_AMIN = 1e-18
+_LOG10_AMIN = math.log10(_AMIN)
+_DB_SCALE = 20.0 / math.log(10.0)
+
+
+def _kernel(wav_ref, c_ref, s_ref, fb_ref, out_ref,
+            chunk, frames, acc, cbuf, sbuf, fbbuf, sems, *,
+            t_overlap, hop, win, n_k_tiles, precision):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    n_chunk_rows = chunk.shape[0]  # TILE_F + t_overlap - 1, rounded up to 8
+    win_p = frames.shape[1]
+
+    # semaphore layout: [c0, c1, s0, s1, fb0, fb1, wav]
+    def start_k(k, slot):
+        pltpu.make_async_copy(c_ref.at[k], cbuf.at[slot], sems.at[0 + slot]).start()
+        pltpu.make_async_copy(s_ref.at[k], sbuf.at[slot], sems.at[2 + slot]).start()
+        pltpu.make_async_copy(fb_ref.at[k], fbbuf.at[slot], sems.at[4 + slot]).start()
+
+    def wait_k(k, slot):
+        pltpu.make_async_copy(c_ref.at[k], cbuf.at[slot], sems.at[0 + slot]).wait()
+        pltpu.make_async_copy(s_ref.at[k], sbuf.at[slot], sems.at[2 + slot]).wait()
+        pltpu.make_async_copy(fb_ref.at[k], fbbuf.at[slot], sems.at[4 + slot]).wait()
+
+    # load + assemble the frame tile, overlapped with the first C/S/fb load.
+    # Mosaic DMA alignment: copies must be (8k sublanes, 128m lanes), hence
+    # the lane-padded (N_rows, hop_p) waveform layout from prepare_operands.
+    wav_dma = pltpu.make_async_copy(
+        wav_ref.at[pl.ds(i * TILE_F, n_chunk_rows), :], chunk,
+        sems.at[6],
+    )
+    wav_dma.start()
+    start_k(0, 0)
+    wav_dma.wait()
+    if win_p > win:
+        frames[:, win:win_p] = jnp.zeros((TILE_F, win_p - win), jnp.float32)
+    for t in range(t_overlap):
+        frames[:, t * hop : (t + 1) * hop] = chunk[t : t + TILE_F, :hop]
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+        wait_k(k, slot)
+        # prefetch the next tile while the MXU chews on this one.  The last
+        # iteration issues a redundant clamped reload (predicated DMA is not
+        # supported by this Mosaic toolchain); it is drained after the loop.
+        start_k(jnp.minimum(k + 1, n_k_tiles - 1), jax.lax.rem(k + 1, 2))
+        # precision: MXU f32 dots default to a single bf16 pass (~1e-3 rel
+        # error — visible in dB near cancellation); parity mode forces the
+        # multi-pass f32 algorithm.
+        re = jnp.dot(frames[:], cbuf[slot], precision=precision,
+                     preferred_element_type=jnp.float32)
+        im = jnp.dot(frames[:], sbuf[slot], precision=precision,
+                     preferred_element_type=jnp.float32)
+        mag = jnp.sqrt(re * re + im * im)
+        part = jnp.dot(mag, fbbuf[slot], precision=precision,
+                       preferred_element_type=jnp.float32)
+        acc[:] = jnp.where(k == 0, part, acc[:] + part)
+        return _
+
+    jax.lax.fori_loop(0, n_k_tiles, body, 0)
+    # drain the final redundant prefetch so no DMA is left in flight
+    wait_k(n_k_tiles - 1, jax.lax.rem(jnp.int32(n_k_tiles), 2))
+
+    x = acc[:]
+    out_ref[:] = jnp.where(
+        x > _AMIN, jnp.log(x) * _DB_SCALE, 20.0 * _LOG10_AMIN
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("win", "hop", "n_frames", "interpret"),
+)
+def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
+                           interpret=False):
+    """Fused mel dB spectrogram.
+
+    wav2d: (n_frames + t_overlap - 1, hop) f32 — padded signal, reshaped.
+    c3d, s3d: (nk, win, TILE_K) pre-tiled windowed-DFT matrices.
+    fb3d: (nk, TILE_K, n_mel_p) pre-tiled mel filterbank (n_mel_p % 128 == 0).
+    Returns (n_frames, n_mel_p) f32 dB.  Requires n_frames % TILE_F == 0.
+    Use ``prepare_operands`` to build the tiled operands.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t_overlap = win // hop
+    if win % hop:
+        raise ValueError("pallas kernel requires win % hop == 0")
+    if n_frames % TILE_F:
+        raise ValueError(f"n_frames must be a multiple of {TILE_F}")
+    n_k_tiles = c3d.shape[0]
+    win_p = c3d.shape[1]
+    hop_p = wav2d.shape[1]
+    n_mel_p = fb3d.shape[2]
+    n_f_tiles = n_frames // TILE_F
+    n_chunk_rows = round_up_to(TILE_F + t_overlap - 1, 8)
+
+    from ..config import get_precision_mode
+
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if get_precision_mode() == "parity"
+        else jax.lax.Precision.DEFAULT
+    )
+    kernel = functools.partial(
+        _kernel, t_overlap=t_overlap, hop=hop, win=win, n_k_tiles=n_k_tiles,
+        precision=precision,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_f_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # wav2d
+            pl.BlockSpec(memory_space=pl.ANY),  # c3d
+            pl.BlockSpec(memory_space=pl.ANY),  # s3d
+            pl.BlockSpec(memory_space=pl.ANY),  # fb3d
+        ],
+        out_specs=pl.BlockSpec((TILE_F, n_mel_p), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_frames, n_mel_p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n_chunk_rows, hop_p), jnp.float32),  # chunk
+            pltpu.VMEM((TILE_F, win_p), jnp.float32),  # frames
+            pltpu.VMEM((TILE_F, n_mel_p), jnp.float32),  # accumulator
+            pltpu.VMEM((2, win_p, TILE_K), jnp.float32),  # C double buffer
+            pltpu.VMEM((2, win_p, TILE_K), jnp.float32),  # S double buffer
+            pltpu.VMEM((2, TILE_K, n_mel_p), jnp.float32),  # fb double buffer
+            pltpu.SemaphoreType.DMA((7,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(wav2d, c3d, s3d, fb3d)
+
+
+def prepare_wav2d(padded: np.ndarray, win: int, hop: int,
+                  n_frames_pad: int) -> np.ndarray:
+    """Lane-padded (N_rows, hop_p) waveform layout for the kernel's DMA.
+
+    Mosaic DMA alignment: lane dim multiple of 128, sublane multiple of 8;
+    hence hop is zero-padded up to hop_p and the row count gets headroom for
+    the rounded chunk DMA of the last tile.
+    """
+    t_overlap = win // hop
+    hop_p = round_up_to(hop, 128)
+    n_rows = round_up_to(n_frames_pad + t_overlap - 1 + 8, 8)
+    need = n_rows * hop
+    if len(padded) < need:
+        padded = np.pad(padded, (0, need - len(padded)))
+    wav2d = padded[:need].reshape(n_rows, hop)
+    if hop_p > hop:
+        wav2d = np.pad(wav2d, ((0, 0), (0, hop_p - hop)))
+    return np.ascontiguousarray(wav2d)
+
+
+def prepare_matrices(c: np.ndarray, s: np.ndarray, mel_fb: np.ndarray,
+                     win: int):
+    """Pre-tiled (nk, win_p, TILE_K) DFT matrices + (nk, TILE_K, n_mel_p)
+    filterbank.  Returns (c3d, s3d, fb3d, n_mel)."""
+    win_p = round_up_to(win, 8)
+    n_freq = c.shape[1]
+    n_freq_p = round_up_to(n_freq, TILE_K)
+    n_mel = mel_fb.shape[1]
+    n_mel_p = round_up_to(n_mel, 128)
+    nk = n_freq_p // TILE_K
+    c_p = np.zeros((win_p, n_freq_p), np.float32)
+    s_p = np.zeros((win_p, n_freq_p), np.float32)
+    c_p[:win, :n_freq] = c
+    s_p[:win, :n_freq] = s
+    fb_p = np.zeros((n_freq_p, n_mel_p), np.float32)
+    fb_p[:n_freq, :n_mel] = mel_fb
+    c3d = np.ascontiguousarray(c_p.reshape(win_p, nk, TILE_K).transpose(1, 0, 2))
+    s3d = np.ascontiguousarray(s_p.reshape(win_p, nk, TILE_K).transpose(1, 0, 2))
+    fb3d = np.ascontiguousarray(fb_p.reshape(nk, TILE_K, n_mel_p))
+    return c3d, s3d, fb3d, n_mel
+
+
+def prepare_operands(padded: np.ndarray, c: np.ndarray, s: np.ndarray,
+                     mel_fb: np.ndarray, win: int, hop: int, n_frames_pad: int):
+    """Host-side tiling of all operands (wav2d, c3d, s3d, fb3d, n_mel)."""
+    wav2d = prepare_wav2d(padded, win, hop, n_frames_pad)
+    c3d, s3d, fb3d, n_mel = prepare_matrices(c, s, mel_fb, win)
+    return wav2d, c3d, s3d, fb3d, n_mel

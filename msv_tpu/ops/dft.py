@@ -60,3 +60,40 @@ def windowed_dft_matrices(window: np.ndarray, n_fft: int, dtype=np.float32):
 def rdft_reference_np(frames: np.ndarray) -> np.ndarray:
     """Oracle: numpy rfft of already windowed+padded frames (tests only)."""
     return np.fft.rfft(frames, axis=-1)
+
+
+@functools.lru_cache(maxsize=32)
+def _irdft_matrices_cached(n_fft: int, dtype_str: str):
+    n_freq = n_fft // 2 + 1
+    j = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(n_freq, dtype=np.float64)[None, :]
+    phase = 2.0 * np.pi * j * k / n_fft
+    # real-input inverse: x_j = (1/n) * sum_k w_k (re_k cos - im_k sin),
+    # with w_k = 2 except DC and (for even n) Nyquist.
+    w = np.full(n_freq, 2.0)
+    w[0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0
+    dt = np.dtype(dtype_str)
+    ci = (np.cos(phase) * w / n_fft).astype(dt)  # (n_fft, n_freq)
+    si = (-np.sin(phase) * w / n_fft).astype(dt)
+    return ci, si
+
+
+def inverse_rdft(spec, n_fft: int):
+    """Inverse of the real DFT (reference: ``InvRealFFT``, realfft.rs:166-242
+    — present in the reference's public surface though unused by its app).
+
+    ``spec``: (..., n_fft//2+1) complex (or a (re, im) tuple).  Returns the
+    real signal (..., n_fft), normalized by 1/n_fft (i.e. a true inverse of
+    the unnormalized forward transform).  Implemented as two GEMMs so it
+    runs on the MXU like the forward path.
+    """
+    import jax.numpy as jnp
+
+    ci, si = _irdft_matrices_cached(n_fft, "<f4")
+    if isinstance(spec, tuple):
+        re, im = spec
+    else:
+        re, im = jnp.real(spec), jnp.imag(spec)
+    return jnp.dot(re, jnp.asarray(ci).T) + jnp.dot(im, jnp.asarray(si).T)

@@ -24,10 +24,12 @@ device: a zoom/resize re-render is one kernel relaunch over cached HBM data
 (SURVEY.md §3.2), and renormalization after add/remove is fused into it.
 """
 
+from functools import lru_cache as _functools_lru
+
 import numpy as np
 
 from ..config import FreqScale, SpecSetting, derive_stft_params
-from ..io.audio import open_audio_file
+from ..io.audio import open_audio_file_ex
 from ..kernels.pipeline import render_rgb, spec_pipeline
 from ..ops.framing import n_frames_for, reflect_pad_center
 from ..ops.mel import calc_mel_fb_default, hz_to_mel, mel_to_hz
@@ -45,13 +47,82 @@ FRAME_BUCKET = 256
 OUT_BUCKET = 128
 
 
+@_functools_lru(maxsize=32)
+def _dev_pallas_tiles(sr: int, win: int, n_fft: int):
+    """Device-resident pre-tiled operands for the fused Pallas kernel."""
+    import jax.numpy as jnp
+
+    from ..kernels.spectrogram_pallas import prepare_matrices
+    from ..ops.mel import calc_mel_fb_default
+
+    window = default_stft_window(win, n_fft)
+    c, s = windowed_dft_matrices(window, n_fft)
+    c3, s3, fb3, n_mel = prepare_matrices(c, s, calc_mel_fb_default(sr, n_fft), win)
+    return jnp.asarray(c3), jnp.asarray(s3), jnp.asarray(fb3), n_mel
+
+
+@_functools_lru(maxsize=32)
+def _dev_sr_constants(sr: int, win: int, n_fft: int, mel: bool):
+    """Device-resident per-sample-rate constants, shared across sessions.
+
+    The windowed-DFT matrices are ~16 MB at n_fft=2048; re-transferring them
+    per MultiTrack over the axon tunnel cost ~0.4 s/session (measured), so
+    they are cached at module level keyed by the derivation inputs.
+    """
+    import jax.numpy as jnp
+
+    window = default_stft_window(win, n_fft)
+    c, s = windowed_dft_matrices(window, n_fft)
+    fb = calc_mel_fb_default(sr, n_fft) if mel else None
+    return (
+        window,
+        jnp.asarray(c),
+        jnp.asarray(s),
+        fb,
+        jnp.asarray(fb) if mel else None,
+    )
+
+
+@_functools_lru(maxsize=128)
+def _dev_vertical_weights(height: int, nheight: int, out_h_b: int):
+    """Device-resident padded vertical resize weights (cached: the host
+    build + transfer dominated render latency over the axon tunnel)."""
+    import jax.numpy as jnp
+
+    wv = resize_weights_dense(height, nheight)
+    wv_p = np.zeros((out_h_b, height), dtype=np.float32)
+    wv_p[:nheight] = wv
+    return jnp.asarray(wv_p)
+
+
+@_functools_lru(maxsize=128)
+def _dev_horizontal_weights(w_valid: int, nwidth: int, w_total: int, out_w_b: int):
+    """Device-resident horizontal weights: (dense?, payload).  Banded for
+    wide images (transfer O(out*band)), dense below DENSE_LIMIT."""
+    import jax.numpy as jnp
+
+    banded = not (w_valid <= DENSE_LIMIT and nwidth <= DENSE_LIMIT)
+    if banded:
+        left, wb = resize_weights(w_valid, nwidth)
+        left_p = np.zeros(out_w_b, dtype=np.int32)
+        wb_p = np.zeros((out_w_b, wb.shape[1]), dtype=np.float32)
+        left_p[:nwidth] = left
+        wb_p[:nwidth] = wb
+        return True, (jnp.asarray(left_p), jnp.asarray(wb_p))
+    whd = resize_weights_dense(w_valid, nwidth)
+    wh_p = np.zeros((out_w_b, w_total), dtype=np.float32)
+    wh_p[:nwidth, :w_valid] = whd
+    return False, jnp.asarray(wh_p)
+
+
 class AudioTrack:
     """Loaded track + derived STFT params (lib.rs:30-62)."""
 
     def __init__(self, path: str, setting: SpecSetting):
-        wav2d, sr = open_audio_file(path)
+        wav2d, sr, raw_i16 = open_audio_file_ex(path)
         self.path = path
         self.wav = wav2d.sum(axis=0)  # SUM, not mean (lib.rs:42)
+        self._wav_i16 = raw_i16  # PCM16-mono transfer fast path (or None)
         self.sr = int(sr)
         p = derive_stft_params(sr, setting)
         self.win_length = p.win_length
@@ -102,14 +173,64 @@ class MultiTrack:
         if sr in self.windows:
             return
         self._log.debug("window/mel cache miss for sr=%d", sr)
-        window = default_stft_window(win, n_fft)  # hann/n_fft (lib.rs:138-140)
-        self.windows[sr] = window
-        c, s = windowed_dft_matrices(window, n_fft)
-        self._dfts[sr] = (self._jnp.asarray(c), self._jnp.asarray(s))
-        if self.setting.freq_scale == FreqScale.MEL:
-            fb = calc_mel_fb_default(sr, n_fft)
+        mel = self.setting.freq_scale == FreqScale.MEL
+        window, c_dev, s_dev, fb, fb_dev = _dev_sr_constants(sr, win, n_fft, mel)
+        self.windows[sr] = window  # hann/n_fft (lib.rs:138-140)
+        self._dfts[sr] = (c_dev, s_dev)
+        if mel:
             self.mel_fbs[sr] = fb
-            self._mel_dev[sr] = self._jnp.asarray(fb)
+            self._mel_dev[sr] = fb_dev
+
+    def _use_pallas(self, track) -> bool:
+        from ..config import get_engine
+
+        engine = get_engine()
+        if engine == "xla":
+            return False
+        use_mel = self.setting.freq_scale == FreqScale.MEL
+        ok = use_mel and track.win_length % track.hop_length == 0
+        if engine == "pallas":
+            return ok
+        # auto: XLA for interactive sessions.  Measured on v5e (44 s 16 kHz
+        # track): warm XLA 0.070 s vs warm pallas 0.116 s — the session is
+        # host-transfer-bound (the i16 half-width transfer only exists on
+        # the XLA path) and the fused kernel costs a large first compile.
+        # The pallas engine is the throughput tool (streaming/offline).
+        return False
+
+    def _calc_spec_pallas(self, track, n_frames, n_frames_pad, padded):
+        """Fused Pallas engine: framing+DFT+|.|+mel+dB in one kernel."""
+        from ..config import get_engine
+        from ..kernels.spectrogram_pallas import (
+            mel_spectrogram_pallas,
+            prepare_wav2d,
+        )
+
+        import jax
+
+        jnp = self._jnp
+        win, hop = track.win_length, track.hop_length
+        if padded.dtype == np.int16:
+            # the kernel consumes f32; scale on host for this path
+            padded = padded.astype(np.float32) * np.float32(2.0**-15)
+        c3, s3, fb3, n_mel = _dev_pallas_tiles(track.sr, win, track.n_fft)
+        wav2d = prepare_wav2d(padded, win, hop, n_frames_pad)
+        interpret = get_engine() == "pallas" and jax.default_backend() != "tpu"
+        db_p = mel_spectrogram_pallas(
+            jnp.asarray(wav2d),
+            c3,
+            s3,
+            fb3,
+            win=win,
+            hop=hop,
+            n_frames=n_frames_pad,
+            interpret=interpret,
+        )
+        db = db_p[:, :n_mel]
+        fmask = (jnp.arange(n_frames_pad) < n_frames)[:, None]
+        smax = jnp.max(jnp.where(fmask, db, -jnp.inf))
+        smin = jnp.min(jnp.where(fmask, db, jnp.inf))
+        return db, smin, smax
 
     def _calc_spec_of(self, id: int) -> _TrackState:
         """STFT -> |.| -> [mel] -> dB on device (lib.rs:112-136)."""
@@ -122,10 +243,31 @@ class MultiTrack:
 
         n_frames = n_frames_for(len(track.wav), win, hop)
         n_frames_pad = round_up_to(max(n_frames, 1), FRAME_BUCKET)
-        padded = reflect_pad_center(track.wav.astype(np.float32), win)
+        # int16 fast path: half the host->device bytes, scaled on device by
+        # 2^-15 (exact), reflect-pad commutes with the scaling.
+        src = (
+            track._wav_i16
+            if track._wav_i16 is not None
+            else track.wav.astype(np.float32)
+        )
+        padded = reflect_pad_center(src, win)
         need = (n_frames_pad - 1) * hop + win
         if len(padded) < need:
             padded = np.pad(padded, (0, need - len(padded)))
+
+        if self._use_pallas(track):
+            db, smin, smax = self._calc_spec_pallas(
+                track, n_frames, n_frames_pad, padded
+            )
+            st = _TrackState()
+            st.spec_db = db
+            st.n_frames = n_frames
+            st.n_frames_pad = n_frames_pad
+            st.n_out = db.shape[1]
+            mm = np.asarray(jnp.stack([smin, smax]))
+            st.smin = float(mm[0])
+            st.smax = float(mm[1])
+            return st
 
         if mel_fb is None:
             # pass a dummy so the jit signature is stable per (shape, use_mel)
@@ -146,8 +288,9 @@ class MultiTrack:
         st.n_frames = n_frames
         st.n_frames_pad = n_frames_pad
         st.n_out = db.shape[1]
-        st.smin = float(smin)
-        st.smax = float(smax)
+        mm = np.asarray(jnp.stack([smin, smax]))  # one host sync, not two
+        st.smin = float(mm[0])
+        st.smax = float(mm[1])
         return st
 
     # ------------------------------------------------------------ tracks
@@ -258,31 +401,17 @@ class MultiTrack:
         out_h_b = round_up_to(nheight, OUT_BUCKET)
         out_w_b = round_up_to(nwidth, OUT_BUCKET)
 
-        wv = resize_weights_dense(height, nheight)
-        wv_p = np.zeros((out_h_b, height), dtype=np.float32)
-        wv_p[:nheight] = wv
-
-        w_valid = st.n_frames
-        banded = not (w_valid <= DENSE_LIMIT and nwidth <= DENSE_LIMIT)
-        if banded:
-            left, wb = resize_weights(w_valid, nwidth)
-            left_p = np.zeros(out_w_b, dtype=np.int32)
-            wb_p = np.zeros((out_w_b, wb.shape[1]), dtype=np.float32)
-            left_p[:nwidth] = left
-            wb_p[:nwidth] = wb
-            wh = (jnp.asarray(left_p), jnp.asarray(wb_p))
-        else:
-            whd = resize_weights_dense(w_valid, nwidth)
-            wh_p = np.zeros((out_w_b, st.n_frames_pad), dtype=np.float32)
-            wh_p[:nwidth, :w_valid] = whd
-            wh = jnp.asarray(wh_p)
+        wv = _dev_vertical_weights(height, nheight, out_h_b)
+        banded, wh = _dev_horizontal_weights(
+            st.n_frames, nwidth, st.n_frames_pad, out_w_b
+        )
 
         with self.timer.stage("get_spec_image.render"):
             img = render_rgb(
                 st.spec_db,
                 jnp.float32(self.max_db),
                 jnp.float32(self.min_db),
-                jnp.asarray(wv_p),
+                wv,
                 wh,
                 height=height,
                 banded=banded,

@@ -1,0 +1,106 @@
+"""Audio I/O tests (reference: audio.rs semantics; its golden test
+audio.rs:44-70 depends on a missing sample.wav, so we pin equivalent
+invariants on the bundled samples + synthetic roundtrips)."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from msv_tpu.io.audio import (
+    _parse_wav_numpy,
+    open_audio_file,
+    open_audio_file_ex,
+    write_wav,
+)
+from msv_tpu.utils.errors import AudioReadError
+
+
+def test_roundtrip_pcm16(tmp_path, rng):
+    x = np.clip(rng.standard_normal((2, 1000)) * 0.5, -0.99, 0.99).astype(
+        np.float32
+    )
+    p = str(tmp_path / "t.wav")
+    write_wav(p, x, 16000, bits=16)
+    wav, sr = open_audio_file(p)
+    assert sr == 16000
+    assert wav.shape == (2, 1000)
+    # PCM16 quantization: 1/2^15 steps
+    np.testing.assert_allclose(wav, x, atol=1.0 / 32768)
+
+
+def test_roundtrip_float32(tmp_path, rng):
+    x = (rng.standard_normal((1, 500)) * 0.5).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    write_wav(p, x, 8000, bits=32)
+    wav, sr = open_audio_file(p)
+    np.testing.assert_array_equal(wav, x)  # float passthrough (audio.rs:15)
+
+
+def test_pcm16_mono_exposes_raw_i16(tmp_path, rng):
+    x = (rng.standard_normal((1, 300)) * 0.5).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    write_wav(p, x, 8000, bits=16)
+    wav, sr, raw = open_audio_file_ex(p)
+    assert raw is not None and raw.dtype == np.int16
+    np.testing.assert_array_equal(
+        raw.astype(np.float32) / np.float32(32768.0), wav[0]
+    )
+    # stereo does not expose the fast path
+    write_wav(p, np.vstack([x, x]), 8000, bits=16)
+    _, _, raw2 = open_audio_file_ex(p)
+    assert raw2 is None
+
+
+def test_int_normalization_semantics():
+    # audio.rs:15-19: int PCM normalized by 2^(bits-1)
+    hdr = b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    hdr += b"data" + struct.pack("<I", 4)
+    data = hdr + struct.pack("<hh", -32768, 16384)
+    wav, sr, _ = _parse_wav_numpy(data, "mem")
+    np.testing.assert_allclose(wav[0], [-1.0, 0.5])
+
+
+def test_reference_samples_decode(reference_sample_paths):
+    for p, sr_expect in zip(
+        reference_sample_paths, [8000, 16000, 22050, 24000, 44100]
+    ):
+        wav, sr = open_audio_file(p)
+        assert sr == sr_expect, p
+        assert wav.shape[0] == 1  # mono clips
+        sec = wav.shape[1] / sr
+        assert 43.5 < sec < 44.5  # same 44.03 s clip at every rate
+        assert np.abs(wav).max() <= 1.0
+
+
+def test_native_decoder_parity(tmp_path, rng):
+    """C++ decoder output must equal the numpy parser bit-for-bit."""
+    from msv_tpu.io import _native_audio
+
+    if _native_audio._load() is None:
+        pytest.skip("native decoder not built (make -C msv_tpu/native)")
+    for bits, ch in [(16, 1), (16, 2), (32, 1)]:
+        x = (rng.standard_normal((ch, 777)) * 0.7).astype(np.float32)
+        p = str(tmp_path / f"t{bits}_{ch}.wav")
+        write_wav(p, x, 22050, bits=bits)
+        native = _native_audio.try_decode(p)
+        assert native is not None
+        with open(p, "rb") as f:
+            ref_wav, ref_sr, _ = _parse_wav_numpy(f.read(), p)
+        np.testing.assert_array_equal(native[0], ref_wav)
+        assert native[1] == ref_sr
+
+
+def test_error_paths(tmp_path):
+    with pytest.raises(AudioReadError):
+        open_audio_file(str(tmp_path / "missing.wav"))
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"RIFFxxxxWAVEjunkjunk")
+    with pytest.raises(AudioReadError):
+        open_audio_file(str(bad))
+    notwav = tmp_path / "x.txt"
+    notwav.write_bytes(b"hello world, definitely not audio")
+    with pytest.raises(AudioReadError):
+        open_audio_file(str(notwav))

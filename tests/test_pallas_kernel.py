@@ -1,0 +1,78 @@
+"""Pallas fused spectrogram kernel vs the pure-XLA pipeline (interpret mode
+on CPU; the real Mosaic compile is exercised on TPU by bench/CLI)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msv_tpu.config import SpecSetting, derive_stft_params
+from msv_tpu.kernels.pipeline import spec_pipeline
+from msv_tpu.kernels.spectrogram_pallas import (
+    TILE_F,
+    mel_spectrogram_pallas,
+    prepare_operands,
+)
+from msv_tpu.ops.dft import windowed_dft_matrices
+from msv_tpu.ops.framing import n_frames_for, reflect_pad_center
+from msv_tpu.ops.mel import calc_mel_fb_default
+from msv_tpu.ops.windows import default_stft_window
+from msv_tpu.utils import round_up_to
+
+
+@pytest.mark.parametrize("sr", [8000, 16000])
+def test_pallas_matches_xla_pipeline(sr, rng):
+    p = derive_stft_params(sr, SpecSetting())
+    window = default_stft_window(p.win_length, p.n_fft)
+    c, s = windowed_dft_matrices(window, p.n_fft)
+    mel_fb = calc_mel_fb_default(sr, p.n_fft)
+
+    wav = (rng.standard_normal(sr // 2) * 0.4).astype(np.float32)
+    win, hop = p.win_length, p.hop_length
+    n_frames = n_frames_for(len(wav), win, hop)
+    n_frames_pad = round_up_to(n_frames, TILE_F)
+    padded = reflect_pad_center(wav, win)
+
+    wav2d, c_p, s_p, fb_p, n_mel = prepare_operands(
+        padded, c, s, mel_fb, win, hop, n_frames_pad
+    )
+    got = mel_spectrogram_pallas(
+        jnp.asarray(wav2d),
+        jnp.asarray(c_p),
+        jnp.asarray(s_p),
+        jnp.asarray(fb_p),
+        win=win,
+        hop=hop,
+        n_frames=n_frames_pad,
+        interpret=True,
+    )
+    got = np.asarray(got)[:n_frames, :n_mel]
+
+    need = (n_frames_pad - 1) * hop + win
+    padded_x = np.pad(padded, (0, max(0, need - len(padded))))
+    expect, _, _ = spec_pipeline(
+        jnp.asarray(padded_x),
+        jnp.asarray(c),
+        jnp.asarray(s),
+        jnp.asarray(mel_fb),
+        jnp.int32(n_frames),
+        win=win,
+        hop=hop,
+        n_frames=n_frames_pad,
+        use_mel=True,
+    )
+    expect = np.asarray(expect)[:n_frames]
+    np.testing.assert_allclose(got, expect, atol=2e-3, rtol=1e-4)
+
+
+def test_pallas_validation():
+    with pytest.raises(ValueError):
+        mel_spectrogram_pallas(
+            jnp.zeros((10, 80)),
+            jnp.zeros((320, 512)),
+            jnp.zeros((320, 512)),
+            jnp.zeros((512, 128)),
+            win=320,
+            hop=80,
+            n_frames=100,  # not a TILE_F multiple
+            interpret=True,
+        )

@@ -149,3 +149,26 @@ def test_newline_joined_paths_ffi_parity(wav_dir):
     mt = MultiTrack()
     mt.add_tracks([0, 1], wav_dir[8000] + "\n" + wav_dir[16000])
     assert set(mt.tracks) == {0, 1}
+
+
+def test_pallas_engine_matches_xla(wav_dir):
+    """Session with the fused Pallas engine (interpret on CPU) must produce
+    the same images as the XLA engine."""
+    from msv_tpu.config import set_engine
+
+    mt_x = MultiTrack()
+    mt_x.add_tracks([0], [wav_dir[16000]])
+    img_x = mt_x.get_spec_image(0, 80.0, 160)
+    set_engine("pallas")
+    try:
+        mt_p = MultiTrack()
+        mt_p.add_tracks([0], [wav_dir[16000]])
+        img_p = mt_p.get_spec_image(0, 80.0, 160)
+    finally:
+        set_engine("auto")
+    # k-tile accumulation order differs -> ~0.005 dB scalar wiggle, far
+    # below one grey quantization step (120 dB / 255 = 0.47 dB)
+    assert abs(mt_p.get_max_db() - mt_x.get_max_db()) < 0.02
+    assert abs(mt_p.get_min_db() - mt_x.get_min_db()) < 0.02
+    diff = np.abs(img_p.astype(int) - img_x.astype(int))
+    assert diff.max() <= 1  # identical up to u8 rounding at lerp boundaries

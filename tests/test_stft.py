@@ -77,3 +77,30 @@ def test_custom_window_and_validation(rng):
     np.testing.assert_allclose(out, rdft_reference_np(frames), atol=2e-5)
     with pytest.raises(ValueError):
         perform_stft(wav, 64, 16, 64, window=np.ones(32, np.float32))
+
+
+def test_inverse_rdft_roundtrip(rng):
+    # realfft.rs:275-296 pattern: inverse of forward == identity (1/n scale)
+    import jax.numpy as jnp
+
+    from msv_tpu.ops.dft import inverse_rdft
+
+    for n in [16, 256, 512]:
+        x = rng.standard_normal((5, n)).astype(np.float32)
+        spec = np.fft.rfft(x, axis=-1)
+        got = np.asarray(inverse_rdft(jnp.asarray(spec.astype(np.complex64)), n))
+        np.testing.assert_allclose(got, x, atol=2e-5)
+
+
+def test_inverse_rdft_of_impulse_spectrum():
+    import jax.numpy as jnp
+
+    from msv_tpu.ops.dft import inverse_rdft
+
+    # flat spectrum of ones -> impulse at 0 (realfft.rs test style)
+    n = 8
+    spec = jnp.ones(n // 2 + 1, dtype=jnp.complex64)
+    got = np.asarray(inverse_rdft(spec, n))
+    expect = np.zeros(n, np.float32)
+    expect[0] = 1.0
+    np.testing.assert_allclose(got, expect, atol=1e-6)
