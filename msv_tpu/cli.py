@@ -39,6 +39,11 @@ def _build_parser():
     s = sub.add_parser("serve", help="serve rendered PNGs over HTTP")
     s.add_argument("dir")
     s.add_argument("--port", type=int, default=8000)
+
+    v = sub.add_parser("view", help="interactive web viewer (shared time axis)")
+    v.add_argument("files", nargs="+")
+    v.add_argument("--port", type=int, default=8080)
+    v.add_argument("--freq-scale", choices=["mel", "linear"], default="mel")
     return p
 
 
@@ -68,6 +73,18 @@ def _main(argv=None):
                 f"sec={wav.shape[1]/sr:.3f} win={p.win_length} "
                 f"hop={p.hop_length} n_fft={p.n_fft}"
             )
+        return 0
+
+    if args.cmd == "view":
+        from . import FreqScale, SpecSetting
+        from .viewer import serve_viewer
+
+        setting = SpecSetting(
+            freq_scale=FreqScale.MEL
+            if args.freq_scale == "mel"
+            else FreqScale.LINEAR
+        )
+        serve_viewer(args.files, args.port, setting)
         return 0
 
     if args.cmd == "serve":

@@ -1,0 +1,173 @@
+"""Minimal web viewer shell (reference L6: src/electron.js + src/App.js).
+
+The reference's GUI is an empty create-react-app scaffold with no WASM
+wiring (SURVEY.md §1 L6); this module provides the working equivalent: a
+stdlib HTTP server exposing the MultiTrack session as a JSON+PNG API plus a
+single-page client that renders N tracks on a shared time axis with zoom —
+each zoom step is a device kernel relaunch over the cached spectrograms
+(the property SURVEY.md §3.2 calls out).
+
+    python -m msv_tpu view a.wav b.wav --port 8080
+"""
+
+import io
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>msv_tpu viewer</title>
+<style>
+ body { background:#111; color:#ddd; font-family:sans-serif; margin:0; }
+ #bar { padding:8px 12px; background:#1b1b1b; position:sticky; top:0; }
+ .track { margin:10px 12px; }
+ .track .name { font-size:12px; color:#9a9; margin-bottom:2px; }
+ .imgs { overflow-x:auto; white-space:nowrap; background:#000; }
+ .imgs img { display:block; image-rendering:pixelated; }
+ input[type=range] { width:240px; vertical-align:middle; }
+ #readout { margin-left:16px; color:#aac; font-size:13px; }
+</style></head><body>
+<div id="bar">
+ zoom <input id="zoom" type="range" min="10" max="400" value="100">
+ <span id="zv">100</span> px/s
+ <span id="readout"></span>
+</div>
+<div id="tracks"></div>
+<script>
+const H = 300, WH = 80;
+let pps = 100, tracks = [];
+async function load() {
+  const r = await fetch('/api/tracks'); const d = await r.json();
+  tracks = d.tracks;
+  const el = document.getElementById('tracks'); el.innerHTML = '';
+  for (const t of tracks) {
+    const div = document.createElement('div'); div.className = 'track';
+    div.innerHTML = `<div class="name">#${t.id} ${t.filename} — ${t.sr} Hz, ${t.sec.toFixed(2)} s</div>
+      <div class="imgs"><img id="spec${t.id}"><img id="wav${t.id}"></div>`;
+    el.appendChild(div);
+    const img = div.querySelector(`#spec${t.id}`);
+    img.addEventListener('mousemove', ev => {
+      const rect = img.getBoundingClientRect();
+      const relY = 1 - (ev.clientY - rect.top) / rect.height;
+      const sec = (ev.clientX - rect.left) / pps;
+      fetch(`/api/freq/${t.id}?rel=${relY.toFixed(4)}`).then(r=>r.json()).then(f=>{
+        document.getElementById('readout').textContent =
+          `t=${sec.toFixed(2)} s, f=${f.hz.toFixed(0)} Hz`;
+      });
+    });
+  }
+  refresh();
+}
+function refresh() {
+  for (const t of tracks) {
+    document.getElementById('spec'+t.id).src = `/api/spec/${t.id}?px_per_sec=${pps}&height=${H}&_=${pps}`;
+    document.getElementById('wav'+t.id).src = `/api/wav/${t.id}?px_per_sec=${pps}&height=${WH}&_=${pps}`;
+  }
+}
+document.getElementById('zoom').addEventListener('change', e => {
+  pps = +e.target.value; document.getElementById('zv').textContent = pps; refresh();
+});
+load();
+</script></body></html>"""
+
+
+class _Handler(BaseHTTPRequestHandler):
+    session = None  # set by serve_viewer
+    lock = None
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _send(self, code, ctype, body):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _png(self, arr):
+        from .io.png import write_png
+        import tempfile
+        import os
+
+        # write_png writes to a path; use an in-memory temp file
+        fd, p = tempfile.mkstemp(suffix=".png")
+        try:
+            os.close(fd)
+            write_png(p, arr)
+            with open(p, "rb") as f:
+                return f.read()
+        finally:
+            os.unlink(p)
+
+    def do_GET(self):
+        mt = self.session
+        url = urllib.parse.urlparse(self.path)
+        q = urllib.parse.parse_qs(url.query)
+
+        def qf(name, default):
+            return float(q.get(name, [default])[0])
+
+        try:
+            if url.path == "/" or url.path == "/index.html":
+                self._send(200, "text/html; charset=utf-8", _PAGE.encode())
+            elif url.path == "/api/tracks":
+                with self.lock:
+                    body = json.dumps(
+                        {
+                            "tracks": [
+                                {
+                                    "id": i,
+                                    "filename": mt.get_filename(i),
+                                    "sec": mt.get_sec(i),
+                                    "sr": mt.get_sr(i),
+                                }
+                                for i in sorted(mt.tracks)
+                            ],
+                            "max_sec": mt.get_max_sec(),
+                            "max_db": mt.get_max_db(),
+                            "min_db": mt.get_min_db(),
+                        }
+                    ).encode()
+                self._send(200, "application/json", body)
+            elif url.path.startswith("/api/spec/"):
+                tid = int(url.path.rsplit("/", 1)[1])
+                with self.lock:
+                    img = mt.get_spec_image(
+                        tid, qf("px_per_sec", 100.0), int(qf("height", 300))
+                    )
+                self._send(200, "image/png", self._png(img))
+            elif url.path.startswith("/api/wav/"):
+                tid = int(url.path.rsplit("/", 1)[1])
+                with self.lock:
+                    img = mt.get_wav_image(
+                        tid,
+                        qf("px_per_sec", 100.0),
+                        int(qf("height", 80)),
+                        qf("amp_min", -1.0),
+                        qf("amp_max", 1.0),
+                    )
+                self._send(200, "image/png", self._png(img))
+            elif url.path.startswith("/api/freq/"):
+                tid = int(url.path.rsplit("/", 1)[1])
+                with self.lock:
+                    hz = mt.get_frequency_hz(tid, qf("rel", 0.5))
+                self._send(200, "application/json", json.dumps({"hz": hz}).encode())
+            else:
+                self._send(404, "text/plain", b"not found")
+        except Exception as e:  # surface errors to the client, keep serving
+            self._send(500, "text/plain", f"error: {e}".encode())
+
+
+def serve_viewer(paths, port: int = 8080, setting=None):
+    """Load tracks and serve the viewer UI.  Blocks."""
+    from .session import MultiTrack
+
+    mt = MultiTrack(setting)
+    if paths:
+        mt.add_tracks(list(range(len(paths))), list(paths))
+    handler = type("H", (_Handler,), {"session": mt, "lock": threading.Lock()})
+    srv = ThreadingHTTPServer(("", port), handler)
+    print(f"msv_tpu viewer on http://localhost:{port}  ({len(paths)} tracks)")
+    srv.serve_forever()

@@ -1,0 +1,69 @@
+"""Web viewer API smoke tests (reference L6 equivalent, msv_tpu/viewer.py)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from msv_tpu.io.audio import write_wav
+
+
+@pytest.fixture()
+def viewer_url(tmp_path, rng):
+    from http.server import ThreadingHTTPServer
+
+    from msv_tpu.session import MultiTrack
+    from msv_tpu.viewer import _Handler
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    x = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    write_wav(p, x[None], sr)
+
+    mt = MultiTrack()
+    mt.add_tracks([0], [p])
+    handler = type("H", (_Handler,), {"session": mt, "lock": threading.Lock()})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, r.read()
+
+
+def test_viewer_endpoints(viewer_url):
+    code, body = _get(viewer_url + "/")
+    assert code == 200 and b"msv_tpu viewer" in body
+
+    code, body = _get(viewer_url + "/api/tracks")
+    d = json.loads(body)
+    assert code == 200 and d["tracks"][0]["sr"] == 8000
+    assert d["max_db"] <= 0.0
+
+    code, body = _get(viewer_url + "/api/spec/0?px_per_sec=50&height=100")
+    assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+
+    code, body = _get(viewer_url + "/api/wav/0?px_per_sec=50&height=40")
+    assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+
+    code, body = _get(viewer_url + "/api/freq/0?rel=1.0")
+    assert code == 200
+    assert json.loads(body)["hz"] == pytest.approx(4000.0, rel=1e-3)
+
+
+def test_viewer_error_paths(viewer_url):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(viewer_url + "/api/spec/99?px_per_sec=50&height=100")
+    assert e.value.code == 500
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(viewer_url + "/nope")
+    assert e.value.code == 404
