@@ -57,7 +57,6 @@ def main():
 
     enable_compilation_cache()
 
-    import jax.numpy as jnp
 
     from msv_tpu import MultiTrack
     from msv_tpu.config import SpecSetting, derive_stft_params
@@ -66,8 +65,6 @@ def main():
     from msv_tpu.ops.stft import stft_magnitude
     from msv_tpu.ops.windows import default_stft_window
     from msv_tpu.parallel.streaming import streaming_spec_db
-    from msv_tpu.render.resize import lanczos3_resize
-    from msv_tpu.render.colormap import grey_to_rgb_array
 
     td = tempfile.mkdtemp()
 

@@ -16,7 +16,6 @@ halo.  The final shard's halo comes from a small replicated tail argument
 instead of a neighbor.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

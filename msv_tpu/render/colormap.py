@@ -9,7 +9,6 @@ quantization quirks:
   * channel lerp is rounded half-away-from-zero to u8          (display.rs:38)
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +36,15 @@ WAVECOLOR = np.array([200, 21, 103, 255], dtype=np.uint8)  # display.rs:22
 def get_colormap() -> bytes:
     """Flattened 30-byte colormap for host/GUI consumers (lib.rs:473-480)."""
     return COLORMAP.tobytes()
+
+
+def colorbar(width: int = 50, height: int = 500) -> np.ndarray:
+    """Colorbar image (display.rs:120-126 renders one as a visual test;
+    here it is a first-class helper for the viewer's dB scale, row 0 = the
+    top/loudest stop).  Returns (height, width, 3) u8."""
+    grey = np.linspace(1.0, 0.0, height, dtype=np.float32)[:, None]
+    rgb = np.asarray(grey_to_rgb_array(jnp.asarray(grey)))  # (height, 1, 3)
+    return np.repeat(rgb, width, axis=1)
 
 
 @jax.jit

@@ -477,6 +477,25 @@ class MultiTrack:
 
         return os.path.basename(self._track(id).path)
 
+    def set_setting(self, setting: SpecSetting) -> bool:
+        """Change settings and reload every track (AudioTrack::reload,
+        lib.rs:57-61 — declared but never wired in the reference; here it is
+        the live settings path).  Returns whether the dB range changed."""
+        self.setting = setting
+        ids = sorted(self.tracks)
+        paths = [self.tracks[i].path for i in ids]
+        self.tracks.clear()
+        self._state.clear()
+        self.windows.clear()
+        self.mel_fbs.clear()
+        self._dfts.clear()
+        self._mel_dev.clear()
+        self.max_db, self.min_db = -np.inf, np.inf
+        self.max_sec, self.id_max_sec, self.max_sr = 0.0, 0, 0
+        if not ids:
+            return self._update_db_state()
+        return self.add_tracks(ids, paths)
+
     # --------------------------------------------------------- checkpoint
 
     def save_session(self, path: str) -> None:

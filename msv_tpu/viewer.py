@@ -32,6 +32,8 @@ _PAGE = """<!DOCTYPE html>
  zoom <input id="zoom" type="range" min="10" max="400" value="100">
  <span id="zv">100</span> px/s
  <span id="readout"></span>
+ <img id="cbar" src="/api/colorbar?width=16&height=24" style="vertical-align:middle;margin-left:14px" title="dB colorbar">
+ <span id="dbrange" style="color:#888;font-size:12px"></span>
 </div>
 <div id="tracks"></div>
 <script>
@@ -40,6 +42,8 @@ let pps = 100, tracks = [];
 async function load() {
   const r = await fetch('/api/tracks'); const d = await r.json();
   tracks = d.tracks;
+  document.getElementById('dbrange').textContent =
+    `${d.min_db.toFixed(1)} … ${d.max_db.toFixed(1)} dB`;
   const el = document.getElementById('tracks'); el.innerHTML = '';
   for (const t of tracks) {
     const div = document.createElement('div'); div.className = 'track';
@@ -148,6 +152,11 @@ class _Handler(BaseHTTPRequestHandler):
                         qf("amp_min", -1.0),
                         qf("amp_max", 1.0),
                     )
+                self._send(200, "image/png", self._png(img))
+            elif url.path == "/api/colorbar":
+                from .render.colormap import colorbar
+
+                img = colorbar(int(qf("width", 24)), int(qf("height", 300)))
                 self._send(200, "image/png", self._png(img))
             elif url.path.startswith("/api/freq/"):
                 tid = int(url.path.rsplit("/", 1)[1])

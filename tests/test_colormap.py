@@ -44,3 +44,15 @@ def test_get_colormap_bytes():
     b = get_colormap()
     assert len(b) == 30  # lib.rs:473-480: 10 stops * 3 bytes
     assert b == COLORMAP.tobytes()
+
+
+def test_colorbar():
+    from msv_tpu.render.colormap import colorbar
+
+    cb = colorbar(10, 100)
+    assert cb.shape == (100, 10, 3)
+    # top row is in the saturated last-stop band, bottom row is stop 0
+    np.testing.assert_array_equal(cb[0, 0], COLORMAP[-1])
+    np.testing.assert_array_equal(cb[-1, 0], COLORMAP[0])
+    # columns identical
+    assert (cb == cb[:, :1, :]).all()

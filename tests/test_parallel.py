@@ -100,3 +100,44 @@ def test_mesh_validation():
         make_mesh(4, 4)  # 16 > 8 devices
     m = make_mesh(2, 4)
     assert m.shape == {"dp": 2, "sp": 4}
+
+
+def test_streaming_fft_impl_matches_dft(setup, rng):
+    p, window, c, s, mel_fb = setup
+    wav = (rng.standard_normal(16000 * 2) * 0.3).astype(np.float32)
+    db_d, n, lo_d, hi_d = streaming_spec_db(
+        wav, p.win_length, p.hop_length, c, s, mel_fb, chunk_frames=64
+    )
+    db_f, n2, lo_f, hi_f = streaming_spec_db(
+        wav,
+        p.win_length,
+        p.hop_length,
+        c,
+        s,
+        mel_fb,
+        chunk_frames=64,
+        n_fft=p.n_fft,
+        window=window,
+        impl="fft",
+    )
+    assert n == n2
+    np.testing.assert_allclose(
+        np.asarray(db_f)[:n], np.asarray(db_d)[:n], atol=2e-3, rtol=1e-5
+    )
+    assert abs(lo_d - lo_f) < 2e-3 and abs(hi_d - hi_f) < 2e-3
+
+
+def test_streaming_i16_transfer_format(setup):
+    p, window, c, s, mel_fb = setup
+    rng2 = np.random.default_rng(5)
+    i16 = (rng2.standard_normal(16000) * 8000).astype(np.int16)
+    f32 = i16.astype(np.float32) / np.float32(32768.0)
+    db_i, n, lo_i, hi_i = streaming_spec_db(
+        i16, p.win_length, p.hop_length, c, s, mel_fb, chunk_frames=64
+    )
+    db_f, _, lo_f, hi_f = streaming_spec_db(
+        f32, p.win_length, p.hop_length, c, s, mel_fb, chunk_frames=64
+    )
+    # exact: i16->f32 cast and 2^-15 scale are both exact
+    np.testing.assert_array_equal(np.asarray(db_i), np.asarray(db_f))
+    assert lo_i == lo_f and hi_i == hi_f

@@ -172,3 +172,19 @@ def test_pallas_engine_matches_xla(wav_dir):
     assert abs(mt_p.get_min_db() - mt_x.get_min_db()) < 0.02
     diff = np.abs(img_p.astype(int) - img_x.astype(int))
     assert diff.max() <= 1  # identical up to u8 rounding at lerp boundaries
+
+
+def test_set_setting_reload(wav_dir):
+    """Settings change reloads all tracks with re-derived params
+    (AudioTrack::reload semantics, lib.rs:57-61)."""
+    mt = MultiTrack()
+    mt.add_tracks([0], [wav_dir[16000]])
+    assert mt.tracks[0].win_length == 640  # 40 ms @ 16 kHz
+    n_out_mel = mt._state[0].n_out
+    mt.set_setting(SpecSetting(win_ms=20.0, freq_scale=FreqScale.LINEAR))
+    assert mt.tracks[0].win_length == 320  # 20 ms @ 16 kHz
+    assert mt.tracks[0].n_fft == 512
+    assert mt._state[0].n_out == 257  # linear: n_freq, not mel bands
+    assert mt._state[0].n_out != n_out_mel
+    img = mt.get_spec_image(0, 60.0, 120)
+    assert img.shape == (120, 30, 3)
