@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..config import get_precision_mode
 from ..ops.decibel import amp_to_db
 from ..ops.stft import frame_device
-from ..render.colormap import grey_to_rgb_array
+from ..render.colormap import grey_to_rgb_planar
 from ..render.grey import spec_to_grey
 from ..render.resize import _apply_banded_cols
 
@@ -103,4 +103,5 @@ def render_rgb(spec_db, max_db, min_db, wv, wh_or_weights, *, height, banded):
     else:
         y = jnp.dot(x, wh_or_weights.T, precision=prec)
     y = jnp.clip(y, 0.0, 1.0)
-    return grey_to_rgb_array(y)
+    # planar (3, H, W) u8 — dense TPU tiling; the session transposes on host
+    return grey_to_rgb_planar(y)

@@ -110,12 +110,19 @@ def streaming_spec_db(
     n_fft: int | None = None,
     window: np.ndarray | None = None,
     impl: str = "dft",
+    seg_chunks: int = 8,
 ):
-    """Full-file dB spectrogram via chunked scan.
+    """Full-file dB spectrogram via segmented chunked scans.
 
     Returns (db (n_frames_padded, n_out) device, n_frames, min_db, max_db).
     Semantically identical to the one-shot pipeline (parity-tested); only
     the schedule differs.
+
+    The file is cut into fixed segments of ``seg_chunks`` scan chunks, each
+    dispatched as its own async transfer + scan: host->device transfer of
+    segment g+1 overlaps compute of segment g (the hour-scale workload is
+    transfer-bound over the axon tunnel), and ONE compiled program serves
+    any file length (a monolithic scan recompiles per chunk count).
 
     ``impl``: 'dft' (windowed-DFT GEMMs on the MXU) or 'fft' (XLA native
     rfft; requires ``n_fft`` and ``window``).
@@ -126,32 +133,73 @@ def streaming_spec_db(
     if impl == "fft" and (n_fft is None or window is None):
         raise ValueError("impl='fft' requires n_fft and window")
     n_frames = n_frames_for(len(wav), win, hop)
-    n_total = round_up_to(max(n_frames, 1), chunk_frames)
-    n_chunks = n_total // chunk_frames
+    # Segment-size ladder: full-size segments while they fit, then ONE
+    # tail segment of the next power-of-two chunk count — bounds transfer
+    # waste for short files at <2x while keeping program variety at
+    # log2(seg_chunks)+1 compiled executables total.
+    n_chunks_needed = -(-max(n_frames, 1) // chunk_frames)
+    seg_plan = []  # list of per-segment chunk counts
+    remaining = n_chunks_needed
+    while remaining >= seg_chunks:
+        seg_plan.append(seg_chunks)
+        remaining -= seg_chunks
+    if remaining > 0:
+        tail = 1
+        while tail < remaining:
+            tail *= 2
+        seg_plan.append(min(tail, seg_chunks))
+    n_total = sum(seg_plan) * chunk_frames
     padded = reflect_pad_center(wav, win)
     need = n_total * hop + (win - hop)
     if len(padded) < need:
         padded = np.pad(padded, (0, need - len(padded)))
+
     use_mel = mel_fb is not None
-    db, gmin, gmax = _streaming_core(
-        jnp.asarray(padded),
-        jnp.asarray(np.asarray(c)),
-        jnp.asarray(np.asarray(s)),
-        jnp.asarray(
-            np.asarray(window, dtype=np.float32)
-            if window is not None
-            else np.zeros(win, np.float32)
-        ),
-        jnp.asarray(
-            np.asarray(mel_fb) if use_mel else np.zeros((1, 1), np.float32)
-        ),
-        jnp.int32(n_frames),
-        win=win,
-        hop=hop,
-        n_fft=n_fft or win,
-        chunk_frames=chunk_frames,
-        n_chunks=n_chunks,
-        use_mel=use_mel,
-        impl=impl,
+    c_d = jnp.asarray(np.asarray(c))
+    s_d = jnp.asarray(np.asarray(s))
+    w_d = jnp.asarray(
+        np.asarray(window, dtype=np.float32)
+        if window is not None
+        else np.zeros(win, np.float32)
     )
-    return db, n_frames, float(gmin), float(gmax)
+    fb_d = jnp.asarray(
+        np.asarray(mel_fb) if use_mel else np.zeros((1, 1), np.float32)
+    )
+
+    # enqueue ALL segment transfers up front (device_put is async), then
+    # dispatch the per-segment scans — later transfers ride behind compute.
+    segs = []
+    start_frame = 0
+    for nck in seg_plan:
+        seg_frames_g = nck * chunk_frames
+        seg_len = seg_frames_g * hop + (win - hop)
+        s0 = start_frame * hop
+        segs.append((jnp.asarray(padded[s0 : s0 + seg_len]), start_frame, nck))
+        start_frame += seg_frames_g
+    outs = []
+    for seg, f0, nck in segs:
+        n_valid_g = max(0, min(n_frames - f0, nck * chunk_frames))
+        outs.append(
+            _streaming_core(
+                seg,
+                c_d,
+                s_d,
+                w_d,
+                fb_d,
+                jnp.int32(n_valid_g),
+                win=win,
+                hop=hop,
+                n_fft=n_fft or win,
+                chunk_frames=chunk_frames,
+                n_chunks=nck,
+                use_mel=use_mel,
+                impl=impl,
+            )
+        )
+    if len(outs) == 1:
+        db, gmin, gmax = outs[0]
+        return db, n_frames, float(gmin), float(gmax)
+    db = jnp.concatenate([o[0] for o in outs], axis=0)
+    mins = np.asarray(jnp.stack([o[1] for o in outs]))
+    maxs = np.asarray(jnp.stack([o[2] for o in outs]))
+    return db, n_frames, float(mins.min()), float(maxs.max())

@@ -53,6 +53,10 @@ def grey_to_rgb_array(grey):
 
     Exact port of convert_grey_to_color (display.rs:24-42); assumes the
     caller already clamped grey >= 0 (the resize pass does).
+
+    NOTE (TPU layout): a trailing dim of 3 pads to 128 lanes on TPU — 42x
+    memory waste.  This form is fine for small images/tests; the session
+    render path uses :func:`grey_to_rgb_planar` instead.
     """
     stops = jnp.asarray(COLORMAP, dtype=jnp.float32)  # (10, 3)
     n = stops.shape[0]
@@ -67,3 +71,28 @@ def grey_to_rgb_array(grey):
     rgb = jnp.where(last[..., None], stops[n - 1], lerped)
     # Rust .round() as u8: half away from zero (values are >= 0 here).
     return jnp.floor(rgb + 0.5).astype(jnp.uint8)
+
+
+@jax.jit
+def grey_to_rgb_planar(grey):
+    """Same mapping, channel-PLANAR output: (H, W) -> (3, H, W) u8.
+
+    Keeps the minor dimension wide (W) so TPU tiling stays dense; the host
+    transposes to interleaved (H, W, 3) after the device->host copy.
+    """
+    stops = jnp.asarray(COLORMAP, dtype=jnp.float32)  # (10, 3)
+    n = stops.shape[0]
+    position = grey.astype(jnp.float32) * n
+    index = jnp.floor(position).astype(jnp.int32)
+    last = index >= n - 1
+    i0 = jnp.clip(index, 0, n - 2)
+    ratio = position - i0.astype(jnp.float32)
+    planes = []
+    for ch in range(3):
+        col = stops[:, ch]
+        a = col[i0]
+        b = col[i0 + 1]
+        lerped = ratio * b + (1.0 - ratio) * a
+        v = jnp.where(last, col[n - 1], lerped)
+        planes.append(jnp.floor(v + 0.5).astype(jnp.uint8))
+    return jnp.stack(planes, axis=0)

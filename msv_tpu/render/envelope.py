@@ -172,8 +172,11 @@ def _envelope_core(
 
     rows = jnp.arange(nheight, dtype=jnp.int32)[:, None]  # (H, 1)
     mask = (rows >= top[None, :]) & (rows <= bottom[None, :])  # (H, n_cols)
+    # channel-PLANAR (4, H, W) u8: a trailing dim of 4 would pad to 128
+    # lanes on TPU (32x memory waste — fatal at hour-scale widths); the
+    # host transposes to interleaved RGBA after the copy.
     color = jnp.asarray(WAVECOLOR, dtype=jnp.uint8)
-    return jnp.where(mask[:, :, None], color[None, None, :], jnp.uint8(0))
+    return jnp.where(mask[None, :, :], color[:, None, None], jnp.uint8(0))
 
 
 def wav_to_image(wav: np.ndarray, nwidth: int, nheight: int, amp_range) -> np.ndarray:
@@ -229,4 +232,5 @@ def wav_to_image(wav: np.ndarray, nwidth: int, nheight: int, amp_range) -> np.nd
         n_cols=n_cols,
         pooled=pooled,
     )
-    return np.asarray(img)[:, :nwidth, :]
+    planar = np.asarray(img)[:, :, :nwidth]  # (4, H, W)
+    return np.ascontiguousarray(planar.transpose(1, 2, 0))

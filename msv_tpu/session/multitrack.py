@@ -45,6 +45,11 @@ from ..utils.rounding import trunc_int
 
 FRAME_BUCKET = 256
 OUT_BUCKET = 128
+# Tracks longer than this many frames go through the segmented streaming
+# engine (parallel/streaming.py): the one-shot pipeline would materialize
+# the full (n_frames, n_freq) rfft intermediates in HBM (~GBs at hour
+# scale), while streaming keeps peak memory at one chunk.
+STREAMING_FRAME_THRESHOLD = 32768
 
 
 @_functools_lru(maxsize=32)
@@ -232,6 +237,27 @@ class MultiTrack:
         smin = jnp.min(jnp.where(fmask, db, jnp.inf))
         return db, smin, smax
 
+    def _calc_spec_streaming(self, track, src, n_frames) -> _TrackState:
+        """Long-track path: segmented streaming scans (overlapped transfers,
+        O(chunk) device memory; SURVEY.md §5.g)."""
+        from ..parallel.streaming import streaming_spec_db
+
+        use_mel = self.setting.freq_scale == FreqScale.MEL
+        window = self.windows[track.sr]
+        c, s = windowed_dft_matrices(window, track.n_fft)
+        fb = self.mel_fbs.get(track.sr) if use_mel else None
+        db, n_valid, smin, smax = streaming_spec_db(
+            src, track.win_length, track.hop_length, c, s, fb
+        )
+        st = _TrackState()
+        st.spec_db = db
+        st.n_frames = n_valid
+        st.n_frames_pad = db.shape[0]
+        st.n_out = db.shape[1]
+        st.smin = smin
+        st.smax = smax
+        return st
+
     def _calc_spec_of(self, id: int) -> _TrackState:
         """STFT -> |.| -> [mel] -> dB on device (lib.rs:112-136)."""
         track = self._track(id)
@@ -250,6 +276,10 @@ class MultiTrack:
             if track._wav_i16 is not None
             else track.wav.astype(np.float32)
         )
+
+        if n_frames > STREAMING_FRAME_THRESHOLD and win % hop == 0:
+            return self._calc_spec_streaming(track, src, n_frames)
+
         padded = reflect_pad_center(src, win)
         need = (n_frames_pad - 1) * hop + win
         if len(padded) < need:
@@ -416,7 +446,9 @@ class MultiTrack:
                 height=height,
                 banded=banded,
             )
-        return np.asarray(img)[:nheight, :nwidth, :]
+        # device output is channel-planar (3, H, W); interleave on host
+        planar = np.asarray(img)[:, :nheight, :nwidth]
+        return np.ascontiguousarray(planar.transpose(1, 2, 0))
 
     def get_wav_image(
         self, id: int, px_per_sec: float, nheight: int, amp_min: float, amp_max: float

@@ -188,3 +188,22 @@ def test_set_setting_reload(wav_dir):
     assert mt._state[0].n_out != n_out_mel
     img = mt.get_spec_image(0, 60.0, 120)
     assert img.shape == (120, 30, 3)
+
+
+def test_streaming_threshold_path_matches(wav_dir, monkeypatch):
+    """Long tracks route through the segmented streaming engine and must be
+    pixel-identical to the one-shot pipeline."""
+    from msv_tpu.session import multitrack as mtmod
+
+    mt_ref = MultiTrack()
+    mt_ref.add_tracks([0], [wav_dir[16000]])
+    img_ref = mt_ref.get_spec_image(0, 80.0, 150)
+
+    monkeypatch.setattr(mtmod, "STREAMING_FRAME_THRESHOLD", 4)
+    mt_s = MultiTrack()
+    mt_s.add_tracks([0], [wav_dir[16000]])
+    assert mt_s._state[0].n_frames == mt_ref._state[0].n_frames
+    img_s = mt_s.get_spec_image(0, 80.0, 150)
+    assert abs(mt_s.get_max_db() - mt_ref.get_max_db()) < 1e-3
+    diff = np.abs(img_s.astype(int) - img_ref.astype(int))
+    assert diff.max() <= 1
