@@ -155,16 +155,19 @@ def streaming_spec_db(
         padded = np.pad(padded, (0, need - len(padded)))
 
     use_mel = mel_fb is not None
-    c_d = jnp.asarray(np.asarray(c))
-    s_d = jnp.asarray(np.asarray(s))
-    w_d = jnp.asarray(
+
+    def to_dev(x):
+        # device arrays pass through (avoids a device->host->device bounce)
+        return x if isinstance(x, jax.Array) else jnp.asarray(np.asarray(x))
+
+    c_d = to_dev(c)
+    s_d = to_dev(s)
+    w_d = to_dev(
         np.asarray(window, dtype=np.float32)
         if window is not None
         else np.zeros(win, np.float32)
     )
-    fb_d = jnp.asarray(
-        np.asarray(mel_fb) if use_mel else np.zeros((1, 1), np.float32)
-    )
+    fb_d = to_dev(mel_fb if use_mel else np.zeros((1, 1), np.float32))
 
     # enqueue ALL segment transfers up front (device_put is async), then
     # dispatch the per-segment scans — later transfers ride behind compute.

@@ -101,6 +101,24 @@ def _dev_vertical_weights(height: int, nheight: int, out_h_b: int):
 
 
 @_functools_lru(maxsize=128)
+def _dev_horizontal_weights_crop(
+    w_valid: int, full_width: int, c0: int, c1: int, out_w_b: int
+):
+    """Banded horizontal weights restricted to output columns [c0, c1) of
+    the full-width resize — a crop render is then pixel-identical to
+    slicing the full image (viewport rendering for hour-scale tracks)."""
+    import jax.numpy as jnp
+
+    left, wb = resize_weights(w_valid, full_width)
+    ncols = c1 - c0
+    left_p = np.zeros(out_w_b, dtype=np.int32)
+    wb_p = np.zeros((out_w_b, wb.shape[1]), dtype=np.float32)
+    left_p[:ncols] = left[c0:c1]
+    wb_p[:ncols] = wb[c0:c1]
+    return jnp.asarray(left_p), jnp.asarray(wb_p)
+
+
+@_functools_lru(maxsize=128)
 def _dev_horizontal_weights(w_valid: int, nwidth: int, w_total: int, out_w_b: int):
     """Device-resident horizontal weights: (dense?, payload).  Banded for
     wide images (transfer O(out*band)), dense below DENSE_LIMIT."""
@@ -243,11 +261,10 @@ class MultiTrack:
         from ..parallel.streaming import streaming_spec_db
 
         use_mel = self.setting.freq_scale == FreqScale.MEL
-        window = self.windows[track.sr]
-        c, s = windowed_dft_matrices(window, track.n_fft)
-        fb = self.mel_fbs.get(track.sr) if use_mel else None
+        c_dev, s_dev = self._dfts[track.sr]  # device-resident (cached)
+        fb = self._mel_dev.get(track.sr) if use_mel else None
         db, n_valid, smin, smax = streaming_spec_db(
-            src, track.win_length, track.hop_length, c, s, fb
+            src, track.win_length, track.hop_length, c_dev, s_dev, fb
         )
         st = _TrackState()
         st.spec_db = db
@@ -448,6 +465,51 @@ class MultiTrack:
             )
         # device output is channel-planar (3, H, W); interleave on host
         planar = np.asarray(img)[:, :nheight, :nwidth]
+        return np.ascontiguousarray(planar.transpose(1, 2, 0))
+
+    def get_spec_image_crop(
+        self,
+        id: int,
+        px_per_sec: float,
+        nheight: int,
+        start_sec: float,
+        end_sec: float,
+    ) -> np.ndarray:
+        """Viewport render: pixel-identical to
+        ``get_spec_image(...)[:, c0:c1]`` where c0/c1 are the columns
+        covering [start_sec, end_sec), without rendering the full width.
+
+        Implements the reference's planned-but-unbuilt zoom/crop tooling
+        (ReadMe.md roadmap) — essential for hour-scale tracks where the
+        full-width image would be ~10^5 px wide.
+        """
+        track = self._track(id)
+        st = self._state[id]
+        jnp = self._jnp
+        f32 = np.float32
+        full_w = trunc_int(f32(px_per_sec) * f32(len(track.wav)) / f32(track.sr))
+        c0 = max(0, trunc_int(f32(px_per_sec) * f32(start_sec)))
+        c1 = min(full_w, trunc_int(f32(px_per_sec) * f32(end_sec)))
+        if c1 <= c0 or nheight == 0:
+            return np.zeros((nheight, 0, 3), dtype=np.uint8)
+        ncols = c1 - c0
+
+        height = grey_height(st.n_out, self._up_ratio(track.sr))
+        out_h_b = round_up_to(nheight, OUT_BUCKET)
+        out_w_b = round_up_to(ncols, OUT_BUCKET)
+        wv = _dev_vertical_weights(height, nheight, out_h_b)
+        wh = _dev_horizontal_weights_crop(st.n_frames, full_w, c0, c1, out_w_b)
+        with self.timer.stage("get_spec_image.render"):
+            img = render_rgb(
+                st.spec_db,
+                jnp.float32(self.max_db),
+                jnp.float32(self.min_db),
+                wv,
+                wh,
+                height=height,
+                banded=True,
+            )
+        planar = np.asarray(img)[:, :nheight, :ncols]
         return np.ascontiguousarray(planar.transpose(1, 2, 0))
 
     def get_wav_image(

@@ -34,6 +34,8 @@ _PAGE = """<!DOCTYPE html>
  <span id="readout"></span>
  <img id="cbar" src="/api/colorbar?width=16&height=24" style="vertical-align:middle;margin-left:14px" title="dB colorbar">
  <span id="dbrange" style="color:#888;font-size:12px"></span>
+ <label style="margin-left:14px"><input id="showwav" type="checkbox" checked> waveform</label>
+ amp&plusmn;<input id="amp" type="number" value="1.0" min="0.05" max="4" step="0.05" style="width:56px">
 </div>
 <div id="tracks"></div>
 <script>
@@ -47,7 +49,8 @@ async function load() {
   const el = document.getElementById('tracks'); el.innerHTML = '';
   for (const t of tracks) {
     const div = document.createElement('div'); div.className = 'track';
-    div.innerHTML = `<div class="name">#${t.id} ${t.filename} — ${t.sr} Hz, ${t.sec.toFixed(2)} s</div>
+    div.innerHTML = `<div class="name">#${t.id} ${t.filename} — ${t.sr} Hz, ${t.sec.toFixed(2)} s
+        <audio controls preload="none" src="/api/audio/${t.id}" style="height:20px;vertical-align:middle"></audio></div>
       <div class="imgs"><img id="spec${t.id}"><img id="wav${t.id}"></div>`;
     el.appendChild(div);
     const img = div.querySelector(`#spec${t.id}`);
@@ -64,14 +67,21 @@ async function load() {
   refresh();
 }
 function refresh() {
+  const amp = +document.getElementById('amp').value || 1.0;
+  const showWav = document.getElementById('showwav').checked;
   for (const t of tracks) {
     document.getElementById('spec'+t.id).src = `/api/spec/${t.id}?px_per_sec=${pps}&height=${H}&_=${pps}`;
-    document.getElementById('wav'+t.id).src = `/api/wav/${t.id}?px_per_sec=${pps}&height=${WH}&_=${pps}`;
+    const w = document.getElementById('wav'+t.id);
+    w.style.display = showWav ? 'block' : 'none';
+    if (showWav)
+      w.src = `/api/wav/${t.id}?px_per_sec=${pps}&height=${WH}&amp_min=${-amp}&amp_max=${amp}&_=${pps}${amp}`;
   }
 }
 document.getElementById('zoom').addEventListener('change', e => {
   pps = +e.target.value; document.getElementById('zv').textContent = pps; refresh();
 });
+document.getElementById('showwav').addEventListener('change', refresh);
+document.getElementById('amp').addEventListener('change', refresh);
 load();
 </script></body></html>"""
 
@@ -151,6 +161,39 @@ class _Handler(BaseHTTPRequestHandler):
                         int(qf("height", 80)),
                         qf("amp_min", -1.0),
                         qf("amp_max", 1.0),
+                    )
+                self._send(200, "image/png", self._png(img))
+            elif url.path.startswith("/api/audio/"):
+                # audio playback (reference roadmap item "audio player",
+                # ReadMe.md — unimplemented there): serve the mono mix as
+                # a PCM16 WAV for the browser's <audio> element.
+                import tempfile
+                import os as _os
+
+                tid = int(url.path.rsplit("/", 1)[1])
+                with self.lock:
+                    track = mt.tracks[tid]
+                    wav = track.wav
+                    sr = track.sr
+                from .io.audio import write_wav
+
+                fd, p = tempfile.mkstemp(suffix=".wav")
+                try:
+                    _os.close(fd)
+                    write_wav(p, wav[None, :], sr)
+                    with open(p, "rb") as f:
+                        self._send(200, "audio/wav", f.read())
+                finally:
+                    _os.unlink(p)
+            elif url.path.startswith("/api/spec_crop/"):
+                tid = int(url.path.rsplit("/", 1)[1])
+                with self.lock:
+                    img = mt.get_spec_image_crop(
+                        tid,
+                        qf("px_per_sec", 100.0),
+                        int(qf("height", 300)),
+                        qf("start", 0.0),
+                        qf("end", 10.0),
                     )
                 self._send(200, "image/png", self._png(img))
             elif url.path == "/api/colorbar":

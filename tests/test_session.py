@@ -207,3 +207,17 @@ def test_streaming_threshold_path_matches(wav_dir, monkeypatch):
     assert abs(mt_s.get_max_db() - mt_ref.get_max_db()) < 1e-3
     diff = np.abs(img_s.astype(int) - img_ref.astype(int))
     assert diff.max() <= 1
+
+
+def test_spec_image_crop_matches_full(wav_dir):
+    """Viewport crop render == slicing the full-width image."""
+    mt = MultiTrack()
+    mt.add_tracks([0], [wav_dir[16000]])
+    full = mt.get_spec_image(0, 200.0, 160)  # 100 px wide (0.5 s)
+    crop = mt.get_spec_image_crop(0, 200.0, 160, 0.1, 0.35)
+    c0, c1 = int(200 * 0.1), int(200 * 0.35)
+    assert crop.shape == (160, c1 - c0, 3)
+    np.testing.assert_array_equal(crop, full[:, c0:c1])
+    # degenerate windows
+    assert mt.get_spec_image_crop(0, 200.0, 160, 0.4, 0.4).shape == (160, 0, 3)
+    assert mt.get_spec_image_crop(0, 200.0, 160, 10.0, 20.0).shape[1] == 0

@@ -67,3 +67,14 @@ def test_viewer_error_paths(viewer_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(viewer_url + "/nope")
     assert e.value.code == 404
+
+
+def test_viewer_audio_and_crop(viewer_url):
+    code, body = _get(viewer_url + "/api/audio/0")
+    assert code == 200
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+
+    code, body = _get(
+        viewer_url + "/api/spec_crop/0?px_per_sec=50&height=80&start=0.2&end=0.6"
+    )
+    assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
