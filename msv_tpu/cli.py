@@ -32,6 +32,13 @@ def _build_parser():
     r.add_argument("--db-range", type=float, default=120.0)
     r.add_argument("--fast", action="store_true", help="bf16 fast mode")
     r.add_argument("--no-wav", action="store_true")
+    r.add_argument(
+        "--adaptive",
+        action="store_true",
+        help="adaptive multi-resolution spectrogram (transients from short "
+        "windows, harmonics from long ones)",
+    )
+    r.add_argument("--n-mel", type=int, default=128, help="bands for --adaptive")
 
     i = sub.add_parser("info", help="show decoded file + derived STFT params")
     i.add_argument("files", nargs="+")
@@ -45,6 +52,37 @@ def _build_parser():
     v.add_argument("--port", type=int, default=8080)
     v.add_argument("--freq-scale", choices=["mel", "linear"], default="mel")
     return p
+
+
+def _render_adaptive(args, setting):
+    """Adaptive multi-resolution render (ops/multires.py)."""
+    import numpy as np
+
+    from .io.audio import open_audio_file
+    from .io.png import write_png
+    from .ops.multires import multires_mel_spec_db
+    from .render.colormap import grey_to_rgb_array
+    from .render.resize import lanczos3_resize
+    import jax.numpy as jnp
+
+    for f in args.files:
+        wav2d, sr = open_audio_file(f)
+        wav = wav2d.sum(axis=0)
+        t0 = time.perf_counter()
+        db, n = multires_mel_spec_db(wav, sr, setting, n_mel=args.n_mel)
+        db_np = np.asarray(db)
+        lo, hi = float(db_np.min()), min(float(db_np.max()), 0.0)
+        lo = max(lo, hi - setting.db_range)
+        grey = jnp.clip((jnp.flip(db.T, axis=0) - lo) / (hi - lo), 0.0, 1.0)
+        nwidth = int(args.px_per_sec * len(wav) / sr)
+        img = grey_to_rgb_array(
+            lanczos3_resize(grey, args.height, max(nwidth, 1))
+        )
+        stem = os.path.splitext(os.path.basename(f))[0]
+        out = os.path.join(args.outdir, f"spec_adaptive_{stem}.png")
+        write_png(out, np.asarray(img))
+        print(f"  {out}  {nwidth}x{args.height}  ({time.perf_counter()-t0:.2f}s)")
+    return 0
 
 
 def main(argv=None):
@@ -112,6 +150,10 @@ def _main(argv=None):
         db_range=args.db_range,
     )
     os.makedirs(args.outdir, exist_ok=True)
+
+    if args.adaptive:
+        return _render_adaptive(args, setting)
+
     mt = MultiTrack(setting)
     t0 = time.perf_counter()
     mt.add_tracks(list(range(len(args.files))), args.files)

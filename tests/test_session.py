@@ -221,3 +221,48 @@ def test_spec_image_crop_matches_full(wav_dir):
     # degenerate windows
     assert mt.get_spec_image_crop(0, 200.0, 160, 0.4, 0.4).shape == (160, 0, 3)
     assert mt.get_spec_image_crop(0, 200.0, 160, 10.0, 20.0).shape[1] == 0
+
+
+def test_fast_precision_mode_session(wav_dir):
+    """bf16 fast mode must stay within one grey quantization step."""
+    from msv_tpu.config import set_precision_mode
+
+    mt = MultiTrack()
+    mt.add_tracks([0], [wav_dir[24000]])
+    img_p = mt.get_spec_image(0, 60.0, 120)
+    set_precision_mode("fast")
+    try:
+        mt_f = MultiTrack()
+        mt_f.add_tracks([0], [wav_dir[24000]])
+        img_f = mt_f.get_spec_image(0, 60.0, 120)
+    finally:
+        set_precision_mode("parity")
+    diff = np.abs(img_p.astype(int) - img_f.astype(int))
+    # CPU "bf16" matmuls may be emulated exactly; on TPU this bounds the
+    # visible error. Either way the contract is <= a few u8 steps.
+    assert diff.max() <= 3
+    assert (diff > 1).mean() < 0.01
+
+
+def test_session_state_machine_sequences(wav_dir):
+    """Add/remove/re-add churn keeps every invariant (fuzzes the state
+    machine the reference implements in lib.rs:170-292)."""
+    mt = MultiTrack()
+    mt.add_tracks([0, 1], [wav_dir[8000], wav_dir[24000]])
+    mt.remove_track(1)
+    assert mt.max_sr == 8000
+    assert 24000 not in mt.windows
+    mt.add_tracks([2], [wav_dir[16000]])
+    assert mt.max_sr == 16000
+    assert sorted(mt.tracks) == [0, 2]
+    # re-add id 1 with a different file
+    mt.add_tracks([1], [wav_dir[24000]])
+    assert mt.max_sr == 24000
+    # every track still renders with the shared alignment
+    for tid in sorted(mt.tracks):
+        img = mt.get_spec_image(tid, 40.0, 90)
+        assert img.shape[0] == 90 and img.shape[1] > 0
+    # empty the session
+    for tid in [0, 1, 2]:
+        mt.remove_track(tid)
+    assert mt.max_sr == 0 and mt.get_max_sec() == 0.0
