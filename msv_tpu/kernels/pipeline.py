@@ -79,6 +79,23 @@ def spec_pipeline(padded, c, s, mel_fb, n_valid, *, win, hop, n_frames, use_mel)
     return db, smin, smax
 
 
+@functools.partial(jax.jit, static_argnames=("win", "hop", "n_frames", "use_mel"))
+def spec_pipeline_batched(padded_b, c, s, mel_fb, n_valid, *, win, hop,
+                          n_frames, use_mel):
+    """vmapped spec_pipeline over a leading batch of same-bucket tracks.
+
+    One device launch computes N tracks (the reference's rayon-across-tracks
+    granularity, lib.rs:161-167, as an MXU batch dim).  Returns
+    (db (B, n_frames, n_out), smin (B,), smax (B,)).
+    """
+    fn = functools.partial(
+        spec_pipeline, win=win, hop=hop, n_frames=n_frames, use_mel=use_mel
+    )
+    return jax.vmap(fn, in_axes=(0, None, None, None, 0))(
+        padded_b, c, s, mel_fb, n_valid
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("height", "banded"),

@@ -128,6 +128,60 @@ def perform_stft(
     return out
 
 
+def inverse_stft(
+    spec,
+    win_length: int,
+    hop_length: int,
+    n_fft: int,
+    window=None,
+    length: int | None = None,
+):
+    """Overlap-add inverse of :func:`perform_stft` -> real signal.
+
+    The reference ships only the raw inverse transform (``InvRealFFT``,
+    realfft.rs:166-242, never wired to an istft); this is the full
+    synthesis path: inverse rDFT per frame -> crop the centered win_length
+    region -> synthesis-window overlap-add -> COLA normalization -> trim
+    the reflect-pad half-windows.
+
+    ``window`` defaults to the analysis default (hann/n_fft, lib.rs:407);
+    because the forward pass baked 1/n_fft into the window and the inverse
+    rDFT applies 1/n_fft again, the OLA normalizer here uses the UNscaled
+    hann so the roundtrip is the identity.
+    """
+    from .dft import inverse_rdft, n_pad_split
+
+    spec = jnp.asarray(spec)
+    n_frames = spec.shape[0]
+    if window is None:
+        window = default_stft_window(win_length, n_fft)
+    syn = np.ascontiguousarray(window, dtype=np.float32)  # matched window
+
+    # inverse_rdft inverts the unnormalized forward exactly, so each frame
+    # comes back as (signal_slice * analysis_window); matched-window OLA
+    # (num = r*w, den = OLA(w^2)) then reconstructs the signal identically.
+    frames = inverse_rdft(spec, n_fft)
+    pl, _ = n_pad_split(n_fft, win_length)
+    frames = frames[:, pl : pl + win_length] * jnp.asarray(syn)[None, :]
+
+    total = (n_frames - 1) * hop_length + win_length
+    idx = (
+        np.arange(n_frames)[:, None] * hop_length + np.arange(win_length)[None, :]
+    ).ravel()
+    sig = jnp.zeros(total, jnp.float32).at[jnp.asarray(idx)].add(frames.ravel())
+    wsq = np.zeros(total, np.float32)
+    np.add.at(wsq, idx, np.tile((syn * syn).astype(np.float32), n_frames))
+    sig = sig / jnp.asarray(np.maximum(wsq, np.float32(1e-24)))
+
+    half = win_length // 2
+    out = sig[half:]
+    if length is not None:
+        out = out[:length]
+    else:
+        out = out[: total - 2 * half]
+    return out
+
+
 def stft_magnitude(
     wav,
     win_length: int,

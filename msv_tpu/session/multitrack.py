@@ -275,6 +275,26 @@ class MultiTrack:
         st.smax = smax
         return st
 
+    def _prep_padded(self, track):
+        """(padded, n_frames, n_frames_pad) for the bucketed pipelines.
+
+        int16 fast path: half the host->device bytes, scaled on device by
+        2^-15 (exact); reflect-pad commutes with the scaling.
+        """
+        win, hop = track.win_length, track.hop_length
+        n_frames = n_frames_for(len(track.wav), win, hop)
+        n_frames_pad = round_up_to(max(n_frames, 1), FRAME_BUCKET)
+        src = (
+            track._wav_i16
+            if track._wav_i16 is not None
+            else track.wav.astype(np.float32)
+        )
+        padded = reflect_pad_center(src, win)
+        need = (n_frames_pad - 1) * hop + win
+        if len(padded) < need:
+            padded = np.pad(padded, (0, need - len(padded)))
+        return padded[:need], n_frames, n_frames_pad
+
     def _calc_spec_of(self, id: int) -> _TrackState:
         """STFT -> |.| -> [mel] -> dB on device (lib.rs:112-136)."""
         track = self._track(id)
@@ -285,22 +305,15 @@ class MultiTrack:
         win, hop = track.win_length, track.hop_length
 
         n_frames = n_frames_for(len(track.wav), win, hop)
-        n_frames_pad = round_up_to(max(n_frames, 1), FRAME_BUCKET)
-        # int16 fast path: half the host->device bytes, scaled on device by
-        # 2^-15 (exact), reflect-pad commutes with the scaling.
-        src = (
-            track._wav_i16
-            if track._wav_i16 is not None
-            else track.wav.astype(np.float32)
-        )
-
         if n_frames > STREAMING_FRAME_THRESHOLD and win % hop == 0:
+            src = (
+                track._wav_i16
+                if track._wav_i16 is not None
+                else track.wav.astype(np.float32)
+            )
             return self._calc_spec_streaming(track, src, n_frames)
 
-        padded = reflect_pad_center(src, win)
-        need = (n_frames_pad - 1) * hop + win
-        if len(padded) < need:
-            padded = np.pad(padded, (0, need - len(padded)))
+        padded, n_frames, n_frames_pad = self._prep_padded(track)
 
         if self._use_pallas(track):
             db, smin, smax = self._calc_spec_pallas(
@@ -366,9 +379,75 @@ class MultiTrack:
                 self._ensure_sr_caches(track.sr, track.win_length, track.n_fft)
                 self.tracks[id] = track
         with self.timer.stage("add_tracks.spec"):
-            for id in id_list:
-                self._state[id] = self._calc_spec_of(id)
+            self._compute_specs(list(id_list))
         return self._update_db_state()
+
+    def _compute_specs(self, id_list) -> None:
+        """Compute specs for ``id_list``, batching same-bucket tracks into
+        one vmapped device launch (the reference's rayon-across-tracks
+        granularity, lib.rs:161-167, as an MXU batch dimension)."""
+        from ..config import get_engine
+        from ..kernels.pipeline import spec_pipeline_batched
+
+        jnp = self._jnp
+        use_mel = self.setting.freq_scale == FreqScale.MEL
+        groups: dict[tuple, list[int]] = {}
+        singles: list[int] = []
+        for id in id_list:
+            tr = self.tracks[id]
+            n_frames = n_frames_for(len(tr.wav), tr.win_length, tr.hop_length)
+            streaming = (
+                n_frames > STREAMING_FRAME_THRESHOLD
+                and tr.win_length % tr.hop_length == 0
+            )
+            if streaming or self._use_pallas(tr) or get_engine() == "pallas":
+                singles.append(id)
+                continue
+            dtype = "i16" if tr._wav_i16 is not None else "f32"
+            n_frames_pad = round_up_to(max(n_frames, 1), FRAME_BUCKET)
+            key = (tr.sr, n_frames_pad, dtype)
+            groups.setdefault(key, []).append(id)
+
+        for key, ids in groups.items():
+            if len(ids) == 1:
+                singles.extend(ids)
+                continue
+            sr, n_frames_pad, _ = key
+            tr0 = self.tracks[ids[0]]
+            win, hop = tr0.win_length, tr0.hop_length
+            preps = [self._prep_padded(self.tracks[i]) for i in ids]
+            batch = np.stack([p[0] for p in preps])
+            n_valid = jnp.asarray(
+                np.array([p[1] for p in preps], dtype=np.int32)
+            )
+            c, s = self._dfts[sr]
+            mel_fb = self._mel_dev.get(sr) if use_mel else None
+            if mel_fb is None:
+                mel_fb = jnp.zeros((1, 1), dtype=jnp.float32)
+            db_b, smin_b, smax_b = spec_pipeline_batched(
+                jnp.asarray(batch),
+                c,
+                s,
+                mel_fb,
+                n_valid,
+                win=win,
+                hop=hop,
+                n_frames=n_frames_pad,
+                use_mel=use_mel,
+            )
+            mm = np.asarray(jnp.stack([smin_b, smax_b]))  # one host sync
+            for b, id in enumerate(ids):
+                st = _TrackState()
+                st.spec_db = db_b[b]
+                st.n_frames = preps[b][1]
+                st.n_frames_pad = n_frames_pad
+                st.n_out = db_b.shape[2]
+                st.smin = float(mm[0, b])
+                st.smax = float(mm[1, b])
+                self._state[id] = st
+
+        for id in singles:
+            self._state[id] = self._calc_spec_of(id)
 
     def remove_track(self, id: int) -> bool:
         """Remove a track (lib.rs:265-292)."""

@@ -266,3 +266,29 @@ def test_session_state_machine_sequences(wav_dir):
     for tid in [0, 1, 2]:
         mt.remove_track(tid)
     assert mt.max_sr == 0 and mt.get_max_sec() == 0.0
+
+
+def test_batched_add_matches_sequential(wav_dir, rng, tmp_path):
+    """Same-bucket tracks computed in one vmapped launch must equal the
+    per-track path bit-for-bit."""
+    # three distinct files at the same rate -> one batch group
+    paths = []
+    for k in range(3):
+        x = (rng.standard_normal(8000) * 0.3).astype(np.float32)
+        p = str(tmp_path / f"b{k}.wav")
+        write_wav(p, x[None], 16000)
+        paths.append(p)
+    mt_b = MultiTrack()
+    mt_b.add_tracks([0, 1, 2], paths)  # batched (one group of 3)
+    mt_s = MultiTrack()
+    for i, p in enumerate(paths):
+        mt_s.add_tracks([i], [p])  # sequential singles
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(mt_b._state[i].spec_db), np.asarray(mt_s._state[i].spec_db)
+        )
+        assert mt_b._state[i].smin == mt_s._state[i].smin
+        assert mt_b._state[i].smax == mt_s._state[i].smax
+    img_b = mt_b.get_spec_image(1, 60.0, 100)
+    img_s = mt_s.get_spec_image(1, 60.0, 100)
+    np.testing.assert_array_equal(img_b, img_s)

@@ -104,3 +104,32 @@ def test_inverse_rdft_of_impulse_spectrum():
     expect = np.zeros(n, np.float32)
     expect[0] = 1.0
     np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
+def test_inverse_stft_roundtrip(rng):
+    """perform_stft -> inverse_stft reconstructs the signal (matched-window
+    overlap-add; exact where the OLA denominator is well-conditioned)."""
+    from msv_tpu.ops.stft import inverse_stft
+
+    for L, win, hop, n_fft in [(1000, 320, 80, 512), (777, 100, 25, 128)]:
+        wav = (rng.standard_normal(L) * 0.5).astype(np.float32)
+        spec = perform_stft(wav, win, hop, n_fft)
+        out = np.asarray(
+            inverse_stft(spec, win, hop, n_fft, length=L)
+        )
+        assert out.shape == (L,)
+        # hann OLA edges are attenuated over the first/last half window
+        inner = slice(win, L - win)
+        np.testing.assert_allclose(out[inner], wav[inner], atol=1e-4)
+
+
+def test_inverse_stft_custom_window(rng):
+    from msv_tpu.ops.stft import inverse_stft
+
+    L, win, hop, n_fft = 640, 128, 32, 128
+    w = np.hanning(win).astype(np.float32) + 0.01  # strictly positive-ish
+    wav = (rng.standard_normal(L) * 0.5).astype(np.float32)
+    spec = perform_stft(wav, win, hop, n_fft, window=w)
+    out = np.asarray(inverse_stft(spec, win, hop, n_fft, window=w, length=L))
+    inner = slice(win, L - win)
+    np.testing.assert_allclose(out[inner], wav[inner], atol=1e-4)
