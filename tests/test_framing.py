@@ -95,3 +95,23 @@ def test_derived_params_table():
 def test_too_short_signal_raises():
     with pytest.raises(ValueError):
         reflect_pad_center(np.zeros(3, np.float32), 16)
+
+
+def test_framing_random_fuzz(rng):
+    """Randomized (L, win, hop, n_fft) fuzz vs the piecewise oracle —
+    insurance for edge arithmetic (odd windows, hop>win remainders, short
+    signals near the reflect-pad minimum)."""
+    for _ in range(25):
+        win = int(rng.integers(4, 64))
+        hop = int(rng.integers(1, win + 4))
+        n_fft = int(2 ** np.ceil(np.log2(win)))
+        L = int(rng.integers(max(win, win // 2 + 2), 400))
+        wav = rng.standard_normal(L).astype(np.float32)
+        window = default_stft_window(win, n_fft)
+        try:
+            ref = reference_framing_oracle(wav, win, hop, n_fft, window)
+        except Exception:
+            continue  # reference itself would panic on this combo
+        ours = _our_windowed_frames(wav, win, hop, n_fft, window)
+        assert ours.shape == ref.shape, (L, win, hop)
+        np.testing.assert_allclose(ours, ref, atol=1e-6, err_msg=str((L, win, hop)))
