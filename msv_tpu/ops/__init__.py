@@ -8,8 +8,10 @@ waveform envelope.
 from .windows import hann, cosine_window
 from .mel import hz_to_mel, mel_to_hz, calc_mel_fb, calc_mel_fb_default
 from .decibel import amp_to_db, power_to_db, db_to_amp, db_to_power
-from .stft import perform_stft, stft_magnitude
+from .stft import perform_stft, stft_magnitude, inverse_stft
+from .dft import inverse_rdft, windowed_dft_matrices
 from .framing import n_frames_for, reflect_pad_center
+from .multires import multires_mel_spec_db
 
 __all__ = [
     "hann",
@@ -24,6 +26,10 @@ __all__ = [
     "db_to_power",
     "perform_stft",
     "stft_magnitude",
+    "inverse_stft",
+    "inverse_rdft",
+    "windowed_dft_matrices",
     "n_frames_for",
     "reflect_pad_center",
+    "multires_mel_spec_db",
 ]

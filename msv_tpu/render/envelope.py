@@ -79,12 +79,43 @@ def _chunked_window_minmax(wav, starts, ends, m, n_cols):
     return mx.reshape(n_cols), mn.reshape(n_cols)
 
 
-def _pooled_window_minmax(wav, starts, ends, mp, n_cols):
-    """Pooled path: block min/max + raw edges.  Exact for any window size."""
+@jax.jit
+def _block_minmax(wav):
+    """Per-block min/max pyramid level (zoom-invariant; cached per track)."""
+    if wav.dtype == jnp.int16:
+        wav = wav.astype(jnp.float32) * jnp.float32(2.0**-15)
     nb = wav.shape[0] // _BLOCK
     blocks = wav[: nb * _BLOCK].reshape(nb, _BLOCK)
-    bmax = jnp.max(blocks, axis=1)
-    bmin = jnp.min(blocks, axis=1)
+    return jnp.max(blocks, axis=1), jnp.min(blocks, axis=1)
+
+
+class EnvelopeState:
+    """Device-resident waveform + min/max pyramid for repeated envelope
+    renders of one track (zoom / amp changes re-ship only index arrays,
+    not the waveform — at hour scale the wav transfer alone was ~10 s).
+
+    ``wav_f32``: host f32 signal (kept for the deep-zoom upsample branch);
+    ``transfer_i16``: optional PCM16 form used as the half-width device
+    transfer format (values identical after the exact on-device scale).
+    """
+
+    def __init__(self, wav_f32: np.ndarray, transfer_i16=None):
+        self.wav_np = np.ascontiguousarray(wav_f32, dtype=np.float32)
+        self.n = len(self.wav_np)
+        src = transfer_i16 if transfer_i16 is not None else self.wav_np
+        pad = round_up_to(max(self.n, _WAV_BUCKET), _WAV_BUCKET) - self.n
+        self.dev = jnp.asarray(np.pad(np.ascontiguousarray(src), (0, pad)))
+        self._pooled = None
+
+    def pooled(self):
+        if self._pooled is None:
+            self._pooled = _block_minmax(self.dev)
+        return self._pooled
+
+
+def _pooled_window_minmax(wav, bmax, bmin, starts, ends, mp, n_cols):
+    """Pooled path: block min/max + raw edges.  Exact for any window size."""
+    nb = bmax.shape[0]
 
     s_blk = -(-starts // _BLOCK)  # ceil
     e_blk = ends // _BLOCK  # floor
@@ -146,10 +177,13 @@ def _pooled_window_minmax(wav, starts, ends, mp, n_cols):
     jax.jit, static_argnames=("m", "nheight", "n_cols", "pooled")
 )
 def _envelope_core(
-    wav, starts, ends, amp_min, amp_max, *, m, nheight, n_cols, pooled
+    wav, bmax, bmin, starts, ends, amp_min, amp_max, *, m, nheight, n_cols,
+    pooled
 ):
+    if wav.dtype == jnp.int16:
+        wav = wav.astype(jnp.float32) * jnp.float32(2.0**-15)
     if pooled:
-        mx, mn = _pooled_window_minmax(wav, starts, ends, m, n_cols)
+        mx, mn = _pooled_window_minmax(wav, bmax, bmin, starts, ends, m, n_cols)
     else:
         mx, mn = _chunked_window_minmax(wav, starts, ends, m, n_cols)
 
@@ -179,26 +213,40 @@ def _envelope_core(
     return jnp.where(mask[None, :, :], color[:, None, None], jnp.uint8(0))
 
 
-def wav_to_image(wav: np.ndarray, nwidth: int, nheight: int, amp_range) -> np.ndarray:
-    """Render the waveform envelope -> (nheight, nwidth, 4) RGBA u8."""
+def wav_to_image(
+    wav, nwidth: int, nheight: int, amp_range, state: EnvelopeState | None = None
+) -> np.ndarray:
+    """Render the waveform envelope -> (nheight, nwidth, 4) RGBA u8.
+
+    Pass a cached :class:`EnvelopeState` (the session keeps one per track)
+    to avoid re-shipping the waveform on every zoom/amp change.
+    """
     f32 = np.float32
     amp_min, amp_max = f32(amp_range[0]), f32(amp_range[1])
-    wav = np.ascontiguousarray(wav, dtype=np.float32)
+    if state is None:
+        state = EnvelopeState(np.ascontiguousarray(wav, dtype=np.float32))
+    n = state.n
     if nwidth <= 0 or nheight <= 0:
         return np.zeros((max(nheight, 0), max(nwidth, 0), 4), dtype=np.uint8)
 
-    samples_per_px = f32(len(wav)) / f32(nwidth)
+    samples_per_px = f32(n) / f32(nwidth)
     if samples_per_px < 1.0:
+        # deep zoom: the quirky upsampled buffer is small (n < nwidth px),
+        # so this path builds an ephemeral device buffer per call
         factor = int(np.ceil(f32(1.0) / samples_per_px))
-        buf = _upsample_reference_quirk(wav, factor)
+        buf_np = _upsample_reference_quirk(state.wav_np, factor)
+        buf_len = len(buf_np)
+        pad_len = round_up_to(max(buf_len, _WAV_BUCKET), _WAV_BUCKET) - buf_len
+        dev = jnp.asarray(np.pad(buf_np, (0, pad_len)))
     else:
-        buf = wav
+        buf_len = n
+        dev = state.dev
 
     i_px = np.arange(nwidth, dtype=np.float32)
     starts = rust_round_np((i_px - f32(1.5)) * samples_per_px)
     starts = np.maximum(starts, 0.0).astype(np.int64)
     ends = rust_round_np((i_px + f32(1.5)) * samples_per_px).astype(np.int64)
-    ends = np.minimum(ends, len(buf))
+    ends = np.minimum(ends, buf_len)
     ends = np.maximum(ends, starts + 1)  # deviation: avoid empty-window panic
 
     n_cols = round_up_to(nwidth, _COL_BUCKET)
@@ -208,21 +256,23 @@ def wav_to_image(wav: np.ndarray, nwidth: int, nheight: int, amp_range) -> np.nd
     ends_p[:nwidth] = ends
     ends_p[nwidth:] = 1  # dummy non-empty windows for the padded tail
 
-    buf_p = buf
-    pad_len = round_up_to(max(len(buf), _WAV_BUCKET), _WAV_BUCKET) - len(buf)
-    if pad_len:
-        buf_p = np.pad(buf, (0, pad_len))
-
     max_win = int((ends - starts).max())
     if max_win <= _DIRECT_LIMIT:
         pooled = False
         m = int(round_up_to(max(max_win, 1), 128))
+        bmax = bmin = jnp.zeros((8,), jnp.float32)  # unused placeholder
     else:
         pooled = True
         m = int(round_up_to(max_win // _BLOCK + 2, 8))
+        if samples_per_px < 1.0:
+            bmax, bmin = _block_minmax(dev)
+        else:
+            bmax, bmin = state.pooled()
 
     img = _envelope_core(
-        jnp.asarray(buf_p),
+        dev,
+        bmax,
+        bmin,
         jnp.asarray(starts_p),
         jnp.asarray(ends_p),
         float(amp_min),

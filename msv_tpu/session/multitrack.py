@@ -182,6 +182,7 @@ class MultiTrack:
         self._dfts: dict[int, tuple] = {}  # sr -> (C, S) device arrays
         self._mel_dev: dict[int, object] = {}  # sr -> device mel fb
         self._state: dict[int, _TrackState] = {}
+        self._env_states: dict[int, object] = {}  # device wav for envelopes
         self.max_db = -np.inf
         self.min_db = np.inf
         self.max_sec = 0.0
@@ -455,6 +456,7 @@ class MultiTrack:
         sr = track.sr
         del self.tracks[id]
         self._state.pop(id, None)
+        self._env_states.pop(id, None)
         if self.id_max_sec == id:
             best_id, best_sec = 0, 0.0
             for tid, t in self.tracks.items():
@@ -598,8 +600,16 @@ class MultiTrack:
         track = self._track(id)
         f32 = np.float32
         nwidth = trunc_int(f32(px_per_sec) * f32(len(track.wav)) / f32(track.sr))
+        st = self._env_states.get(id)
+        if st is None:
+            from ..render.envelope import EnvelopeState
+
+            st = EnvelopeState(track.wav, track._wav_i16)
+            self._env_states[id] = st
         with self.timer.stage("get_wav_image.render"):
-            return wav_to_image(track.wav, nwidth, nheight, (amp_min, amp_max))
+            return wav_to_image(
+                track.wav, nwidth, nheight, (amp_min, amp_max), state=st
+            )
 
     def get_grey(self, id: int) -> np.ndarray:
         """The normalized grey image (display.rs:44-54) — exposed for tests
@@ -659,6 +669,7 @@ class MultiTrack:
         paths = [self.tracks[i].path for i in ids]
         self.tracks.clear()
         self._state.clear()
+        self._env_states.clear()
         self.windows.clear()
         self.mel_fbs.clear()
         self._dfts.clear()
