@@ -40,6 +40,12 @@ def main():
         d = hashlib.sha256(np.ascontiguousarray(img).tobytes()).hexdigest()[:16]
         print(f'    "{n}": "{d}",')
     print("}")
+    print("GOLDEN_WAV = {")
+    for i, n in enumerate(NAMES):
+        img = mt.get_wav_image(i, 100.0, 500, -1.0, 1.0)
+        d = hashlib.sha256(np.ascontiguousarray(img).tobytes()).hexdigest()[:16]
+        print(f'    "{n}": "{d}",')
+    print("}")
 
 
 if __name__ == "__main__":
