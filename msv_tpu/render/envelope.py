@@ -214,12 +214,19 @@ def _envelope_core(
 
 
 def wav_to_image(
-    wav, nwidth: int, nheight: int, amp_range, state: EnvelopeState | None = None
+    wav,
+    nwidth: int,
+    nheight: int,
+    amp_range,
+    state: EnvelopeState | None = None,
+    col_range: tuple | None = None,
 ) -> np.ndarray:
     """Render the waveform envelope -> (nheight, nwidth, 4) RGBA u8.
 
     Pass a cached :class:`EnvelopeState` (the session keeps one per track)
     to avoid re-shipping the waveform on every zoom/amp change.
+    ``col_range=(c0, c1)`` renders only those output columns of the
+    full-width image (viewport crop; pixel-identical to slicing).
     """
     f32 = np.float32
     amp_min, amp_max = f32(amp_range[0]), f32(amp_range[1])
@@ -242,19 +249,24 @@ def wav_to_image(
         buf_len = n
         dev = state.dev
 
-    i_px = np.arange(nwidth, dtype=np.float32)
+    c0, c1 = (0, nwidth) if col_range is None else col_range
+    c0, c1 = max(0, int(c0)), min(nwidth, int(c1))
+    out_cols = max(c1 - c0, 0)
+    if out_cols == 0:
+        return np.zeros((nheight, 0, 4), dtype=np.uint8)
+    i_px = np.arange(c0, c1, dtype=np.float32)
     starts = rust_round_np((i_px - f32(1.5)) * samples_per_px)
     starts = np.maximum(starts, 0.0).astype(np.int64)
     ends = rust_round_np((i_px + f32(1.5)) * samples_per_px).astype(np.int64)
     ends = np.minimum(ends, buf_len)
     ends = np.maximum(ends, starts + 1)  # deviation: avoid empty-window panic
 
-    n_cols = round_up_to(nwidth, _COL_BUCKET)
+    n_cols = round_up_to(out_cols, _COL_BUCKET)
     starts_p = np.zeros(n_cols, dtype=np.int32)
     ends_p = np.zeros(n_cols, dtype=np.int32)
-    starts_p[:nwidth] = starts
-    ends_p[:nwidth] = ends
-    ends_p[nwidth:] = 1  # dummy non-empty windows for the padded tail
+    starts_p[:out_cols] = starts
+    ends_p[:out_cols] = ends
+    ends_p[out_cols:] = 1  # dummy non-empty windows for the padded tail
 
     max_win = int((ends - starts).max())
     if max_win <= _DIRECT_LIMIT:
@@ -282,5 +294,5 @@ def wav_to_image(
         n_cols=n_cols,
         pooled=pooled,
     )
-    planar = np.asarray(img)[:, :, :nwidth]  # (4, H, W)
+    planar = np.asarray(img)[:, :, :out_cols]  # (4, H, W)
     return np.ascontiguousarray(planar.transpose(1, 2, 0))

@@ -611,6 +611,39 @@ class MultiTrack:
                 track.wav, nwidth, nheight, (amp_min, amp_max), state=st
             )
 
+    def get_wav_image_crop(
+        self,
+        id: int,
+        px_per_sec: float,
+        nheight: int,
+        amp_min: float,
+        amp_max: float,
+        start_sec: float,
+        end_sec: float,
+    ) -> np.ndarray:
+        """Viewport waveform render — columns [c0, c1) of the full-width
+        envelope image (pixel-identical to slicing it)."""
+        track = self._track(id)
+        f32 = np.float32
+        nwidth = trunc_int(f32(px_per_sec) * f32(len(track.wav)) / f32(track.sr))
+        c0 = trunc_int(f32(px_per_sec) * f32(start_sec))
+        c1 = trunc_int(f32(px_per_sec) * f32(end_sec))
+        st = self._env_states.get(id)
+        if st is None:
+            from ..render.envelope import EnvelopeState
+
+            st = EnvelopeState(track.wav, track._wav_i16)
+            self._env_states[id] = st
+        with self.timer.stage("get_wav_image.render"):
+            return wav_to_image(
+                track.wav,
+                nwidth,
+                nheight,
+                (amp_min, amp_max),
+                state=st,
+                col_range=(c0, c1),
+            )
+
     def get_grey(self, id: int) -> np.ndarray:
         """The normalized grey image (display.rs:44-54) — exposed for tests
         and for parity with the reference's spec_greys cache."""

@@ -196,6 +196,19 @@ class _Handler(BaseHTTPRequestHandler):
                         qf("end", 10.0),
                     )
                 self._send(200, "image/png", self._png(img))
+            elif url.path.startswith("/api/wav_crop/"):
+                tid = int(url.path.rsplit("/", 1)[1])
+                with self.lock:
+                    img = mt.get_wav_image_crop(
+                        tid,
+                        qf("px_per_sec", 100.0),
+                        int(qf("height", 80)),
+                        qf("amp_min", -1.0),
+                        qf("amp_max", 1.0),
+                        qf("start", 0.0),
+                        qf("end", 10.0),
+                    )
+                self._send(200, "image/png", self._png(img))
             elif url.path == "/api/colorbar":
                 from .render.colormap import colorbar
 

@@ -292,3 +292,14 @@ def test_batched_add_matches_sequential(wav_dir, rng, tmp_path):
     img_b = mt_b.get_spec_image(1, 60.0, 100)
     img_s = mt_s.get_spec_image(1, 60.0, 100)
     np.testing.assert_array_equal(img_b, img_s)
+
+
+def test_wav_image_crop_matches_full(wav_dir):
+    mt = MultiTrack()
+    mt.add_tracks([0], [wav_dir[16000]])
+    full = mt.get_wav_image(0, 200.0, 80, -1.0, 1.0)  # 100 px wide
+    crop = mt.get_wav_image_crop(0, 200.0, 80, -1.0, 1.0, 0.1, 0.35)
+    c0, c1 = int(200 * 0.1), int(200 * 0.35)
+    assert crop.shape == (80, c1 - c0, 4)
+    np.testing.assert_array_equal(crop, full[:, c0:c1])
+    assert mt.get_wav_image_crop(0, 200.0, 80, -1.0, 1.0, 0.4, 0.4).shape[1] == 0

@@ -78,3 +78,11 @@ def test_viewer_audio_and_crop(viewer_url):
         viewer_url + "/api/spec_crop/0?px_per_sec=50&height=80&start=0.2&end=0.6"
     )
     assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_viewer_wav_crop(viewer_url):
+    code, body = _get(
+        viewer_url
+        + "/api/wav_crop/0?px_per_sec=50&height=40&start=0.2&end=0.6"
+    )
+    assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
