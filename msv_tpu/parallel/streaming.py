@@ -124,14 +124,20 @@ def streaming_spec_db(
     transfer-bound over the axon tunnel), and ONE compiled program serves
     any file length (a monolithic scan recompiles per chunk count).
 
-    ``impl``: 'dft' (windowed-DFT GEMMs on the MXU) or 'fft' (XLA native
-    rfft; requires ``n_fft`` and ``window``).
+    ``impl``: 'dft' (windowed-DFT GEMMs via XLA), 'fft' (XLA native rfft;
+    requires ``n_fft`` and ``window``), or 'pallas' (the fused VMEM-resident
+    kernel, kernels/spectrogram_pallas.py; requires mel + win % hop == 0).
     """
     # int16 input is kept as the transfer format (scaled on device, exact)
     dtype = np.int16 if wav.dtype == np.int16 else np.float32
     wav = np.ascontiguousarray(wav, dtype=dtype)
     if impl == "fft" and (n_fft is None or window is None):
         raise ValueError("impl='fft' requires n_fft and window")
+    if impl == "pallas":
+        if mel_fb is None or win % hop != 0:
+            raise ValueError("impl='pallas' requires mel_fb and win % hop == 0")
+        return _streaming_pallas(wav, win, hop, c, s, mel_fb, chunk_frames,
+                                 seg_chunks)
     n_frames = n_frames_for(len(wav), win, hop)
     # Segment-size ladder: full-size segments while they fit, then ONE
     # tail segment of the next power-of-two chunk count — bounds transfer
@@ -199,6 +205,78 @@ def streaming_spec_db(
                 impl=impl,
             )
         )
+    if len(outs) == 1:
+        db, gmin, gmax = outs[0]
+        return db, n_frames, float(gmin), float(gmax)
+    db = jnp.concatenate([o[0] for o in outs], axis=0)
+    mins = np.asarray(jnp.stack([o[1] for o in outs]))
+    maxs = np.asarray(jnp.stack([o[2] for o in outs]))
+    return db, n_frames, float(mins.min()), float(maxs.max())
+
+
+def _streaming_pallas(wav, win, hop, c, s, mel_fb, chunk_frames, seg_chunks):
+    """Segmented long-file pipeline on the fused Pallas kernel.
+
+    Each segment runs kernels.spectrogram_pallas over its frame tiles —
+    HBM sees the (lane-padded) waveform once and the mel rows once; the
+    frames / rfft intermediates never leave VMEM.  Parity mode uses f32
+    operands with HIGHEST dots; fast mode ships bf16 operand tiles.
+    """
+    from ..config import get_precision_mode
+    from ..kernels.spectrogram_pallas import (
+        TILE_F,
+        mel_spectrogram_pallas,
+        prepare_matrices,
+        prepare_wav2d,
+    )
+
+    c, s, mel_fb = np.asarray(c), np.asarray(s), np.asarray(mel_fb)
+    interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
+    if wav.dtype == np.int16:
+        # the kernel consumes f32 (DMA layout is dtype-specific); scale on
+        # host for this engine
+        wav = wav.astype(np.float32) * np.float32(2.0**-15)
+    n_frames = n_frames_for(len(wav), win, hop)
+    seg_frames = seg_chunks * chunk_frames
+    assert seg_frames % TILE_F == 0
+    n_chunks_needed = -(-max(n_frames, 1) // seg_frames)
+    n_total = n_chunks_needed * seg_frames
+    padded = reflect_pad_center(wav, win)
+    need = n_total * hop + (win - hop)
+    if len(padded) < need:
+        padded = np.pad(padded, (0, need - len(padded)))
+
+    c3, s3, fb3, n_mel = prepare_matrices(c, s, mel_fb, win)
+    if get_precision_mode() == "fast":
+        import ml_dtypes
+
+        c3 = c3.astype(ml_dtypes.bfloat16)
+        s3 = s3.astype(ml_dtypes.bfloat16)
+        fb3 = fb3.astype(ml_dtypes.bfloat16)
+    c3_d, s3_d, fb3_d = jnp.asarray(c3), jnp.asarray(s3), jnp.asarray(fb3)
+
+    outs = []
+    for g in range(n_chunks_needed):
+        s0 = g * seg_frames * hop
+        seg = padded[s0 : s0 + seg_frames * hop + (win - hop)]
+        wav2d = prepare_wav2d(seg, win, hop, seg_frames)
+        db_p = mel_spectrogram_pallas(
+            jnp.asarray(wav2d),
+            c3_d,
+            s3_d,
+            fb3_d,
+            win=win,
+            hop=hop,
+            n_frames=seg_frames,
+            interpret=interpret,
+        )
+        db = db_p[:, :n_mel]
+        f0 = g * seg_frames
+        n_valid_g = max(0, min(n_frames - f0, seg_frames))
+        fmask = (jnp.arange(seg_frames) < n_valid_g)[:, None]
+        smax = jnp.max(jnp.where(fmask, db, -jnp.inf))
+        smin = jnp.min(jnp.where(fmask, db, jnp.inf))
+        outs.append((db, smin, smax))
     if len(outs) == 1:
         db, gmin, gmax = outs[0]
         return db, n_frames, float(gmin), float(gmax)

@@ -141,3 +141,40 @@ def test_streaming_i16_transfer_format(setup):
     # exact: i16->f32 cast and 2^-15 scale are both exact
     np.testing.assert_array_equal(np.asarray(db_i), np.asarray(db_f))
     assert lo_i == lo_f and hi_i == hi_f
+
+
+def test_streaming_pallas_impl_matches_dft(setup, rng):
+    """The fused-kernel streaming engine (interpret on CPU) must match the
+    XLA streaming path."""
+    p, window, c, s, mel_fb = setup
+    wav = (rng.standard_normal(16000) * 0.3).astype(np.float32)
+    db_d, n, lo_d, hi_d = streaming_spec_db(
+        wav, p.win_length, p.hop_length, c, s, mel_fb, chunk_frames=64
+    )
+    db_p, n2, lo_p, hi_p = streaming_spec_db(
+        wav,
+        p.win_length,
+        p.hop_length,
+        c,
+        s,
+        mel_fb,
+        chunk_frames=64,
+        seg_chunks=2,  # small segments keep interpret mode fast
+        impl="pallas",
+    )
+    assert n == n2
+    np.testing.assert_allclose(
+        np.asarray(db_p)[:n], np.asarray(db_d)[:n], atol=2e-3, rtol=1e-4
+    )
+    assert abs(lo_d - lo_p) < 2e-3 and abs(hi_d - hi_p) < 2e-3
+
+
+def test_streaming_pallas_validation(setup):
+    p, window, c, s, mel_fb = setup
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        streaming_spec_db(
+            np.zeros(4000, np.float32), p.win_length, p.hop_length, c, s,
+            None, impl="pallas",
+        )
