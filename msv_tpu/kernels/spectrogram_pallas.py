@@ -82,7 +82,11 @@ def _kernel(wav_ref, c_ref, s_ref, fb_ref, out_ref,
     if win_p > win:
         frames[:, win:win_p] = jnp.zeros((TILE_F, win_p - win), jnp.float32)
     for t in range(t_overlap):
-        frames[:, t * hop : (t + 1) * hop] = chunk[t : t + TILE_F, :hop]
+        sl = chunk[t : t + TILE_F, :hop]
+        if chunk.dtype == jnp.int16:
+            # PCM16 transfer format: exact 2^-15 scale during assembly
+            sl = sl.astype(jnp.float32) * jnp.float32(2.0**-15)
+        frames[:, t * hop : (t + 1) * hop] = sl
 
     def body(k, _):
         slot = jax.lax.rem(k, 2)
@@ -148,7 +152,9 @@ def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
     hop_p = wav2d.shape[1]
     n_mel_p = fb3d.shape[2]
     n_f_tiles = n_frames // TILE_F
-    n_chunk_rows = round_up_to(TILE_F + t_overlap - 1, 8)
+    # i16 tiles are (16, 128); f32 tiles are (8, 128) — round DMA rows up
+    row_align = 16 if wav2d.dtype == jnp.int16 else 8
+    n_chunk_rows = round_up_to(TILE_F + t_overlap - 1, row_align)
 
     from ..config import get_precision_mode
 
@@ -174,7 +180,7 @@ def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_frames, n_mel_p), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((n_chunk_rows, hop_p), jnp.float32),  # chunk
+            pltpu.VMEM((n_chunk_rows, hop_p), wav2d.dtype),  # chunk
             pltpu.VMEM((TILE_F, win_p), jnp.float32),  # frames
             pltpu.VMEM((TILE_F, n_mel_p), jnp.float32),  # accumulator
             pltpu.VMEM((2, win_p, TILE_K), c3d.dtype),  # C double buffer
@@ -199,7 +205,9 @@ def prepare_wav2d(padded: np.ndarray, win: int, hop: int,
     """
     t_overlap = win // hop
     hop_p = round_up_to(hop, 128)
-    n_rows = round_up_to(n_frames_pad + t_overlap - 1 + 8, 8)
+    # +16 headroom: the per-tile chunk DMA rounds its row count up to the
+    # dtype tile height (8 for f32, 16 for i16)
+    n_rows = round_up_to(n_frames_pad + t_overlap - 1 + 16, 16)
     need = n_rows * hop
     if len(padded) < need:
         padded = np.pad(padded, (0, need - len(padded)))

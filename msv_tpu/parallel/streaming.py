@@ -232,10 +232,8 @@ def _streaming_pallas(wav, win, hop, c, s, mel_fb, chunk_frames, seg_chunks):
 
     c, s, mel_fb = np.asarray(c), np.asarray(s), np.asarray(mel_fb)
     interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
-    if wav.dtype == np.int16:
-        # the kernel consumes f32 (DMA layout is dtype-specific); scale on
-        # host for this engine
-        wav = wav.astype(np.float32) * np.float32(2.0**-15)
+    # int16 passes straight through: the kernel DMAs i16 chunks ((16, 128)
+    # tiles) and applies the exact 2^-15 scale during frame assembly
     n_frames = n_frames_for(len(wav), win, hop)
     seg_frames = seg_chunks * chunk_frames
     assert seg_frames % TILE_F == 0

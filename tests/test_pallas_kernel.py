@@ -76,3 +76,39 @@ def test_pallas_validation():
             n_frames=100,  # not a TILE_F multiple
             interpret=True,
         )
+
+
+def test_pallas_i16_transfer_format(rng):
+    """int16 wav2d input (DMA'd as (16,128) tiles, scaled in assembly) must
+    equal the f32 path exactly."""
+    sr = 8000
+    p = derive_stft_params(sr, SpecSetting())
+    window = default_stft_window(p.win_length, p.n_fft)
+    c, s = windowed_dft_matrices(window, p.n_fft)
+    mel_fb = calc_mel_fb_default(sr, p.n_fft)
+    i16 = (rng.standard_normal(sr) * 8000).astype(np.int16)
+    f32 = i16.astype(np.float32) / np.float32(32768.0)
+    win, hop = p.win_length, p.hop_length
+    n_pad = round_up_to(n_frames_for(sr, win, hop), TILE_F)
+
+    from msv_tpu.kernels.spectrogram_pallas import prepare_matrices, prepare_wav2d
+    from msv_tpu.ops.framing import reflect_pad_center
+
+    c3, s3, fb3, n_mel = prepare_matrices(c, s, mel_fb, win)
+    outs = {}
+    for name, wav in [("i16", i16), ("f32", f32)]:
+        padded = reflect_pad_center(wav, win)
+        wav2d = prepare_wav2d(padded, win, hop, n_pad)
+        outs[name] = np.asarray(
+            mel_spectrogram_pallas(
+                jnp.asarray(wav2d),
+                jnp.asarray(c3),
+                jnp.asarray(s3),
+                jnp.asarray(fb3),
+                win=win,
+                hop=hop,
+                n_frames=n_pad,
+                interpret=True,
+            )
+        )
+    np.testing.assert_array_equal(outs["i16"], outs["f32"])
