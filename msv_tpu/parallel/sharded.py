@@ -135,3 +135,119 @@ def sharded_spec_pipeline(mesh, wavs, win, hop, c, s, mel_fb, n_valid_frames):
         dev_body, dev_tail, c_d, s_d, fb_d, jnp.int32(n_valid_frames)
     )
     return db, gmin, gmax, fps * n_sp
+
+
+def make_sharded_streaming_fn(mesh, *, win, hop, chunk_frames, chunks_per_dev,
+                              use_mel):
+    """Long-file spectrogram over the "sp" mesh axis: each device lax.scans
+    its own contiguous run of chunks (frames_per_dev = chunks_per_dev *
+    chunk_frames), after the (win - hop) halo exchange with its right
+    neighbor — the multi-chip form of parallel/streaming.py.  With n chips
+    the hour-scale wall divides by ~n (per-chip transfer and compute both
+    shrink n-fold).
+
+    Returns fn(body (n_sp*L,), tail (halo,), c, s, fb, n_valid)
+      -> (db (n_frames_total, n_out) sharded over sp, min, max replicated).
+    """
+    n_sp = mesh.shape["sp"]
+    halo_len = win - hop
+    fpd = chunks_per_dev * chunk_frames
+    t_overlap = win // hop
+
+    def per_device(wav_l, tail, c, s, fb, n_valid):
+        sp = jax.lax.axis_index("sp")
+        if halo_len > 0:
+            own_head = wav_l[:halo_len]
+            perm = [((i + 1) % n_sp, i) for i in range(n_sp)]
+            halo = jax.lax.ppermute(own_head, "sp", perm)
+            halo = jnp.where(sp == n_sp - 1, tail, halo)
+        else:
+            halo = wav_l[:0]
+        x = jnp.concatenate([wav_l, halo])
+        if x.dtype == jnp.int16:
+            x = x.astype(jnp.float32) * jnp.float32(2.0**-15)
+        prec = _precision()
+        chunk_len = chunk_frames * hop + halo_len
+
+        def step(_, i):
+            seg = jax.lax.dynamic_slice(x, (i * chunk_frames * hop,), (chunk_len,))
+            n_rows = chunk_frames + t_overlap - 1
+            x2d = seg[: n_rows * hop].reshape(n_rows, hop)
+            frames = jnp.concatenate(
+                [jax.lax.slice_in_dim(x2d, t, t + chunk_frames, axis=0)
+                 for t in range(t_overlap)],
+                axis=1,
+            )
+            re = jnp.dot(frames, c, precision=prec,
+                         preferred_element_type=jnp.float32)
+            im = jnp.dot(frames, s, precision=prec,
+                         preferred_element_type=jnp.float32)
+            mag = jnp.sqrt(re * re + im * im)
+            if use_mel:
+                mag = jnp.dot(mag, fb, precision=prec,
+                              preferred_element_type=jnp.float32)
+            return _, amp_to_db(mag)
+
+        # minmax after the scan: an sp-varying carry would mismatch the
+        # invariant init under shard_map's varying-axis typing
+        _, dbs = jax.lax.scan(step, 0, jnp.arange(chunks_per_dev))
+        db = dbs.reshape(fpd, dbs.shape[-1])
+        gidx = sp * fpd + jnp.arange(fpd)
+        fmask = (gidx < n_valid)[:, None]
+        lmax = jnp.max(jnp.where(fmask, db, -jnp.inf))
+        lmin = jnp.min(jnp.where(fmask, db, jnp.inf))
+        gmax = jax.lax.pmax(lmax, "sp")
+        gmin = jax.lax.pmin(lmin, "sp")
+        return db, gmin, gmax
+
+    shmapped = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P("sp"), P(None), P(None, None), P(None, None),
+                  P(None, None), P()),
+        out_specs=(P("sp", None), P(), P()),
+    )
+    return jax.jit(shmapped)
+
+
+def sharded_streaming_spec_db(mesh, wav, win, hop, c, s, mel_fb=None,
+                              chunk_frames: int = 4096):
+    """Host wrapper for the mesh long-file pipeline (1-D "sp" usage of the
+    mesh; pass a mesh with dp=1).  Mirrors streaming_spec_db's contract:
+    returns (db sharded device array, n_frames, min_db, max_db)."""
+    import numpy as np
+
+    from ..ops.framing import n_frames_for, reflect_pad_center
+    from ..utils import round_up_to
+
+    n_sp = mesh.shape["sp"]
+    dtype = np.int16 if wav.dtype == np.int16 else np.float32
+    wav = np.ascontiguousarray(wav, dtype=dtype)
+    n_frames = n_frames_for(len(wav), win, hop)
+    fpd = round_up_to(-(-max(n_frames, 1) // n_sp), chunk_frames)
+    chunks_per_dev = fpd // chunk_frames
+    n_total = fpd * n_sp
+    halo = win - hop
+    padded = reflect_pad_center(wav, win)
+    need = n_total * hop + halo
+    if len(padded) < need:
+        padded = np.pad(padded, (0, need - len(padded)))
+    body = padded[: n_total * hop]
+    tail = padded[n_total * hop : n_total * hop + halo]
+
+    fn = make_sharded_streaming_fn(
+        mesh, win=win, hop=hop, chunk_frames=chunk_frames,
+        chunks_per_dev=chunks_per_dev, use_mel=mel_fb is not None,
+    )
+    dev_body = jax.device_put(body, NamedSharding(mesh, P("sp")))
+    dev_tail = jax.device_put(tail, NamedSharding(mesh, P(None)))
+    rep = NamedSharding(mesh, P(None, None))
+    c_d = jax.device_put(np.asarray(c), rep)
+    s_d = jax.device_put(np.asarray(s), rep)
+    fb_d = jax.device_put(
+        np.asarray(mel_fb) if mel_fb is not None else np.zeros((1, 1), np.float32),
+        rep,
+    )
+    db, gmin, gmax = fn(dev_body, dev_tail, c_d, s_d, fb_d,
+                        jnp.int32(n_frames))
+    return db, n_frames, float(gmin), float(gmax)

@@ -178,3 +178,24 @@ def test_streaming_pallas_validation(setup):
             np.zeros(4000, np.float32), p.win_length, p.hop_length, c, s,
             None, impl="pallas",
         )
+
+
+def test_sharded_streaming_matches_single_device(setup, rng):
+    """The mesh long-file pipeline (per-device scans + halo exchange +
+    pmax/pmin) must match single-device streaming."""
+    from msv_tpu.parallel.sharded import sharded_streaming_spec_db
+
+    p, window, c, s, mel_fb = setup
+    mesh = make_mesh(1, 8)
+    i16 = (rng.standard_normal(16000 * 2) * 8000).astype(np.int16)
+    db_1, n, lo_1, hi_1 = streaming_spec_db(
+        i16, p.win_length, p.hop_length, c, s, mel_fb, chunk_frames=32
+    )
+    db_m, n2, lo_m, hi_m = sharded_streaming_spec_db(
+        mesh, i16, p.win_length, p.hop_length, c, s, mel_fb, chunk_frames=32
+    )
+    assert n == n2
+    np.testing.assert_allclose(
+        np.asarray(db_m)[:n], np.asarray(db_1)[:n], atol=2e-3, rtol=1e-5
+    )
+    assert abs(lo_1 - lo_m) < 2e-3 and abs(hi_1 - hi_m) < 2e-3
