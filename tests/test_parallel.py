@@ -199,3 +199,22 @@ def test_sharded_streaming_matches_single_device(setup, rng):
         np.asarray(db_m)[:n], np.asarray(db_1)[:n], atol=2e-3, rtol=1e-5
     )
     assert abs(lo_1 - lo_m) < 2e-3 and abs(hi_1 - hi_m) < 2e-3
+
+
+def test_multihost_helpers_single_process():
+    from msv_tpu.parallel.multihost import (
+        assign_tracks_by_host,
+        initialize_distributed,
+        make_global_mesh,
+    )
+
+    initialize_distributed(num_processes=1)  # no-op path
+    paths = [f"f{i}.wav" for i in range(7)]
+    assert assign_tracks_by_host(paths, 0, 1) == paths
+    a0 = assign_tracks_by_host(paths, 0, 3)
+    a1 = assign_tracks_by_host(paths, 1, 3)
+    a2 = assign_tracks_by_host(paths, 2, 3)
+    assert sorted(a0 + a1 + a2) == sorted(paths)  # partition
+    assert not (set(a0) & set(a1))
+    mesh = make_global_mesh(2, 4)
+    assert mesh.shape == {"dp": 2, "sp": 4}
