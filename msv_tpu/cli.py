@@ -31,6 +31,12 @@ def _build_parser():
     r.add_argument("--f-overlap", type=int, default=1)
     r.add_argument("--db-range", type=float, default=120.0)
     r.add_argument("--fast", action="store_true", help="bf16 fast mode")
+    r.add_argument(
+        "--engine",
+        choices=["auto", "xla", "pallas"],
+        default="auto",
+        help="spectrogram compute engine",
+    )
     r.add_argument("--no-wav", action="store_true")
     r.add_argument(
         "--adaptive",
@@ -142,6 +148,10 @@ def _main(argv=None):
 
     if args.fast:
         set_precision_mode("fast")
+    if args.engine != "auto":
+        from .config import set_engine
+
+        set_engine(args.engine)
     setting = SpecSetting(
         win_ms=args.win_ms,
         t_overlap=args.t_overlap,

@@ -39,8 +39,48 @@ _PAGE = """<!DOCTYPE html>
 </div>
 <div id="tracks"></div>
 <script>
+// Viewport-based rendering: each track fetches only the visible time range
+// (plus one screen of margin) via /api/spec_crop + /api/wav_crop, so
+// hour-long tracks are browsable — every scroll/zoom is a device kernel
+// relaunch over the cached spectrogram, never a recompute.
 const H = 300, WH = 80;
 let pps = 100, tracks = [];
+const state = {};  // id -> {c0, c1} currently displayed columns
+
+function viewParams() {
+  return {
+    amp: +document.getElementById('amp').value || 1.0,
+    showWav: document.getElementById('showwav').checked,
+  };
+}
+
+function fetchView(t, force) {
+  const box = document.getElementById('box' + t.id);
+  const totalPx = Math.trunc(pps * t.sec);
+  const viewPx = box.clientWidth || 1200;
+  let c0 = Math.max(0, Math.trunc(box.scrollLeft - viewPx));
+  let c1 = Math.min(totalPx, Math.trunc(box.scrollLeft + 2 * viewPx));
+  const st = state[t.id] || {};
+  if (!force && st.c0 !== undefined && c0 >= st.c0 && c1 <= st.c1) return;
+  state[t.id] = {c0, c1};
+  const s0 = c0 / pps, s1 = c1 / pps;
+  const {amp, showWav} = viewParams();
+  const spec = document.getElementById('spec' + t.id);
+  spec.src = `/api/spec_crop/${t.id}?px_per_sec=${pps}&height=${H}&start=${s0}&end=${s1}`;
+  spec.style.left = c0 + 'px';
+  const wimg = document.getElementById('wav' + t.id);
+  wimg.style.display = showWav ? 'block' : 'none';
+  if (showWav) {
+    wimg.src = `/api/wav_crop/${t.id}?px_per_sec=${pps}&height=${WH}&amp_min=${-amp}&amp_max=${amp}&start=${s0}&end=${s1}`;
+    wimg.style.left = c0 + 'px';
+  }
+  document.getElementById('spacer' + t.id).style.width = totalPx + 'px';
+}
+
+function refresh() {
+  for (const t of tracks) fetchView(t, true);
+}
+
 async function load() {
   const r = await fetch('/api/tracks'); const d = await r.json();
   tracks = d.tracks;
@@ -51,13 +91,23 @@ async function load() {
     const div = document.createElement('div'); div.className = 'track';
     div.innerHTML = `<div class="name">#${t.id} ${t.filename} — ${t.sr} Hz, ${t.sec.toFixed(2)} s
         <audio controls preload="none" src="/api/audio/${t.id}" style="height:20px;vertical-align:middle"></audio></div>
-      <div class="imgs"><img id="spec${t.id}"><img id="wav${t.id}"></div>`;
+      <div class="imgs" id="box${t.id}" style="position:relative;height:${H + WH}px">
+        <div id="spacer${t.id}" style="height:1px"></div>
+        <img id="spec${t.id}" style="position:absolute;top:0;left:0">
+        <img id="wav${t.id}" style="position:absolute;top:${H}px;left:0">
+      </div>`;
     el.appendChild(div);
+    const box = div.querySelector(`#box${t.id}`);
+    let tmo = null;
+    box.addEventListener('scroll', () => {
+      clearTimeout(tmo); tmo = setTimeout(() => fetchView(t, false), 150);
+    });
     const img = div.querySelector(`#spec${t.id}`);
     img.addEventListener('mousemove', ev => {
       const rect = img.getBoundingClientRect();
       const relY = 1 - (ev.clientY - rect.top) / rect.height;
-      const sec = (ev.clientX - rect.left) / pps;
+      const c0 = state[t.id] ? state[t.id].c0 : 0;
+      const sec = (c0 + ev.clientX - rect.left) / pps;
       fetch(`/api/freq/${t.id}?rel=${relY.toFixed(4)}`).then(r=>r.json()).then(f=>{
         document.getElementById('readout').textContent =
           `t=${sec.toFixed(2)} s, f=${f.hz.toFixed(0)} Hz`;
@@ -65,17 +115,6 @@ async function load() {
     });
   }
   refresh();
-}
-function refresh() {
-  const amp = +document.getElementById('amp').value || 1.0;
-  const showWav = document.getElementById('showwav').checked;
-  for (const t of tracks) {
-    document.getElementById('spec'+t.id).src = `/api/spec/${t.id}?px_per_sec=${pps}&height=${H}&_=${pps}`;
-    const w = document.getElementById('wav'+t.id);
-    w.style.display = showWav ? 'block' : 'none';
-    if (showWav)
-      w.src = `/api/wav/${t.id}?px_per_sec=${pps}&height=${WH}&amp_min=${-amp}&amp_max=${amp}&_=${pps}${amp}`;
-  }
 }
 document.getElementById('zoom').addEventListener('change', e => {
   pps = +e.target.value; document.getElementById('zv').textContent = pps; refresh();
