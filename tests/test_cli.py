@@ -1,0 +1,56 @@
+"""CLI surface tests (msv_tpu/cli.py — the shell analogue of the
+reference's Electron main, SURVEY.md §1 L6)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from msv_tpu.cli import main
+from msv_tpu.io.audio import write_wav
+
+
+@pytest.fixture()
+def wav_path(tmp_path, rng):
+    t = np.arange(8000) / 8000.0
+    x = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = str(tmp_path / "tone.wav")
+    write_wav(p, x[None], 8000)
+    return p
+
+
+def test_render_defaults(wav_path, tmp_path, capsys):
+    out = str(tmp_path / "out")
+    assert main(["render", wav_path, "-o", out, "--px-per-sec", "50",
+                 "--height", "100"]) == 0
+    assert os.path.exists(os.path.join(out, "spec_tone.png"))
+    assert os.path.exists(os.path.join(out, "wav_tone.png"))
+
+
+def test_render_adaptive(wav_path, tmp_path):
+    out = str(tmp_path / "out")
+    assert main(["render", wav_path, "-o", out, "--adaptive", "--n-mel",
+                 "48", "--px-per-sec", "40", "--height", "80"]) == 0
+    assert os.path.exists(os.path.join(out, "spec_adaptive_tone.png"))
+
+
+def test_render_engine_flags(wav_path, tmp_path):
+    from msv_tpu.config import get_engine, set_engine
+
+    out = str(tmp_path / "out")
+    try:
+        assert main(["render", wav_path, "-o", out, "--engine", "pallas",
+                     "--no-wav", "--px-per-sec", "40", "--height", "80"]) == 0
+    finally:
+        set_engine("auto")
+
+
+def test_info(wav_path, capsys):
+    assert main(["info", wav_path]) == 0
+    cap = capsys.readouterr().out
+    assert "sr=8000" in cap and "win=320" in cap
+
+
+def test_missing_file_error(tmp_path, capsys):
+    assert main(["render", str(tmp_path / "no.wav"), "-o", str(tmp_path)]) == 1
+    assert "error:" in capsys.readouterr().err
