@@ -98,6 +98,18 @@ def get_precision_mode() -> str:
     return _PRECISION_MODE
 
 
+def matmul_precision():
+    """The jax matmul precision for the current mode (HIGHEST in parity —
+    multi-pass f32 on the MXU; DEFAULT/bf16-class in fast)."""
+    import jax
+
+    return (
+        jax.lax.Precision.HIGHEST
+        if _PRECISION_MODE == "parity"
+        else jax.lax.Precision.DEFAULT
+    )
+
+
 # Spectrogram compute engine.
 #   "auto":   XLA for interactive sessions (host-transfer-bound; i16 fast
 #             path; cheap compiles).  Streaming/offline paths may still pick

@@ -20,11 +20,11 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def write_png(path: str, img: np.ndarray) -> None:
-    """Write (H, W), (H, W, 3) or (H, W, 4) uint8 as grayscale/RGB/RGBA PNG."""
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode (H, W), (H, W, 3) or (H, W, 4) uint8 as PNG bytes."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
-        raise ValueError("write_png expects uint8")
+        raise ValueError("encode_png expects uint8")
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
@@ -37,10 +37,15 @@ def write_png(path: str, img: np.ndarray) -> None:
         [np.zeros((h, 1), dtype=np.uint8), img.reshape(h, w * c)], axis=1
     ).tobytes()
     data = zlib.compress(body, 6)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", data)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """Write uint8 image data as a PNG file (see :func:`encode_png`)."""
     with open(path, "wb") as f:
-        f.write(
-            b"\x89PNG\r\n\x1a\n"
-            + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", data)
-            + _chunk(b"IEND", b"")
-        )
+        f.write(encode_png(img))

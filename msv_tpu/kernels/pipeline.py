@@ -22,20 +22,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..config import get_precision_mode
+from ..config import get_precision_mode, matmul_precision
 from ..ops.decibel import amp_to_db
 from ..ops.stft import frame_device
 from ..render.colormap import grey_to_rgb_planar
 from ..render.grey import spec_to_grey
 from ..render.resize import _apply_banded_cols
-
-
-def _precision():
-    return (
-        jax.lax.Precision.HIGHEST
-        if get_precision_mode() == "parity"
-        else jax.lax.Precision.DEFAULT
-    )
 
 
 @functools.partial(jax.jit, static_argnames=("win", "hop", "n_frames", "use_mel"))
@@ -52,7 +44,7 @@ def spec_pipeline(padded, c, s, mel_fb, n_valid, *, win, hop, n_frames, use_mel)
     if padded.dtype == jnp.int16:
         # PCM16 transfer format: exact power-of-two scaling on device.
         padded = padded.astype(jnp.float32) * jnp.float32(2.0**-15)
-    prec = _precision()
+    prec = matmul_precision()
     if get_precision_mode() == "fast":
         frames = frame_device(padded, win, hop, n_frames).astype(jnp.bfloat16)
         c = c.astype(jnp.bfloat16)

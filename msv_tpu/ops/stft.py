@@ -21,21 +21,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import get_precision_mode
+from ..config import get_precision_mode, matmul_precision
 from ..utils import round_up_to
 from .dft import windowed_dft_matrices
 from .framing import n_frames_for, reflect_pad_center
 from .windows import default_stft_window
 
 FRAME_BUCKET = 256  # jit-cache frame-count granularity
-
-
-def _precision():
-    return (
-        jax.lax.Precision.HIGHEST
-        if get_precision_mode() == "parity"
-        else jax.lax.Precision.DEFAULT
-    )
 
 
 def frame_device(padded, win: int, hop: int, n_frames: int):
@@ -62,7 +54,7 @@ def frame_device(padded, win: int, hop: int, n_frames: int):
 @functools.partial(jax.jit, static_argnames=("win", "hop", "n_frames"))
 def _stft_core(padded, c, s, *, win: int, hop: int, n_frames: int):
     frames = frame_device(padded, win, hop, n_frames)
-    prec = _precision()
+    prec = matmul_precision()
     re = jnp.dot(frames, c, precision=prec, preferred_element_type=jnp.float32)
     im = jnp.dot(frames, s, precision=prec, preferred_element_type=jnp.float32)
     return re, im

@@ -21,16 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..config import get_precision_mode
+from ..config import get_precision_mode, matmul_precision
 from ..ops.decibel import amp_to_db
-
-
-def _precision():
-    return (
-        jax.lax.Precision.HIGHEST
-        if get_precision_mode() == "parity"
-        else jax.lax.Precision.DEFAULT
-    )
 
 
 def _local_spec(chunk, halo, c, s, mel_fb, win, hop, fps):
@@ -43,7 +35,7 @@ def _local_spec(chunk, halo, c, s, mel_fb, win, hop, fps):
         jax.lax.slice_in_dim(x2d, t, t + fps, axis=-2) for t in range(t_overlap)
     ]
     frames = jnp.concatenate(parts, axis=-1)  # (..., fps, win)
-    prec = _precision()
+    prec = matmul_precision()
     re = jnp.dot(frames, c, precision=prec, preferred_element_type=jnp.float32)
     im = jnp.dot(frames, s, precision=prec, preferred_element_type=jnp.float32)
     mag = jnp.sqrt(re * re + im * im)
@@ -166,7 +158,7 @@ def make_sharded_streaming_fn(mesh, *, win, hop, chunk_frames, chunks_per_dev,
         x = jnp.concatenate([wav_l, halo])
         if x.dtype == jnp.int16:
             x = x.astype(jnp.float32) * jnp.float32(2.0**-15)
-        prec = _precision()
+        prec = matmul_precision()
         chunk_len = chunk_frames * hop + halo_len
 
         def step(_, i):

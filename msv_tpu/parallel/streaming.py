@@ -17,18 +17,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import get_precision_mode
+from ..config import get_precision_mode, matmul_precision
 from ..ops.decibel import amp_to_db
 from ..ops.framing import n_frames_for, reflect_pad_center
 from ..utils import round_up_to
-
-
-def _precision():
-    return (
-        jax.lax.Precision.HIGHEST
-        if get_precision_mode() == "parity"
-        else jax.lax.Precision.DEFAULT
-    )
 
 
 @functools.partial(
@@ -42,7 +34,7 @@ def _streaming_core(
 ):
     t_overlap = win // hop
     chunk_len = chunk_frames * hop + (win - hop)
-    prec = _precision()
+    prec = matmul_precision()
     fast = get_precision_mode() == "fast"
     cc = c.astype(jnp.bfloat16) if fast else c
     ss = s.astype(jnp.bfloat16) if fast else s
@@ -222,7 +214,7 @@ def _streaming_pallas(wav, win, hop, c, s, mel_fb, chunk_frames, seg_chunks):
     frames / rfft intermediates never leave VMEM.  Parity mode uses f32
     operands with HIGHEST dots; fast mode ships bf16 operand tiles.
     """
-    from ..config import get_precision_mode
+    from ..config import get_precision_mode, matmul_precision
     from ..kernels.spectrogram_pallas import (
         TILE_F,
         mel_spectrogram_pallas,

@@ -12,6 +12,7 @@ from .profiling import StageTimer, get_logger
 
 __all__ = [
     "next_pow2",
+    "round_up_to",
     "rust_round",
     "rust_round_np",
     "trunc_int",

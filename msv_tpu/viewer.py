@@ -140,19 +140,9 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def _png(self, arr):
-        from .io.png import write_png
-        import tempfile
-        import os
+        from .io.png import encode_png
 
-        # write_png writes to a path; use an in-memory temp file
-        fd, p = tempfile.mkstemp(suffix=".png")
-        try:
-            os.close(fd)
-            write_png(p, arr)
-            with open(p, "rb") as f:
-                return f.read()
-        finally:
-            os.unlink(p)
+        return encode_png(arr)
 
     def do_GET(self):
         mt = self.session
