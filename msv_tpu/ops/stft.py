@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import get_precision_mode, matmul_precision
+from ..config import matmul_precision
 from ..utils import round_up_to
 from .dft import windowed_dft_matrices
 from .framing import n_frames_for, reflect_pad_center

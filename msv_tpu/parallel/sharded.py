@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..config import get_precision_mode, matmul_precision
+from ..config import matmul_precision
 from ..ops.decibel import amp_to_db
 
 
