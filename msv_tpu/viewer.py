@@ -36,6 +36,8 @@ _PAGE = """<!DOCTYPE html>
  <span id="dbrange" style="color:#888;font-size:12px"></span>
  <label style="margin-left:14px"><input id="showwav" type="checkbox" checked> waveform</label>
  amp&plusmn;<input id="amp" type="number" value="1.0" min="0.05" max="4" step="0.05" style="width:56px">
+ <input id="addpath" placeholder="/path/to/file.wav" style="margin-left:14px;width:220px">
+ <button id="addbtn">add</button>
 </div>
 <div id="tracks"></div>
 <script>
@@ -90,7 +92,8 @@ async function load() {
   for (const t of tracks) {
     const div = document.createElement('div'); div.className = 'track';
     div.innerHTML = `<div class="name">#${t.id} ${t.filename} — ${t.sr} Hz, ${t.sec.toFixed(2)} s
-        <audio controls preload="none" src="/api/audio/${t.id}" style="height:20px;vertical-align:middle"></audio></div>
+        <audio controls preload="none" src="/api/audio/${t.id}" style="height:20px;vertical-align:middle"></audio>
+        <button data-rm="${t.id}">&#10005;</button></div>
       <div class="imgs" id="box${t.id}" style="position:relative;height:${H + WH}px">
         <div id="spacer${t.id}" style="height:1px"></div>
         <img id="spec${t.id}" style="position:absolute;top:0;left:0">
@@ -121,6 +124,20 @@ document.getElementById('zoom').addEventListener('change', e => {
 });
 document.getElementById('showwav').addEventListener('change', refresh);
 document.getElementById('amp').addEventListener('change', refresh);
+document.getElementById('addbtn').addEventListener('click', async () => {
+  const path = document.getElementById('addpath').value.trim();
+  if (!path) return;
+  const id = tracks.length ? Math.max(...tracks.map(t=>t.id)) + 1 : 0;
+  const r = await fetch('/api/add', {method:'POST', body: JSON.stringify({id, path})});
+  if (!r.ok) { alert(await r.text()); return; }
+  load();
+});
+document.getElementById('tracks').addEventListener('click', async ev => {
+  const rm = ev.target.getAttribute && ev.target.getAttribute('data-rm');
+  if (rm === null || rm === undefined) return;
+  await fetch('/api/remove', {method:'POST', body: JSON.stringify({id: +rm})});
+  load();
+});
 load();
 </script></body></html>"""
 
@@ -251,6 +268,34 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 self._send(404, "text/plain", b"not found")
         except Exception as e:  # surface errors to the client, keep serving
+            self._send(500, "text/plain", f"error: {e}".encode())
+
+    def do_POST(self):
+        """Session management (the reference's add_tracks/remove_track FFI
+        surface, lib.rs:170,265, as HTTP endpoints)."""
+        mt = self.session
+        url = urllib.parse.urlparse(self.path)
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length) or b"{}")
+            if url.path == "/api/add":
+                with self.lock:
+                    tid = int(body["id"])
+                    changed = mt.add_tracks([tid], [str(body["path"])])
+                self._send(
+                    200, "application/json",
+                    json.dumps({"ok": True, "changed": bool(changed)}).encode(),
+                )
+            elif url.path == "/api/remove":
+                with self.lock:
+                    changed = mt.remove_track(int(body["id"]))
+                self._send(
+                    200, "application/json",
+                    json.dumps({"ok": True, "changed": bool(changed)}).encode(),
+                )
+            else:
+                self._send(404, "text/plain", b"not found")
+        except Exception as e:
             self._send(500, "text/plain", f"error: {e}".encode())
 
 

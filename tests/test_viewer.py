@@ -86,3 +86,38 @@ def test_viewer_wav_crop(viewer_url):
         + "/api/wav_crop/0?px_per_sec=50&height=40&start=0.2&end=0.6"
     )
     assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_viewer_add_remove(viewer_url, tmp_path, rng):
+    import json as _json
+    import urllib.error
+
+    sr = 8000
+    x = (0.3 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+    p = str(tmp_path / "b.wav")
+    write_wav(p, x[None], sr)
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            viewer_url + path, data=_json.dumps(payload).encode(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, _json.loads(r.read())
+
+    code, d = post("/api/add", {"id": 5, "path": p})
+    assert code == 200 and d["ok"]
+    code, body = _get(viewer_url + "/api/tracks")
+    ids = [t["id"] for t in _json.loads(body)["tracks"]]
+    assert 5 in ids
+
+    code, d = post("/api/remove", {"id": 5})
+    assert code == 200 and d["ok"]
+    code, body = _get(viewer_url + "/api/tracks")
+    ids = [t["id"] for t in _json.loads(body)["tracks"]]
+    assert 5 not in ids
+
+    # error paths: bad file, unknown id
+    with pytest.raises(urllib.error.HTTPError):
+        post("/api/add", {"id": 6, "path": "/nope.wav"})
+    with pytest.raises(urllib.error.HTTPError):
+        post("/api/remove", {"id": 99})
