@@ -36,6 +36,24 @@ def hann(size: int, symmetric: bool = False, dtype=np.float32) -> np.ndarray:
     return cosine_window(0.5, 0.5, 0.0, 0.0, size, symmetric, dtype)
 
 
+def hamming(size: int, symmetric: bool = False, dtype=np.float32) -> np.ndarray:
+    """Hamming window via the generalized form (the reference's
+    cosine_window supports it, windows.rs:7; only hann is exposed there)."""
+    return cosine_window(0.54, 0.46, 0.0, 0.0, size, symmetric, dtype)
+
+
+def blackman(size: int, symmetric: bool = False, dtype=np.float32) -> np.ndarray:
+    """Blackman window (a=0.42, b=0.5, c=0.08)."""
+    return cosine_window(0.42, 0.5, 0.08, 0.0, size, symmetric, dtype)
+
+
+def blackman_harris(size: int, symmetric: bool = False, dtype=np.float32) -> np.ndarray:
+    """4-term Blackman-Harris window."""
+    return cosine_window(
+        0.35875, 0.48829, 0.14128, 0.01168, size, symmetric, dtype
+    )
+
+
 def default_stft_window(win_length: int, n_fft: int, dtype=np.float32) -> np.ndarray:
     """The window the session uses: periodic hann scaled by 1/n_fft.
 

@@ -255,6 +255,18 @@ class _Handler(BaseHTTPRequestHandler):
                         qf("end", 10.0),
                     )
                 self._send(200, "image/png", self._png(img))
+            elif url.path == "/api/stats":
+                # observability (SURVEY.md §5.e): stage timings + cache sizes
+                with self.lock:
+                    body = json.dumps(
+                        {
+                            "stage_timings": mt.timer.summary(),
+                            "tracks": len(mt.tracks),
+                            "sr_cache": sorted(mt.windows),
+                            "env_states": len(mt._env_states),
+                        }
+                    ).encode()
+                self._send(200, "application/json", body)
             elif url.path == "/api/colorbar":
                 from .render.colormap import colorbar
 

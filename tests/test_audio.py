@@ -104,3 +104,19 @@ def test_error_paths(tmp_path):
     notwav.write_bytes(b"hello world, definitely not audio")
     with pytest.raises(AudioReadError):
         open_audio_file(str(notwav))
+
+
+def test_decode_edge_cases(tmp_path):
+    # directory path
+    with pytest.raises(AudioReadError):
+        open_audio_file(str(tmp_path))
+    # empty file
+    p = tmp_path / "empty.wav"
+    p.write_bytes(b"")
+    with pytest.raises(AudioReadError):
+        open_audio_file(str(p))
+    # truncated header
+    p2 = tmp_path / "trunc.wav"
+    p2.write_bytes(b"RIFF\x04\x00\x00\x00WA")
+    with pytest.raises(AudioReadError):
+        open_audio_file(str(p2))

@@ -121,3 +121,11 @@ def test_viewer_add_remove(viewer_url, tmp_path, rng):
         post("/api/add", {"id": 6, "path": "/nope.wav"})
     with pytest.raises(urllib.error.HTTPError):
         post("/api/remove", {"id": 99})
+
+
+def test_viewer_stats(viewer_url):
+    import json as _json
+
+    code, body = _get(viewer_url + "/api/stats")
+    d = _json.loads(body)
+    assert code == 200 and d["tracks"] == 1 and d["sr_cache"] == [8000]

@@ -41,3 +41,17 @@ def test_default_window_scaling():
     # lib.rs:138-140: window = hann(win, periodic) / n_fft
     w = default_stft_window(320, 512)
     np.testing.assert_allclose(w, hann(320, False) / 512.0, atol=1e-9)
+
+
+def test_window_family_matches_scipy():
+    import scipy.signal
+
+    from msv_tpu.ops.windows import blackman, blackman_harris, hamming
+
+    for ours, name in [(hamming, "hamming"), (blackman, "blackman"),
+                       (blackman_harris, "blackmanharris")]:
+        np.testing.assert_allclose(
+            ours(128, False),
+            scipy.signal.get_window(name, 128, fftbins=True),
+            atol=1e-6,
+        )
