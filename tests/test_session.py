@@ -303,3 +303,38 @@ def test_wav_image_crop_matches_full(wav_dir):
     assert crop.shape == (80, c1 - c0, 4)
     np.testing.assert_array_equal(crop, full[:, c0:c1])
     assert mt.get_wav_image_crop(0, 200.0, 80, -1.0, 1.0, 0.4, 0.4).shape[1] == 0
+
+
+def test_session_random_operation_fuzz(wav_dir, rng):
+    """Random add/remove/render/zoom/setting sequences keep all invariants
+    (max_db<=0, min_db window, alignment heights, no exceptions)."""
+    paths = list(wav_dir.values())
+    mt = MultiTrack()
+    next_id = 0
+    live = []
+    for step in range(40):
+        op = rng.integers(0, 5)
+        if op == 0 or not live:  # add
+            mt.add_tracks([next_id], [paths[int(rng.integers(0, len(paths)))]])
+            live.append(next_id)
+            next_id += 1
+        elif op == 1 and len(live) > 1:  # remove
+            tid = live.pop(int(rng.integers(0, len(live))))
+            mt.remove_track(tid)
+        elif op == 2:  # spec render at random zoom
+            tid = live[int(rng.integers(0, len(live)))]
+            img = mt.get_spec_image(tid, float(rng.integers(10, 200)), 64)
+            assert img.shape[0] == 64 and img.dtype == np.uint8
+        elif op == 3:  # wav render
+            tid = live[int(rng.integers(0, len(live)))]
+            img = mt.get_wav_image(tid, float(rng.integers(10, 200)), 40, -1.0, 1.0)
+            assert img.shape[0] == 40
+        else:  # frequency readout
+            tid = live[int(rng.integers(0, len(live)))]
+            hz = mt.get_frequency_hz(tid, float(rng.random()))
+            assert 0.0 <= hz <= mt.get_sr(tid) / 2 + 1
+        # invariants after every op
+        if mt.tracks:
+            assert mt.get_max_db() <= 0.0
+            assert mt.get_min_db() >= mt.get_max_db() - 120.0 - 1e-3
+            assert mt.max_sr == max(t.sr for t in mt.tracks.values())
