@@ -154,6 +154,57 @@ def open_audio_file_ex(path: str):
     return np.ascontiguousarray(data.T), int(sr), None
 
 
+def open_wav_mmap(path: str):
+    """Memory-map a mono PCM16 WAV's sample data -> (np.memmap int16, sr).
+
+    The disk-backed loader for files larger than RAM: callers slice
+    segments on demand (parallel/streaming.streaming_spec_db_mmap), so
+    resident memory stays at one segment regardless of file size.  Raises
+    AudioReadError for anything but mono PCM16 (the general decoder
+    handles those in-memory).
+    """
+    try:
+        with open(path, "rb") as f:
+            head = f.read(12)
+            if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+                raise AudioReadError(f"{path}: not a RIFF/WAVE file")
+            pos = 12
+            fmt = None
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    break
+                cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+                if cid == b"fmt ":
+                    body = f.read(size + (size & 1))
+                    fmt = struct.unpack_from("<HHIIHH", body, 0)
+                elif cid == b"data":
+                    if fmt is None:
+                        raise AudioReadError(f"{path}: data before fmt")
+                    audio_fmt, n_ch, sr, _, _, bits = fmt
+                    if audio_fmt != _WAVE_FORMAT_PCM or bits != 16 or n_ch != 1:
+                        raise AudioReadError(
+                            f"{path}: mmap loader requires mono PCM16 "
+                            f"(got fmt={audio_fmt:#x}, ch={n_ch}, bits={bits})"
+                        )
+                    offset = f.tell()
+                    return (
+                        np.memmap(
+                            path,
+                            dtype="<i2",
+                            mode="r",
+                            offset=offset,
+                            shape=(size // 2,),
+                        ),
+                        int(sr),
+                    )
+                else:
+                    f.seek(size + (size & 1), 1)
+        raise AudioReadError(f"{path}: missing fmt/data chunk")
+    except OSError as e:
+        raise AudioReadError(f"{path}: {e}") from e
+
+
 def write_wav(path: str, wav: np.ndarray, sr: int, bits: int = 16) -> None:
     """Write (n_ch, n_samples) float32 -> PCM WAV (test fixture generator)."""
     wav = np.atleast_2d(np.asarray(wav, dtype=np.float32))

@@ -274,3 +274,102 @@ def _streaming_pallas(wav, win, hop, c, s, mel_fb, chunk_frames, seg_chunks):
     mins = np.asarray(jnp.stack([o[1] for o in outs]))
     maxs = np.asarray(jnp.stack([o[2] for o in outs]))
     return db, n_frames, float(mins.min()), float(maxs.max())
+
+
+def streaming_spec_db_mmap(path, win, hop, c, s, mel_fb=None,
+                           chunk_frames: int = 4096, seg_chunks: int = 8):
+    """Disk-streamed long-file spectrogram: segments are sliced straight
+    from a memory-mapped mono-PCM16 WAV, so host resident memory is one
+    segment (~30 MB) regardless of file size — a 10-hour file no longer
+    needs 7 GB of RAM.  Semantics identical to streaming_spec_db
+    (reflect-pad edges handled per segment; parity-tested).
+    """
+    from ..io.audio import open_wav_mmap
+
+    mm, sr = open_wav_mmap(path)
+    n = len(mm)
+    half = win // 2
+    if n < half + 1:
+        raise ValueError(f"{path}: too short for win_length={win}")
+    n_frames = n_frames_for(n, win, hop)
+    n_chunks_needed = -(-max(n_frames, 1) // chunk_frames)
+    seg_plan = []
+    remaining = n_chunks_needed
+    while remaining >= seg_chunks:
+        seg_plan.append(seg_chunks)
+        remaining -= seg_chunks
+    if remaining > 0:
+        tail = 1
+        while tail < remaining:
+            tail *= 2
+        seg_plan.append(min(tail, seg_chunks))
+
+    use_mel = mel_fb is not None
+    c_d = jnp.asarray(np.asarray(c))
+    s_d = jnp.asarray(np.asarray(s))
+    w_d = jnp.asarray(np.zeros(win, np.float32))
+    fb_d = jnp.asarray(
+        np.asarray(mel_fb) if use_mel else np.zeros((1, 1), np.float32)
+    )
+
+    def padded_slice(a, b):
+        """Samples [a, b) of the conceptual reflect-padded + zero-tailed
+        signal, materializing only this segment from the memmap."""
+        out = np.zeros(b - a, dtype=np.int16)
+        # left reflect region: padded[p] = wav[half - p] for p < half
+        lo = a
+        if lo < half:
+            hi = min(b, half)
+            src = np.asarray(mm[half - lo : half - hi : -1] if half - hi > 0
+                             else mm[half - lo :: -1][: hi - lo])
+            out[: hi - lo] = src
+            lo = hi
+        # middle: padded[p] = wav[p - half] for half <= p < half + n
+        if lo < b and lo < half + n:
+            hi = min(b, half + n)
+            out[lo - a : hi - a] = mm[lo - half : hi - half]
+            lo = hi
+        # right reflect: padded[p] = wav[n - 2 - (p - half - n)] while valid
+        if lo < b and lo < half + n + half:
+            hi = min(b, half + n + half)
+            idx0 = n - 2 - (lo - half - n)
+            idx1 = n - 2 - (hi - 1 - half - n)
+            if idx0 >= 0:
+                idx1c = max(idx1, 0)
+                src = np.asarray(mm[idx0 : idx1c - 1 if idx1c > 0 else None : -1])
+                out[lo - a : lo - a + len(src)] = src
+        return out  # anything beyond stays zero (bucket tail)
+
+    outs = []
+    start_frame = 0
+    for nck in seg_plan:
+        seg_frames_g = nck * chunk_frames
+        seg_len = seg_frames_g * hop + (win - hop)
+        a = start_frame * hop
+        seg = padded_slice(a, a + seg_len)
+        n_valid_g = max(0, min(n_frames - start_frame, seg_frames_g))
+        outs.append(
+            _streaming_core(
+                jnp.asarray(seg),
+                c_d,
+                s_d,
+                w_d,
+                fb_d,
+                jnp.int32(n_valid_g),
+                win=win,
+                hop=hop,
+                n_fft=win,
+                chunk_frames=chunk_frames,
+                n_chunks=nck,
+                use_mel=use_mel,
+                impl="dft",
+            )
+        )
+        start_frame += seg_frames_g
+    if len(outs) == 1:
+        db, gmin, gmax = outs[0]
+        return db, n_frames, float(gmin), float(gmax)
+    db = jnp.concatenate([o[0] for o in outs], axis=0)
+    mins = np.asarray(jnp.stack([o[1] for o in outs]))
+    maxs = np.asarray(jnp.stack([o[2] for o in outs]))
+    return db, n_frames, float(mins.min()), float(maxs.max())

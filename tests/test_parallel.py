@@ -218,3 +218,35 @@ def test_multihost_helpers_single_process():
     assert not (set(a0) & set(a1))
     mesh = make_global_mesh(2, 4)
     assert mesh.shape == {"dp": 2, "sp": 4}
+
+
+def test_streaming_mmap_matches_in_memory(setup, rng, tmp_path):
+    """Disk-streamed (memmap) path == in-memory streaming, including the
+    reflect-pad edges."""
+    from msv_tpu.io.audio import write_wav
+    from msv_tpu.parallel.streaming import streaming_spec_db_mmap
+
+    p, window, c, s, mel_fb = setup
+    i16 = (rng.standard_normal(16000 * 2) * 8000).astype(np.int16)
+    f = str(tmp_path / "mm.wav")
+    write_wav(f, (i16.astype(np.float32) / 32768.0)[None], 16000)
+
+    db_m, n, lo_m, hi_m = streaming_spec_db_mmap(
+        f, p.win_length, p.hop_length, c, s, mel_fb, chunk_frames=64,
+        seg_chunks=4,
+    )
+    db_i, n2, lo_i, hi_i = streaming_spec_db(
+        i16, p.win_length, p.hop_length, c, s, mel_fb, chunk_frames=64,
+        seg_chunks=4,
+    )
+    assert n == n2
+    np.testing.assert_array_equal(np.asarray(db_m)[:n], np.asarray(db_i)[:n])
+    assert lo_m == lo_i and hi_m == hi_i
+
+    # multi-segment: interior segment boundaries are pure memmap slices
+    db_m2, _, lo2, hi2 = streaming_spec_db_mmap(
+        f, p.win_length, p.hop_length, c, s, mel_fb, chunk_frames=64,
+        seg_chunks=1,
+    )
+    np.testing.assert_array_equal(np.asarray(db_m2)[:n], np.asarray(db_i)[:n])
+    assert lo2 == lo_i and hi2 == hi_i
