@@ -120,3 +120,16 @@ def test_decode_edge_cases(tmp_path):
     p2.write_bytes(b"RIFF\x04\x00\x00\x00WA")
     with pytest.raises(AudioReadError):
         open_audio_file(str(p2))
+
+
+def test_reference_sample_decode_golden(reference_sample_paths):
+    """Pinned decode values for sample_8k.wav (the analogue of the
+    reference's open_audio_works golden, audio.rs:44-70, whose own fixture
+    is missing at v0; these were captured from this decoder and protect
+    against normalization regressions)."""
+    wav, sr = open_audio_file(reference_sample_paths[0])
+    assert sr == 8000
+    assert wav.max() == pytest.approx(0.21435547, abs=1e-7)
+    assert wav.min() == pytest.approx(-0.20217896, abs=1e-7)
+    # PCM16 values are exact multiples of 2^-15
+    assert float(wav[0, 1006]) == pytest.approx(3.0517578e-05, abs=1e-12)
