@@ -18,6 +18,7 @@ from .config import FreqScale, SpecSetting, StftParams, derive_stft_params
 from .config import get_precision_mode, set_precision_mode
 from .session import AudioTrack, MultiTrack
 from .render.colormap import get_colormap
+from .features import log_mel_spectrogram
 
 __version__ = "0.1.0"
 
@@ -31,5 +32,6 @@ __all__ = [
     "AudioTrack",
     "MultiTrack",
     "get_colormap",
+    "log_mel_spectrogram",
     "__version__",
 ]

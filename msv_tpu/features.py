@@ -1,0 +1,123 @@
+"""Batched log-mel feature extraction — the ML-frontend face of the
+pipeline.
+
+The viewer computes spectrograms to LOOK at; models want the same math as
+input features.  This module packages the existing TPU ops (framing,
+windowed-DFT GEMM, mel GEMM, dB) as a one-call, vmappable, jit-friendly
+frontend (cf. the GEMM-native NDFT idea referenced in PAPERS.md): batches
+of waveforms in, (B, n_frames, n_mel) log-mel out, everything on the MXU.
+
+Conventions differ from the viewer session on purpose:
+  * the analysis window is UNSCALED hann (the session's 1/n_fft scale,
+    lib.rs:139, is a viewer normalization choice, not an ML one);
+  * mel norm defaults to 'slaney' (librosa-compatible) instead of the
+    viewer's 'sum';
+  * optional ``top_db`` floor relative to the batch max, librosa-style.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import matmul_precision
+from .ops.decibel import amp_to_db
+from .ops.dft import windowed_dft_matrices
+from .ops.framing import n_frames_for, reflect_pad_center
+from .ops.mel import calc_mel_fb
+from .ops.stft import frame_device
+from .ops.windows import hann
+from .utils import next_pow2, round_up_to
+
+
+@functools.partial(
+    jax.jit, static_argnames=("win", "hop", "n_frames", "log")
+)
+def _features_core(padded_b, c, s, fb, n_valid, *, win, hop, n_frames, log):
+    prec = matmul_precision()
+
+    def one(padded):
+        frames = frame_device(padded, win, hop, n_frames)
+        re = jnp.dot(frames, c, precision=prec,
+                     preferred_element_type=jnp.float32)
+        im = jnp.dot(frames, s, precision=prec,
+                     preferred_element_type=jnp.float32)
+        mag = jnp.sqrt(re * re + im * im)
+        mel = jnp.dot(mag, fb, precision=prec,
+                      preferred_element_type=jnp.float32)
+        if log == "amp_db":
+            return amp_to_db(mel)
+        elif log == "power_db":
+            from .ops.decibel import power_to_db
+
+            return power_to_db(mel * mel)
+        return jnp.log(jnp.maximum(mel, 1e-10))  # 'ln'
+
+    return jax.vmap(one)(padded_b)
+
+
+def log_mel_spectrogram(
+    wav,
+    sr: int,
+    *,
+    n_mel: int = 128,
+    win_length: int | None = None,
+    hop_length: int | None = None,
+    n_fft: int | None = None,
+    win_ms: float = 25.0,
+    hop_ms: float = 10.0,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+    mel_norm="slaney",
+    log: str = "amp_db",
+    top_db: float | None = None,
+):
+    """Batched log-mel features: (T,) or (B, T) -> (B?, n_frames, n_mel).
+
+    Shapes are frame-bucketed internally; the returned array is sliced to
+    the exact frame count.  ``log``: 'amp_db' (20·log10 with the exact
+    reference floor), 'power_db', or 'ln' (natural log of magnitude).
+    ``top_db`` clamps at (max - top_db) like librosa's power_to_db.
+    """
+    wav = np.asarray(wav, dtype=np.float32)
+    squeeze = wav.ndim == 1
+    if squeeze:
+        wav = wav[None]
+    if win_length is None:
+        win_length = int(round(win_ms * sr / 1000.0))
+    if hop_length is None:
+        hop_length = int(round(hop_ms * sr / 1000.0))
+    if n_fft is None:
+        n_fft = next_pow2(win_length)
+
+    window = hann(win_length, False)  # unscaled
+    c, s = windowed_dft_matrices(window, n_fft)
+    fb = calc_mel_fb(sr, n_fft, n_mel, fmin, fmax, mel_norm, np.float32)
+
+    n_frames = n_frames_for(wav.shape[1], win_length, hop_length)
+    n_pad = round_up_to(max(n_frames, 1), 128)
+    need = (n_pad - 1) * hop_length + win_length
+    padded = np.stack(
+        [
+            np.pad(
+                reflect_pad_center(w, win_length),
+                (0, max(0, need - (wav.shape[1] + 2 * (win_length // 2)))),
+            )[:need]
+            for w in wav
+        ]
+    )
+    out = _features_core(
+        jnp.asarray(padded),
+        jnp.asarray(c),
+        jnp.asarray(s),
+        jnp.asarray(fb),
+        jnp.int32(n_frames),
+        win=win_length,
+        hop=hop_length,
+        n_frames=n_pad,
+        log=log,
+    )[:, :n_frames, :]
+    if top_db is not None:
+        out = jnp.maximum(out, jnp.max(out) - top_db)
+    return out[0] if squeeze else out

@@ -1,0 +1,62 @@
+"""Batched log-mel frontend tests (msv_tpu/features.py)."""
+
+import numpy as np
+import pytest
+
+from msv_tpu.features import log_mel_spectrogram
+
+
+def test_shapes_batched_and_single(rng):
+    wav = (rng.standard_normal((3, 16000)) * 0.3).astype(np.float32)
+    out = log_mel_spectrogram(wav, 16000, n_mel=80)
+    # 25 ms / 10 ms at 16 kHz -> win 400, hop 160 -> 101 frames for 1 s
+    assert out.shape == (3, 101, 80)
+    single = log_mel_spectrogram(wav[0], 16000, n_mel=80)
+    assert single.shape == (101, 80)
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(out)[0])
+
+
+def test_matches_op_composition(rng):
+    """The one-call frontend equals the manual composition of ops."""
+    import jax.numpy as jnp
+
+    from msv_tpu.ops.decibel import amp_to_db
+    from msv_tpu.ops.mel import calc_mel_fb
+    from msv_tpu.ops.stft import perform_stft
+    from msv_tpu.ops.windows import hann
+
+    sr, n_mel = 8000, 40
+    wav = (rng.standard_normal(4000) * 0.4).astype(np.float32)
+    win, hop, n_fft = 200, 80, 256
+    got = np.asarray(
+        log_mel_spectrogram(
+            wav, sr, n_mel=n_mel, win_length=win, hop_length=hop, n_fft=n_fft
+        )
+    )
+    spec = np.abs(
+        np.asarray(perform_stft(wav, win, hop, n_fft, window=hann(win, False)))
+    )
+    fb = calc_mel_fb(sr, n_fft, n_mel, 0.0, None, "slaney", np.float32)
+    expect = np.asarray(amp_to_db(jnp.asarray(spec @ fb)))
+    assert got.shape == expect.shape
+    np.testing.assert_allclose(got, expect, atol=2e-3, rtol=1e-4)
+
+
+def test_log_modes_and_top_db(rng):
+    wav = (rng.standard_normal(8000) * 0.3).astype(np.float32)
+    db = np.asarray(log_mel_spectrogram(wav, 8000, n_mel=32, log="amp_db"))
+    pw = np.asarray(log_mel_spectrogram(wav, 8000, n_mel=32, log="power_db"))
+    np.testing.assert_allclose(pw, db, atol=2e-2)  # 10*log10(x^2)==20*log10(x)
+    ln = np.asarray(log_mel_spectrogram(wav, 8000, n_mel=32, log="ln"))
+    np.testing.assert_allclose(ln * (20.0 / np.log(10.0)), db, atol=5e-2)
+    capped = np.asarray(
+        log_mel_spectrogram(wav, 8000, n_mel=32, top_db=30.0)
+    )
+    assert capped.max() - capped.min() <= 30.0 + 1e-3
+
+
+def test_mel_norm_modes(rng):
+    wav = (rng.standard_normal(8000) * 0.3).astype(np.float32)
+    a = np.asarray(log_mel_spectrogram(wav, 8000, n_mel=32, mel_norm="slaney"))
+    b = np.asarray(log_mel_spectrogram(wav, 8000, n_mel=32, mel_norm="sum"))
+    assert not np.allclose(a, b)  # genuinely different normalizations
