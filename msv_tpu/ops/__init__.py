@@ -5,7 +5,7 @@ resize weights.  Device-side (jnp, jit) compute: STFT, dB, grey/colormap,
 waveform envelope.
 """
 
-from .windows import hann, cosine_window
+from .windows import hann, cosine_window, hamming, blackman, blackman_harris
 from .mel import hz_to_mel, mel_to_hz, calc_mel_fb, calc_mel_fb_default
 from .decibel import amp_to_db, power_to_db, db_to_amp, db_to_power
 from .stft import perform_stft, stft_magnitude, inverse_stft
@@ -16,6 +16,9 @@ from .multires import multires_mel_spec_db
 __all__ = [
     "hann",
     "cosine_window",
+    "hamming",
+    "blackman",
+    "blackman_harris",
     "hz_to_mel",
     "mel_to_hz",
     "calc_mel_fb",

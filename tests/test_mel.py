@@ -75,3 +75,13 @@ def test_mel_fb_validation():
         calc_mel_fb(24000, 2047, 80)
     with pytest.raises(ValueError):
         calc_mel_fb(24000, 2048, 0)
+
+
+def test_mel_fb_fmin_fmax():
+    """Explicit frequency bounds: no weight below fmin or above fmax."""
+    sr, n_fft = 16000, 1024
+    fb = calc_mel_fb(sr, n_fft, 40, 300.0, 6000.0, True, np.float64)
+    freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
+    assert fb[freqs < 290.0].sum() == 0.0
+    assert fb[freqs > 6010.0].sum() == 0.0
+    assert (fb.sum(axis=0) > 0).all()
