@@ -243,3 +243,97 @@ def sharded_streaming_spec_db(mesh, wav, win, hop, c, s, mel_fb=None,
     db, gmin, gmax = fn(dev_body, dev_tail, c_d, s_d, fb_d,
                         jnp.int32(n_frames))
     return db, n_frames, float(gmin), float(gmax)
+
+
+def make_freq_sharded_fn(mesh, *, win, hop, n_frames, use_mel):
+    """TENSOR-parallel spectrogram: the frequency dimension of the
+    windowed-DFT matrices (and the matching mel-filterbank rows) shards
+    over the "sp" axis — each device computes a frequency slice of the
+    magnitude and a partial mel projection, combined with one psum.  This
+    is the row-sharded-FFN pattern applied to the DFT: valid because the
+    nonlinearity (|.|) is elementwise per frequency column, so
+    mel = sum_freq |X_f| fb_f decomposes across devices.
+
+    Use when n_fft is large enough that the DFT matrices dominate VMEM/HBM
+    per chip, or to cut per-chip FLOPs for one very hot stream; for many
+    independent tracks, prefer dp batching (sharded_spec_pipeline).
+
+    Returns fn(padded (L,), c_sh, s_sh, fb_sh) -> db (n_frames, n_out)
+    replicated.  c_sh/s_sh: (win, F) sharded on dim 1; fb_sh: (F, n_mel)
+    sharded on dim 0.
+    """
+    t_overlap = win // hop
+
+    def per_device(padded, c_l, s_l, fb_l):
+        n_rows = n_frames + t_overlap - 1
+        x2d = padded[: n_rows * hop].reshape(n_rows, hop)
+        frames = jnp.concatenate(
+            [jax.lax.slice_in_dim(x2d, t, t + n_frames, axis=0)
+             for t in range(t_overlap)],
+            axis=1,
+        )
+        prec = matmul_precision()
+        re = jnp.dot(frames, c_l, precision=prec,
+                     preferred_element_type=jnp.float32)
+        im = jnp.dot(frames, s_l, precision=prec,
+                     preferred_element_type=jnp.float32)
+        mag = jnp.sqrt(re * re + im * im)  # local frequency slice
+        if use_mel:
+            part = jnp.dot(mag, fb_l, precision=prec,
+                           preferred_element_type=jnp.float32)
+            return amp_to_db(jax.lax.psum(part, "sp"))  # TP combine
+        # linear scale: dB is per-frequency elementwise, so the output just
+        # stays frequency-sharded (no collective needed at all)
+        return amp_to_db(mag)
+
+    shmapped = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(None), P(None, "sp"), P(None, "sp"), P("sp", None)),
+        out_specs=P(None, None) if use_mel else P(None, "sp"),
+    )
+    return jax.jit(shmapped)
+
+
+def freq_sharded_spec(mesh, wav, win, hop, c, s, mel_fb=None):
+    """Host wrapper for the tensor-parallel pipeline (pads the frequency
+    dim to a multiple of the mesh's sp size; zero columns contribute
+    nothing).  Returns (db (n_frames, n_out) replicated, n_frames)."""
+    import numpy as np
+
+    from ..ops.framing import n_frames_for, reflect_pad_center
+
+    n_sp = mesh.shape["sp"]
+    wav = np.ascontiguousarray(wav, dtype=np.float32)
+    n_frames = n_frames_for(len(wav), win, hop)
+    padded = reflect_pad_center(wav, win)
+    need = (n_frames - 1) * hop + win
+    if len(padded) < need:
+        padded = np.pad(padded, (0, need - len(padded)))
+    padded = padded[:need]
+
+    c = np.asarray(c)
+    s = np.asarray(s)
+    n_freq = c.shape[1]
+    f_pad = (-n_freq) % n_sp
+    c_p = np.pad(c, ((0, 0), (0, f_pad)))
+    s_p = np.pad(s, ((0, 0), (0, f_pad)))
+    use_mel = mel_fb is not None
+    if use_mel:
+        fb_p = np.pad(np.asarray(mel_fb), ((0, f_pad), (0, 0)))
+    else:
+        fb_p = np.zeros((n_freq + f_pad, 1), np.float32)
+
+    fn = make_freq_sharded_fn(
+        mesh, win=win, hop=hop, n_frames=n_frames, use_mel=use_mel
+    )
+    rep = NamedSharding(mesh, P(None))
+    db = fn(
+        jax.device_put(padded, rep),
+        jax.device_put(c_p, NamedSharding(mesh, P(None, "sp"))),
+        jax.device_put(s_p, NamedSharding(mesh, P(None, "sp"))),
+        jax.device_put(fb_p, NamedSharding(mesh, P("sp", None))),
+    )
+    if not use_mel and f_pad:
+        db = db[:, :n_freq]
+    return db, n_frames

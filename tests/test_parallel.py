@@ -250,3 +250,22 @@ def test_streaming_mmap_matches_in_memory(setup, rng, tmp_path):
     )
     np.testing.assert_array_equal(np.asarray(db_m2)[:n], np.asarray(db_i)[:n])
     assert lo2 == lo_i and hi2 == hi_i
+
+
+@pytest.mark.parametrize("use_mel", [True, False])
+def test_tensor_parallel_freq_sharding(setup, rng, use_mel):
+    """TP over the frequency dimension (psum combine) == single device."""
+    from msv_tpu.parallel.sharded import freq_sharded_spec
+
+    p, window, c, s, mel_fb = setup
+    mesh = make_mesh(1, 8)
+    wav = (rng.standard_normal(16000) * 0.3).astype(np.float32)
+    fb = mel_fb if use_mel else None
+    db, n = freq_sharded_spec(
+        mesh, wav, p.win_length, p.hop_length, c, s, fb
+    )
+    expect = _reference_db(wav, p, window, fb)
+    assert db.shape[0] == n == expect.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(db)[:, : expect.shape[1]], expect, atol=2e-3, rtol=1e-5
+    )
