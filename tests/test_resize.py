@@ -100,3 +100,19 @@ def test_overshoot_is_clamped(rng):
     img[:, 32:] = 1.0
     out = np.asarray(lanczos3_resize(img, 8, 32))
     assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_resize_random_size_fuzz(rng):
+    """Randomized size pairs vs the image-rs oracle (catches boundary
+    clamping/window arithmetic at unusual ratios)."""
+    for _ in range(10):
+        in_h = int(rng.integers(2, 90))
+        in_w = int(rng.integers(2, 90))
+        out_h = int(rng.integers(1, 70))
+        out_w = int(rng.integers(1, 70))
+        img = rng.random((in_h, in_w), dtype=np.float32)
+        got = np.asarray(lanczos3_resize(img, out_h, out_w))
+        expect = _resize_oracle(img, out_h, out_w)
+        np.testing.assert_allclose(
+            got, expect, atol=5e-6, err_msg=str((in_h, in_w, out_h, out_w))
+        )
