@@ -255,6 +255,11 @@ class _Handler(BaseHTTPRequestHandler):
                         qf("end", 10.0),
                     )
                 self._send(200, "image/png", self._png(img))
+            elif url.path == "/api/colormap":
+                # the 30-byte colormap export (lib.rs:473-480 FFI parity)
+                from .render.colormap import get_colormap
+
+                self._send(200, "application/octet-stream", get_colormap())
             elif url.path == "/api/stats":
                 # observability (SURVEY.md §5.e): stage timings + cache sizes
                 with self.lock:

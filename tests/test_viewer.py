@@ -129,3 +129,11 @@ def test_viewer_stats(viewer_url):
     code, body = _get(viewer_url + "/api/stats")
     d = _json.loads(body)
     assert code == 200 and d["tracks"] == 1 and d["sr_cache"] == [8000]
+
+
+def test_viewer_colormap_export(viewer_url):
+    from msv_tpu.render.colormap import COLORMAP
+
+    code, body = _get(viewer_url + "/api/colormap")
+    assert code == 200 and len(body) == 30
+    assert body == COLORMAP.tobytes()
