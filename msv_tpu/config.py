@@ -101,12 +101,21 @@ def get_precision_mode() -> str:
 def matmul_precision():
     """The jax matmul precision for the current mode (HIGHEST in parity —
     multi-pass f32 on the MXU; DEFAULT/bf16-class in fast)."""
+    return precision_for(_PRECISION_MODE)
+
+
+def precision_for(mode: str):
+    """Precision for an explicit mode string.
+
+    Jitted cores must take the mode as a STATIC argument and use this —
+    reading the global inside a traced function bakes the trace-time mode
+    into the cached executable, so a later set_precision_mode() silently
+    has no effect on already-compiled shapes.
+    """
     import jax
 
     return (
-        jax.lax.Precision.HIGHEST
-        if _PRECISION_MODE == "parity"
-        else jax.lax.Precision.DEFAULT
+        jax.lax.Precision.HIGHEST if mode == "parity" else jax.lax.Precision.DEFAULT
     )
 
 

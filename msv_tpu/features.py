@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import matmul_precision
+from .config import get_precision_mode
 from .ops.decibel import amp_to_db
 from .ops.dft import windowed_dft_matrices
 from .ops.framing import n_frames_for, reflect_pad_center
@@ -32,10 +32,13 @@ from .utils import next_pow2, round_up_to
 
 
 @functools.partial(
-    jax.jit, static_argnames=("win", "hop", "n_frames", "log")
+    jax.jit, static_argnames=("win", "hop", "n_frames", "log", "mode")
 )
-def _features_core(padded_b, c, s, fb, n_valid, *, win, hop, n_frames, log):
-    prec = matmul_precision()
+def _features_core(padded_b, c, s, fb, n_valid, *, win, hop, n_frames, log,
+                   mode):
+    from .config import precision_for
+
+    prec = precision_for(mode)  # static: see config.precision_for docstring
 
     def one(padded):
         frames = frame_device(padded, win, hop, n_frames)
@@ -117,6 +120,7 @@ def log_mel_spectrogram(
         hop=hop_length,
         n_frames=n_pad,
         log=log,
+        mode=get_precision_mode(),
     )[:, :n_frames, :]
     if top_db is not None:
         out = jnp.maximum(out, jnp.max(out) - top_db)

@@ -30,35 +30,45 @@ from ..render.grey import spec_to_grey
 from ..render.resize import _apply_banded_cols
 
 
-@functools.partial(jax.jit, static_argnames=("win", "hop", "n_frames", "use_mel"))
-def spec_pipeline(padded, c, s, mel_fb, n_valid, *, win, hop, n_frames, use_mel):
+@functools.partial(
+    jax.jit, static_argnames=("win", "hop", "n_frames", "use_mel", "mode")
+)
+def spec_pipeline(padded, c, s, mel_fb, n_valid, *, win, hop, n_frames,
+                  use_mel, mode=None):
     """padded wav -> (spec_db (n_frames, n_out), spec_min, spec_max).
 
     ``n_frames`` is the bucketed frame count; ``n_valid`` the true one.
     Rows >= n_valid come from zero padding (they dB-floor at -360) and are
     excluded from the min/max reduction; callers treat them as garbage.
 
+    ``mode`` (precision) is STATIC so mode switches get their own compiled
+    executable.  None would freeze the trace-time global into the cache
+    (set_precision_mode would silently stop working for compiled shapes),
+    so callers resolve it via get_precision_mode() BEFORE the call.
+
     Equivalent of MultiTrack::calc_spec_of (lib.rs:112-136) + the per-spec
     part of the global dB reduce (lib.rs:194-207).
     """
+    from ..config import precision_for
+
+    if mode is None:
+        raise ValueError(
+            "spec_pipeline requires an explicit precision mode "
+            "(pass mode=get_precision_mode())"
+        )
     if padded.dtype == jnp.int16:
         # PCM16 transfer format: exact power-of-two scaling on device.
         padded = padded.astype(jnp.float32) * jnp.float32(2.0**-15)
-    prec = matmul_precision()
-    if get_precision_mode() == "fast":
-        frames = frame_device(padded, win, hop, n_frames).astype(jnp.bfloat16)
-        c = c.astype(jnp.bfloat16)
-        s = s.astype(jnp.bfloat16)
-        if use_mel:
-            mel_fb = mel_fb.astype(jnp.bfloat16)
-    else:
-        frames = frame_device(padded, win, hop, n_frames)
+    # fast mode = single-pass MXU (DEFAULT precision) on f32 operands with
+    # f32 accumulation.  Explicit bf16 INPUT casts were measured to blow up
+    # near-null bins by tens of dB for almost no additional speed (the MXU
+    # consumes f32 via bf16 passes either way); precision_for handles it.
+    prec = precision_for(mode)
+    frames = frame_device(padded, win, hop, n_frames)
     re = jnp.dot(frames, c, precision=prec, preferred_element_type=jnp.float32)
     im = jnp.dot(frames, s, precision=prec, preferred_element_type=jnp.float32)
     mag = jnp.sqrt(re * re + im * im)
     if use_mel:
-        if get_precision_mode() == "fast":
-            mag = mag.astype(jnp.bfloat16)
         spec = jnp.dot(
             mag, mel_fb, precision=prec, preferred_element_type=jnp.float32
         )
@@ -71,17 +81,22 @@ def spec_pipeline(padded, c, s, mel_fb, n_valid, *, win, hop, n_frames, use_mel)
     return db, smin, smax
 
 
-@functools.partial(jax.jit, static_argnames=("win", "hop", "n_frames", "use_mel"))
+@functools.partial(
+    jax.jit, static_argnames=("win", "hop", "n_frames", "use_mel", "mode")
+)
 def spec_pipeline_batched(padded_b, c, s, mel_fb, n_valid, *, win, hop,
-                          n_frames, use_mel):
+                          n_frames, use_mel, mode=None):
     """vmapped spec_pipeline over a leading batch of same-bucket tracks.
 
     One device launch computes N tracks (the reference's rayon-across-tracks
     granularity, lib.rs:161-167, as an MXU batch dim).  Returns
     (db (B, n_frames, n_out), smin (B,), smax (B,)).
     """
+    if mode is None:
+        raise ValueError("spec_pipeline_batched requires an explicit mode")
     fn = functools.partial(
-        spec_pipeline, win=win, hop=hop, n_frames=n_frames, use_mel=use_mel
+        spec_pipeline, win=win, hop=hop, n_frames=n_frames, use_mel=use_mel,
+        mode=mode,
     )
     return jax.vmap(fn, in_axes=(0, None, None, None, 0))(
         padded_b, c, s, mel_fb, n_valid

@@ -127,10 +127,10 @@ def _kernel(wav_ref, c_ref, s_ref, fb_ref, out_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("win", "hop", "n_frames", "interpret"),
+    static_argnames=("win", "hop", "n_frames", "interpret", "mode"),
 )
 def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
-                           interpret=False):
+                           interpret=False, mode=None):
     """Fused mel dB spectrogram.
 
     wav2d: (n_frames + t_overlap - 1, hop) f32 — padded signal, reshaped.
@@ -156,13 +156,11 @@ def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
     row_align = 16 if wav2d.dtype == jnp.int16 else 8
     n_chunk_rows = round_up_to(TILE_F + t_overlap - 1, row_align)
 
-    from ..config import get_precision_mode
+    from ..config import get_precision_mode, precision_for
 
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if get_precision_mode() == "parity"
-        else jax.lax.Precision.DEFAULT
-    )
+    # ``mode`` is static so precision flips re-key the jit cache; None only
+    # appears when called outside any jit (resolved here at call time).
+    precision = precision_for(mode or get_precision_mode())
     kernel = functools.partial(
         _kernel, t_overlap=t_overlap, hop=hop, win=win, n_k_tiles=n_k_tiles,
         precision=precision,

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import matmul_precision
+from ..config import get_precision_mode
 from ..utils import round_up_to
 from .dft import windowed_dft_matrices
 from .framing import n_frames_for, reflect_pad_center
@@ -51,18 +51,21 @@ def frame_device(padded, win: int, hop: int, n_frames: int):
     return padded[jnp.asarray(idx)]
 
 
-@functools.partial(jax.jit, static_argnames=("win", "hop", "n_frames"))
-def _stft_core(padded, c, s, *, win: int, hop: int, n_frames: int):
+@functools.partial(jax.jit, static_argnames=("win", "hop", "n_frames", "mode"))
+def _stft_core(padded, c, s, *, win: int, hop: int, n_frames: int, mode: str):
+    from ..config import precision_for
+
     frames = frame_device(padded, win, hop, n_frames)
-    prec = matmul_precision()
+    prec = precision_for(mode)  # static: avoids stale-mode jit caches
     re = jnp.dot(frames, c, precision=prec, preferred_element_type=jnp.float32)
     im = jnp.dot(frames, s, precision=prec, preferred_element_type=jnp.float32)
     return re, im
 
 
-@functools.partial(jax.jit, static_argnames=("win", "hop", "n_frames"))
-def _stft_mag_core(padded, c, s, *, win: int, hop: int, n_frames: int):
-    re, im = _stft_core(padded, c, s, win=win, hop=hop, n_frames=n_frames)
+@functools.partial(jax.jit, static_argnames=("win", "hop", "n_frames", "mode"))
+def _stft_mag_core(padded, c, s, *, win: int, hop: int, n_frames: int, mode: str):
+    re, im = _stft_core(padded, c, s, win=win, hop=hop, n_frames=n_frames,
+                        mode=mode)
     return jnp.sqrt(re * re + im * im)
 
 
@@ -115,6 +118,7 @@ def perform_stft(
         win=win_length,
         hop=hop_length,
         n_frames=n_frames_pad,
+        mode=get_precision_mode(),
     )
     out = jax.lax.complex(re, im)[:n_frames]
     return out
@@ -199,5 +203,6 @@ def stft_magnitude(
         win=win_length,
         hop=hop_length,
         n_frames=n_frames_pad,
+        mode=get_precision_mode(),
     )
     return mag, n_frames

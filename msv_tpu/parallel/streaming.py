@@ -26,19 +26,23 @@ from ..utils import round_up_to
 @functools.partial(
     jax.jit,
     static_argnames=("win", "hop", "n_fft", "chunk_frames", "n_chunks",
-                     "use_mel", "impl"),
+                     "use_mel", "impl", "mode"),
 )
 def _streaming_core(
     padded, c, s, window, mel_fb, n_valid, *, win, hop, n_fft, chunk_frames,
-    n_chunks, use_mel, impl
+    n_chunks, use_mel, impl, mode
 ):
+    # ``mode`` is STATIC: reading the global inside the trace would bake the
+    # trace-time precision into the cached executable (set_precision_mode
+    # would silently stop working for compiled shapes).
+    from ..config import precision_for
+
     t_overlap = win // hop
     chunk_len = chunk_frames * hop + (win - hop)
-    prec = matmul_precision()
-    fast = get_precision_mode() == "fast"
-    cc = c.astype(jnp.bfloat16) if fast else c
-    ss = s.astype(jnp.bfloat16) if fast else s
-    fb = mel_fb.astype(jnp.bfloat16) if (fast and use_mel) else mel_fb
+    # fast mode = DEFAULT (single-pass) MXU precision on f32 operands; see
+    # kernels/pipeline.py for why explicit bf16 input casts are avoided.
+    prec = precision_for(mode)
+    cc, ss, fb = c, s, mel_fb
     if padded.dtype == jnp.int16:
         # PCM16 transfer format (half the tunnel bytes): exact 2^-15 scale.
         padded = padded.astype(jnp.float32) * jnp.float32(2.0**-15)
@@ -64,8 +68,6 @@ def _streaming_core(
                 wf = jnp.pad(wf, ((0, 0), (0, n_fft - win)))
             mag = jnp.abs(jnp.fft.rfft(wf, axis=-1))
         else:
-            if fast:
-                frames = frames.astype(jnp.bfloat16)
             re = jnp.dot(
                 frames, cc, precision=prec, preferred_element_type=jnp.float32
             )
@@ -74,8 +76,6 @@ def _streaming_core(
             )
             mag = jnp.sqrt(re * re + im * im)
         if use_mel:
-            if fast:
-                mag = mag.astype(jnp.bfloat16)
             mag = jnp.dot(mag, fb, precision=prec, preferred_element_type=jnp.float32)
         db = amp_to_db(mag)
         gidx = i * chunk_frames + jnp.arange(chunk_frames)
@@ -195,6 +195,7 @@ def streaming_spec_db(
                 n_chunks=nck,
                 use_mel=use_mel,
                 impl=impl,
+                mode=get_precision_mode(),
             )
         )
     if len(outs) == 1:
@@ -259,6 +260,7 @@ def _streaming_pallas(wav, win, hop, c, s, mel_fb, chunk_frames, seg_chunks):
             hop=hop,
             n_frames=seg_frames,
             interpret=interpret,
+            mode=get_precision_mode(),
         )
         db = db_p[:, :n_mel]
         f0 = g * seg_frames
@@ -363,6 +365,7 @@ def streaming_spec_db_mmap(path, win, hop, c, s, mel_fb=None,
                 n_chunks=nck,
                 use_mel=use_mel,
                 impl="dft",
+                mode=get_precision_mode(),
             )
         )
         start_frame += seg_frames_g

@@ -249,6 +249,7 @@ class MultiTrack:
             hop=hop,
             n_frames=n_frames_pad,
             interpret=interpret,
+            mode=__import__('msv_tpu.config', fromlist=['x']).get_precision_mode(),
         )
         db = db_p[:, :n_mel]
         fmask = (jnp.arange(n_frames_pad) < n_frames)[:, None]
@@ -333,6 +334,8 @@ class MultiTrack:
         if mel_fb is None:
             # pass a dummy so the jit signature is stable per (shape, use_mel)
             mel_fb = jnp.zeros((1, 1), dtype=jnp.float32)
+        from ..config import get_precision_mode
+
         db, smin, smax = spec_pipeline(
             jnp.asarray(padded),
             c,
@@ -343,6 +346,7 @@ class MultiTrack:
             hop=hop,
             n_frames=n_frames_pad,
             use_mel=use_mel,
+            mode=get_precision_mode(),
         )
         st = _TrackState()
         st.spec_db = db
@@ -425,6 +429,8 @@ class MultiTrack:
             mel_fb = self._mel_dev.get(sr) if use_mel else None
             if mel_fb is None:
                 mel_fb = jnp.zeros((1, 1), dtype=jnp.float32)
+            from ..config import get_precision_mode
+
             db_b, smin_b, smax_b = spec_pipeline_batched(
                 jnp.asarray(batch),
                 c,
@@ -435,6 +441,7 @@ class MultiTrack:
                 hop=hop,
                 n_frames=n_frames_pad,
                 use_mel=use_mel,
+                mode=get_precision_mode(),
             )
             mm = np.asarray(jnp.stack([smin_b, smax_b]))  # one host sync
             for b, id in enumerate(ids):

@@ -59,6 +59,7 @@ def test_pallas_matches_xla_pipeline(sr, rng):
         hop=hop,
         n_frames=n_frames_pad,
         use_mel=True,
+        mode="parity",
     )
     expect = np.asarray(expect)[:n_frames]
     np.testing.assert_allclose(got, expect, atol=2e-3, rtol=1e-4)

@@ -238,8 +238,10 @@ def test_fast_precision_mode_session(wav_dir):
     finally:
         set_precision_mode("parity")
     diff = np.abs(img_p.astype(int) - img_f.astype(int))
-    # CPU "bf16" matmuls may be emulated exactly; on TPU this bounds the
-    # visible error. Either way the contract is <= a few u8 steps.
+    # CPU-scoped bound (DEFAULT ~= HIGHEST off-MXU).  On real TPU, fast mode
+    # keeps ~90% of pixels exact but deep-null pixels can swing (measured
+    # maxdiff 131 at 0.09% of pixels... see README Modes); parity mode is
+    # the pixel contract.
     assert diff.max() <= 3
     assert (diff > 1).mean() < 0.01
 
