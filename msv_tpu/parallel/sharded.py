@@ -17,16 +17,20 @@ instead of a neighbor.
 """
 
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..config import matmul_precision
+from ..config import get_precision_mode
 from ..ops.decibel import amp_to_db
 
 
-def _local_spec(chunk, halo, c, s, mel_fb, win, hop, fps):
+def _local_spec(chunk, halo, c, s, mel_fb, win, hop, fps, mode):
     """Frame a local chunk (+halo) and run the DFT/mel GEMM chain."""
+    from ..config import precision_for
+
     x = jnp.concatenate([chunk, halo], axis=-1)  # (..., L + win - hop)
     t_overlap = win // hop
     n_rows = fps + t_overlap - 1
@@ -35,7 +39,7 @@ def _local_spec(chunk, halo, c, s, mel_fb, win, hop, fps):
         jax.lax.slice_in_dim(x2d, t, t + fps, axis=-2) for t in range(t_overlap)
     ]
     frames = jnp.concatenate(parts, axis=-1)  # (..., fps, win)
-    prec = matmul_precision()
+    prec = precision_for(mode)
     re = jnp.dot(frames, c, precision=prec, preferred_element_type=jnp.float32)
     im = jnp.dot(frames, s, precision=prec, preferred_element_type=jnp.float32)
     mag = jnp.sqrt(re * re + im * im)
@@ -44,8 +48,13 @@ def _local_spec(chunk, halo, c, s, mel_fb, win, hop, fps):
     return amp_to_db(mag)
 
 
-def make_sharded_spec_fn(mesh, *, win, hop, frames_per_shard, use_mel):
+@functools.lru_cache(maxsize=64)
+def make_sharded_spec_fn(mesh, *, win, hop, frames_per_shard, use_mel,
+                         mode="parity"):
     """Build the jitted shard_map pipeline for one (win, hop, fps) bucket.
+
+    lru-cached (mesh is hashable) with the precision mode in the key so
+    repeated calls reuse the compiled executable and mode flips re-key it.
 
     Returns fn(wavs (B, n_sp*L), tail (B, win-hop), c, s, mel_fb, n_valid)
       -> (db (B, n_frames_total, n_out) sharded (dp, sp, None),
@@ -66,7 +75,8 @@ def make_sharded_spec_fn(mesh, *, win, hop, frames_per_shard, use_mel):
             halo = jnp.where(sp == n_sp - 1, tail, halo)
         else:
             halo = wav_l[:, :0]
-        db = _local_spec(wav_l, halo, c, s, mel_fb if use_mel else None, win, hop, fps)
+        db = _local_spec(wav_l, halo, c, s, mel_fb if use_mel else None,
+                         win, hop, fps, mode)
         # masked global min/max over valid frames (global frame index)
         gidx = sp * fps + jnp.arange(fps)
         fmask = (gidx < n_valid)[None, :, None]
@@ -112,7 +122,8 @@ def sharded_spec_pipeline(mesh, wavs, win, hop, c, s, mel_fb, n_valid_frames):
         tail = np.pad(tail, ((0, 0), (0, halo - tail.shape[1])))
 
     fn = make_sharded_spec_fn(
-        mesh, win=win, hop=hop, frames_per_shard=fps, use_mel=mel_fb is not None
+        mesh, win=win, hop=hop, frames_per_shard=fps,
+        use_mel=mel_fb is not None, mode=get_precision_mode(),
     )
     dev_body = jax.device_put(body, NamedSharding(mesh, P("dp", "sp")))
     dev_tail = jax.device_put(tail, NamedSharding(mesh, P("dp", None)))
@@ -129,8 +140,9 @@ def sharded_spec_pipeline(mesh, wavs, win, hop, c, s, mel_fb, n_valid_frames):
     return db, gmin, gmax, fps * n_sp
 
 
+@functools.lru_cache(maxsize=64)
 def make_sharded_streaming_fn(mesh, *, win, hop, chunk_frames, chunks_per_dev,
-                              use_mel):
+                              use_mel, mode="parity"):
     """Long-file spectrogram over the "sp" mesh axis: each device lax.scans
     its own contiguous run of chunks (frames_per_dev = chunks_per_dev *
     chunk_frames), after the (win - hop) halo exchange with its right
@@ -155,10 +167,12 @@ def make_sharded_streaming_fn(mesh, *, win, hop, chunk_frames, chunks_per_dev,
             halo = jnp.where(sp == n_sp - 1, tail, halo)
         else:
             halo = wav_l[:0]
+        from ..config import precision_for
+
         x = jnp.concatenate([wav_l, halo])
         if x.dtype == jnp.int16:
             x = x.astype(jnp.float32) * jnp.float32(2.0**-15)
-        prec = matmul_precision()
+        prec = precision_for(mode)
         chunk_len = chunk_frames * hop + halo_len
 
         def step(_, i):
@@ -230,6 +244,7 @@ def sharded_streaming_spec_db(mesh, wav, win, hop, c, s, mel_fb=None,
     fn = make_sharded_streaming_fn(
         mesh, win=win, hop=hop, chunk_frames=chunk_frames,
         chunks_per_dev=chunks_per_dev, use_mel=mel_fb is not None,
+        mode=get_precision_mode(),
     )
     dev_body = jax.device_put(body, NamedSharding(mesh, P("sp")))
     dev_tail = jax.device_put(tail, NamedSharding(mesh, P(None)))
@@ -245,7 +260,9 @@ def sharded_streaming_spec_db(mesh, wav, win, hop, c, s, mel_fb=None,
     return db, n_frames, float(gmin), float(gmax)
 
 
-def make_freq_sharded_fn(mesh, *, win, hop, n_frames, use_mel):
+@functools.lru_cache(maxsize=64)
+def make_freq_sharded_fn(mesh, *, win, hop, n_frames, use_mel,
+                         mode="parity"):
     """TENSOR-parallel spectrogram: the frequency dimension of the
     windowed-DFT matrices (and the matching mel-filterbank rows) shards
     over the "sp" axis — each device computes a frequency slice of the
@@ -272,7 +289,9 @@ def make_freq_sharded_fn(mesh, *, win, hop, n_frames, use_mel):
              for t in range(t_overlap)],
             axis=1,
         )
-        prec = matmul_precision()
+        from ..config import precision_for
+
+        prec = precision_for(mode)
         re = jnp.dot(frames, c_l, precision=prec,
                      preferred_element_type=jnp.float32)
         im = jnp.dot(frames, s_l, precision=prec,
@@ -325,7 +344,8 @@ def freq_sharded_spec(mesh, wav, win, hop, c, s, mel_fb=None):
         fb_p = np.zeros((n_freq + f_pad, 1), np.float32)
 
     fn = make_freq_sharded_fn(
-        mesh, win=win, hop=hop, n_frames=n_frames, use_mel=use_mel
+        mesh, win=win, hop=hop, n_frames=n_frames, use_mel=use_mel,
+        mode=get_precision_mode(),
     )
     rep = NamedSharding(mesh, P(None))
     db = fn(
