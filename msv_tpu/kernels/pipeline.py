@@ -22,7 +22,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..config import get_precision_mode, matmul_precision
 from ..ops.decibel import amp_to_db
 from ..ops.stft import frame_device
 from ..render.colormap import grey_to_rgb_planar

@@ -20,7 +20,6 @@ import numpy as np
 from ..config import get_precision_mode, matmul_precision
 from ..ops.decibel import amp_to_db
 from ..ops.framing import n_frames_for, reflect_pad_center
-from ..utils import round_up_to
 
 
 @functools.partial(
