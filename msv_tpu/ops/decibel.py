@@ -23,22 +23,42 @@ AMIN_AMP_DEFAULT = 1e-18
 AMIN_POWER_DEFAULT = 1e-36
 
 
-def _log_for_db(x, ref_value: float, amin: float):
-    if ref_value < 0 or amin < 0:
-        raise ValueError("reference and amin must be >= 0 (decibel.rs:34-38)")
+def _log_for_db(x, ref_value, amin: float):
+    if amin < 0:
+        raise ValueError("amin must be >= 0 (decibel.rs:34-38)")
     log_amin = math.log10(amin) if amin > 0 else -math.inf
-    log_ref = math.log10(ref_value) if ref_value > amin else log_amin
+    if ref_value == "max":
+        # DeciBelRef::Max (decibel.rs:11-13,41): reference = max of the array,
+        # with the same ref > amin fallback rule — traced, stays on device.
+        ref = jnp.max(x)
+        log_ref = jnp.where(
+            ref > amin, jnp.log10(jnp.maximum(ref, amin)), log_amin
+        )
+    else:
+        if not isinstance(ref_value, (int, float)):
+            raise ValueError(
+                f"ref_value must be a non-negative number or 'max', "
+                f"got {ref_value!r}"
+            )
+        if ref_value < 0:
+            raise ValueError("reference must be >= 0 (decibel.rs:34-38)")
+        log_ref = math.log10(ref_value) if ref_value > amin else log_amin
     log_amin = jnp.asarray(log_amin, dtype=x.dtype)
     return jnp.where(x > amin, jnp.log10(x) - log_ref, log_amin - log_ref)
 
 
-def amp_to_db(x, ref_value: float = REF_DEFAULT, amin: float = AMIN_AMP_DEFAULT):
-    """20*log10 with floor (decibel.rs:68-76, defaults decibel.rs:78-88)."""
+def amp_to_db(x, ref_value=REF_DEFAULT, amin: float = AMIN_AMP_DEFAULT):
+    """20*log10 with floor (decibel.rs:68-76, defaults decibel.rs:78-88).
+
+    ``ref_value``: a non-negative float, or the string "max" for the
+    reference's DeciBelRef::Max variant (reference = array maximum).
+    """
     return 20.0 * _log_for_db(x, ref_value, amin)
 
 
-def power_to_db(x, ref_value: float = REF_DEFAULT, amin: float = AMIN_POWER_DEFAULT):
-    """10*log10 with floor (decibel.rs:58-66, defaults decibel.rs:90-100)."""
+def power_to_db(x, ref_value=REF_DEFAULT, amin: float = AMIN_POWER_DEFAULT):
+    """10*log10 with floor (decibel.rs:58-66, defaults decibel.rs:90-100).
+    ``ref_value`` may be "max" (DeciBelRef::Max)."""
     return 10.0 * _log_for_db(x, ref_value, amin)
 
 

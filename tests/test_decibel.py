@@ -54,3 +54,15 @@ def test_db_amp_roundtrip():
 def test_validation():
     with pytest.raises(ValueError):
         amp_to_db(jnp.asarray([1.0]), ref_value=-1.0)
+
+
+def test_max_reference_mode():
+    """DeciBelRef::Max (decibel.rs:11-13,41): 0 dB at the array max."""
+    x = jnp.asarray([0.5, 1.0, 2.0])
+    out = np.asarray(amp_to_db(x, ref_value="max"))
+    assert out[2] == pytest.approx(0.0, abs=1e-3)
+    assert out[1] == pytest.approx(-20.0 * np.log10(2.0), abs=1e-3)
+    # ref <= amin fallback: all-below-floor array
+    tiny = jnp.asarray([0.0, 0.0])
+    out2 = np.asarray(amp_to_db(tiny, ref_value="max"))
+    assert out2[0] == pytest.approx(0.0, abs=1e-3)  # log_amin - log_amin
