@@ -52,10 +52,14 @@ def _build_parser():
     s = sub.add_parser("serve", help="serve rendered PNGs over HTTP")
     s.add_argument("dir")
     s.add_argument("--port", type=int, default=8000)
+    s.add_argument("--host", default="127.0.0.1",
+                   help="bind address (default loopback; 0.0.0.0 to expose)")
 
     v = sub.add_parser("view", help="interactive web viewer (shared time axis)")
     v.add_argument("files", nargs="+")
     v.add_argument("--port", type=int, default=8080)
+    v.add_argument("--host", default="127.0.0.1",
+                   help="bind address (default loopback; 0.0.0.0 to expose)")
     v.add_argument("--freq-scale", choices=["mel", "linear"], default="mel")
     return p
 
@@ -128,7 +132,7 @@ def _main(argv=None):
             if args.freq_scale == "mel"
             else FreqScale.LINEAR
         )
-        serve_viewer(args.files, args.port, setting)
+        serve_viewer(args.files, args.port, setting, host=args.host)
         return 0
 
     if args.cmd == "serve":
@@ -138,8 +142,8 @@ def _main(argv=None):
         handler = functools.partial(
             http.server.SimpleHTTPRequestHandler, directory=args.dir
         )
-        print(f"serving {args.dir} on http://localhost:{args.port}")
-        http.server.HTTPServer(("", args.port), handler).serve_forever()
+        print(f"serving {args.dir} on http://{args.host or '0.0.0.0'}:{args.port}")
+        http.server.HTTPServer((args.host, args.port), handler).serve_forever()
         return 0
 
     # render

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import get_precision_mode, matmul_precision
+from ..config import get_precision_mode
 from ..ops.decibel import amp_to_db
 from ..ops.framing import n_frames_for, reflect_pad_center
 
@@ -214,7 +214,7 @@ def _streaming_pallas(wav, win, hop, c, s, mel_fb, chunk_frames, seg_chunks):
     frames / rfft intermediates never leave VMEM.  Parity mode uses f32
     operands with HIGHEST dots; fast mode ships bf16 operand tiles.
     """
-    from ..config import get_precision_mode, matmul_precision
+    from ..config import get_precision_mode
     from ..kernels.spectrogram_pallas import (
         TILE_F,
         mel_spectrogram_pallas,

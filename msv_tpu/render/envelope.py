@@ -187,11 +187,12 @@ def _envelope_core(
     else:
         mx, mn = _chunked_window_minmax(wav, starts, ends, m, n_cols)
 
-    # amp -> row: rust_round((amp_max - x) * nheight / range) as isize
-    scale = nheight / (amp_max - amp_min)
-
+    # amp -> row: rust_round((amp_max - x) * nheight / range) as isize.
+    # The f32 association must be ((amp_max - x) * nheight) / range exactly
+    # as display.rs:71-72 writes it — a precomputed nheight/range scale can
+    # land on the other side of a .5 rounding tie and shift a column 1 px.
     def to_px(x):
-        v = (amp_max - x) * scale
+        v = (amp_max - x) * jnp.float32(nheight) / (amp_max - amp_min)
         return jnp.where(v >= 0, jnp.floor(v + 0.5), jnp.ceil(v - 0.5)).astype(
             jnp.int32
         )

@@ -34,7 +34,13 @@ def spec_to_grey(spec, max_db, min_db, *, height: int):
     device-resident global dB range so renormalization never leaves HBM).
     """
     n_frames, n_freq = spec.shape
-    norm = jnp.clip((spec - min_db) / (max_db - min_db), 0.0, 1.0)
+    # Degenerate range guard: a silent/constant track makes max_db == min_db;
+    # 0/0 would be NaN, which Rust's f32 .max(0.).min(1.) collapses to 0
+    # (display.rs:49) but jnp.clip propagates — match the reference by
+    # rendering grey 0 and keep the output deterministic across backends.
+    rng = max_db - min_db
+    safe = jnp.where(rng > 0, rng, 1.0)
+    norm = jnp.clip(jnp.where(rng > 0, (spec - min_db) / safe, 0.0), 0.0, 1.0)
     img = jnp.flip(norm.T, axis=0)  # (n_freq, n_frames), row 0 = top freq
     if height < n_freq:
         raise ValueError("up_ratio must be >= 1 (height >= n_freq)")

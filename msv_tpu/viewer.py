@@ -316,14 +316,22 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(500, "text/plain", f"error: {e}".encode())
 
 
-def serve_viewer(paths, port: int = 8080, setting=None):
-    """Load tracks and serve the viewer UI.  Blocks."""
+def serve_viewer(paths, port: int = 8080, setting=None, host: str = "127.0.0.1"):
+    """Load tracks and serve the viewer UI.  Blocks.
+
+    Binds loopback by default: POST /api/add takes filesystem paths and
+    GET /api/audio streams decoded files, so exposing the server to the
+    network would let any peer read decodable files on this host (the
+    reference is a local Electron app with no network surface).  Pass an
+    explicit ``host`` ("" / "0.0.0.0") to opt in to remote access.
+    """
     from .session import MultiTrack
 
     mt = MultiTrack(setting)
     if paths:
         mt.add_tracks(list(range(len(paths))), list(paths))
     handler = type("H", (_Handler,), {"session": mt, "lock": threading.Lock()})
-    srv = ThreadingHTTPServer(("", port), handler)
-    print(f"msv_tpu viewer on http://localhost:{port}  ({len(paths)} tracks)")
+    srv = ThreadingHTTPServer((host, port), handler)
+    shown = host or "0.0.0.0"
+    print(f"msv_tpu viewer on http://{shown}:{port}  ({len(paths)} tracks)")
     srv.serve_forever()

@@ -33,6 +33,19 @@ def test_spec_to_grey_matches_oracle(rng):
         np.testing.assert_allclose(got, expect, atol=1e-6)
 
 
+def test_spec_to_grey_degenerate_range_is_zero_not_nan():
+    """Silent/constant track: max_db == min_db.  Rust's .max(0.).min(1.)
+    collapses the 0/0 NaN to grey 0 (display.rs:49); jnp.clip would
+    propagate it and make the RGB cast backend-dependent."""
+    spec = np.full((5, 4), -360.0, np.float32)
+    got = np.asarray(
+        spec_to_grey(jnp.asarray(spec), jnp.float32(-360.0),
+                     jnp.float32(-360.0), height=4)
+    )
+    assert np.all(np.isfinite(got))
+    np.testing.assert_array_equal(got, np.zeros((4, 5), np.float32))
+
+
 def test_grey_height_rust_round():
     # f32 multiply then round-half-away (display.rs:45)
     assert grey_height(9, 1.0) == 9
