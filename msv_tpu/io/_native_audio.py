@@ -34,6 +34,8 @@ def _load():
             ctypes.POINTER(ctypes.c_int32),  # sample rate
         ]
         lib.msv_wav_decode.restype = ctypes.c_int32
+        lib.msv_flac_decode.argtypes = lib.msv_wav_decode.argtypes
+        lib.msv_flac_decode.restype = ctypes.c_int32
         lib.msv_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
         lib.msv_free.restype = None
         _LIB = lib
@@ -42,16 +44,12 @@ def _load():
     return _LIB
 
 
-def try_decode(path: str):
-    """Returns (wav (n_ch, n_samples) f32, sr) or None if unavailable."""
-    lib = _load()
-    if lib is None:
-        return None
+def _call_decoder(fn, path: str):
     buf = ctypes.POINTER(ctypes.c_float)()
     n_samples = ctypes.c_int64()
     n_ch = ctypes.c_int32()
     sr = ctypes.c_int32()
-    rc = lib.msv_wav_decode(
+    rc = fn(
         path.encode(),
         ctypes.byref(buf),
         ctypes.byref(n_samples),
@@ -59,11 +57,55 @@ def try_decode(path: str):
         ctypes.byref(sr),
     )
     if rc != 0:
-        return None  # let the numpy parser produce the detailed error
+        return rc, None
     try:
-        n = n_samples.value * n_ch.value
         # native layout: channel-major (n_ch, n_samples), ready to use
         arr = np.ctypeslib.as_array(buf, shape=(n_ch.value, n_samples.value)).copy()
     finally:
-        lib.msv_free(buf)
-    return arr, sr.value
+        lib_free = _LIB
+        lib_free.msv_free(buf)
+    return 0, (arr, sr.value)
+
+
+def try_decode(path: str):
+    """Returns (wav (n_ch, n_samples) f32, sr) or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    rc, out = _call_decoder(lib.msv_wav_decode, path)
+    return out if rc == 0 else None  # numpy parser produces detailed errors
+
+
+_FLAC_ERRORS = {
+    1: "io error",
+    2: "not a FLAC stream",
+    3: "bad metadata",
+    4: "bad frame",
+    5: "frame header CRC mismatch",
+    6: "bad subframe",
+    7: "frame CRC mismatch",
+    8: "truncated stream",
+    9: "out of memory",
+}
+
+
+def flac_available() -> bool:
+    return _load() is not None
+
+
+def decode_flac(path: str):
+    """FLAC -> (wav (n_ch, n_samples) f32, sr).  Raises on failure."""
+    from ..utils.errors import AudioReadError
+
+    lib = _load()
+    if lib is None:
+        raise AudioReadError(
+            f"{path}: FLAC decoding unavailable "
+            "(build libmsv_native.so: make -C msv_tpu/native)"
+        )
+    rc, out = _call_decoder(lib.msv_flac_decode, path)
+    if rc != 0:
+        raise AudioReadError(
+            f"{path}: FLAC decode failed ({_FLAC_ERRORS.get(rc, rc)})"
+        )
+    return out

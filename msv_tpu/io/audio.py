@@ -8,9 +8,10 @@ float samples pass through.
 The decoder prefers the native C++ parser (msv_tpu.native) when built — the
 reference's L0 is native (Rust hound/rodio) and ours mirrors that — with a
 pure-numpy RIFF parser as the always-available fallback.  Non-WAV codecs
-(flac/vorbis, handled by rodio in the reference) are delegated to
-``soundfile`` when present, else raise AudioReadError (this image has no
-audio-codec library baked in).
+(handled by rodio in the reference, audio.rs:23-30) are covered natively:
+FLAC by the from-scratch C++ decoder (native/flac_decoder.cc) and
+Ogg/Vorbis by ctypes bindings to the system libvorbisfile (_vorbis.py);
+``soundfile`` is only a last-resort fallback for other containers.
 """
 
 import struct
@@ -124,6 +125,8 @@ def open_audio_file_ex(path: str):
             head = f.read(12)
             f.seek(0)
             is_wav = head[:4] == b"RIFF" and head[8:12] == b"WAVE"
+            is_flac = head[:4] == b"fLaC"
+            is_ogg = head[:4] == b"OggS"
             if is_wav:
                 # The C++ decoder (msv_tpu/native) is an alternative backend
                 # kept at parity with the numpy parser (tests/test_audio.py);
@@ -142,13 +145,25 @@ def open_audio_file_ex(path: str):
     except OSError as e:
         raise AudioReadError(f"{path}: {e}") from e
 
-    # rodio fallback path (flac/vorbis) — delegate to soundfile if available.
+    # rodio-equivalent codecs (audio.rs:23-30): FLAC via the native C++
+    # decoder (msv_tpu/native/flac_decoder.cc), Ogg/Vorbis via the system
+    # libvorbisfile (io/_vorbis.py).  soundfile remains a last-resort
+    # fallback for anything else, when installed.
+    if is_flac:
+        from . import _native_audio
+
+        wav, sr = _native_audio.decode_flac(path)
+        return wav, int(sr), None
+    if is_ogg:
+        from . import _vorbis
+
+        wav, sr = _vorbis.decode(path)
+        return wav, int(sr), None
     try:
         import soundfile  # noqa: F401  (not baked into this image)
     except ImportError:
         raise AudioReadError(
-            f"{path}: not a WAV file and no codec backend available "
-            "(install soundfile for flac/vorbis)"
+            f"{path}: unrecognized format (supported: WAV, FLAC, Ogg/Vorbis)"
         )
     data, sr = soundfile.read(path, dtype="float32", always_2d=True)
     return np.ascontiguousarray(data.T), int(sr), None

@@ -1,0 +1,196 @@
+"""FLAC + Ogg/Vorbis decoding (reference: rodio fallback, audio.rs:23-30).
+
+FLAC: the native C++ decoder (msv_tpu/native/flac_decoder.cc) is exercised
+against the spec-conformant Python encoder (io/flac_encode.py) across every
+subframe type, stereo decorrelation mode, Rice partitioning variant, and
+bit depth — plus committed fixtures so the tests run without the encoder.
+
+Vorbis: ctypes bindings to the system libvorbisfile, validated on committed
+fixtures produced by the system libvorbisenc (tools/make_ogg_fixture.py)
+and on a real-world third-party file when present.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from msv_tpu.io._native_audio import decode_flac, flac_available
+from msv_tpu.io._vorbis import available as vorbis_available
+from msv_tpu.io.audio import open_audio_file
+from msv_tpu.io.flac_encode import encode_flac, write_flac
+from msv_tpu.utils.errors import AudioReadError
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+pytestmark = pytest.mark.skipif(
+    not flac_available(), reason="libmsv_native.so not built"
+)
+
+
+def _pcm16(rng, shape, amp=8000):
+    return np.clip(rng.standard_normal(shape) * amp, -32768, 32767).astype(
+        np.int64
+    )
+
+
+def _roundtrip(tmp_path, pcm, sr, bps=16, **kw):
+    path = str(tmp_path / "t.flac")
+    with open(path, "wb") as f:
+        f.write(encode_flac(pcm, sr, bps=bps, **kw))
+    wav, got_sr = decode_flac(path)
+    lim = 1 << (bps - 1)
+    assert got_sr == sr
+    assert wav.shape == pcm.shape
+    np.testing.assert_array_equal(wav, pcm.astype(np.float32) / lim)
+    return path
+
+
+@pytest.mark.parametrize("mode", [
+    "verbatim", "fixed0", "fixed1", "fixed2", "fixed3", "fixed4",
+    "lpc1", "lpc2", "lpc4",
+])
+def test_flac_subframe_modes(tmp_path, rng, mode):
+    pcm = _pcm16(rng, (1, 1000))
+    _roundtrip(tmp_path, pcm, 8000, mode=mode)
+
+
+def test_flac_constant(tmp_path):
+    _roundtrip(tmp_path, np.full((1, 500), -123, np.int64), 8000,
+               mode="constant")
+
+
+@pytest.mark.parametrize("stereo_mode", [
+    "independent", "left_side", "right_side", "mid_side",
+])
+def test_flac_stereo_decorrelation(tmp_path, rng, stereo_mode):
+    pcm = _pcm16(rng, (2, 777))
+    _roundtrip(tmp_path, pcm, 44100, mode="fixed2", stereo_mode=stereo_mode)
+
+
+def test_flac_rice_partitions_and_escape(tmp_path, rng):
+    pcm = _pcm16(rng, (1, 1024))
+    _roundtrip(tmp_path, pcm, 16000, mode="fixed2", partition_order=3,
+               blocksize=256)
+    _roundtrip(tmp_path, pcm, 16000, mode="fixed1", force_escape=True)
+
+
+def test_flac_wasted_bits(tmp_path, rng):
+    pcm = _pcm16(rng, (1, 600)) & ~np.int64(7)
+    _roundtrip(tmp_path, pcm, 8000, mode="fixed2", wasted_bits=3)
+
+
+@pytest.mark.parametrize("bps,amp", [(8, 100), (16, 20000), (24, 2**22)])
+def test_flac_bit_depths(tmp_path, rng, bps, amp):
+    lim = 1 << (bps - 1)
+    pcm = np.clip(rng.standard_normal((1, 400)) * amp, -lim, lim - 1).astype(
+        np.int64
+    )
+    _roundtrip(tmp_path, pcm, 48000, bps=bps,
+               mode="verbatim" if bps == 8 else "fixed2")
+
+
+def test_flac_short_tail_frame(tmp_path, rng):
+    # 300 samples @ blocksize 256 -> 44-sample tail frame
+    pcm = _pcm16(rng, (1, 300))
+    _roundtrip(tmp_path, pcm, 8000, mode="fixed2", blocksize=256)
+
+
+def test_flac_corrupt_rejected(tmp_path, rng):
+    pcm = _pcm16(rng, (1, 500))
+    data = bytearray(encode_flac(pcm, 8000, mode="fixed2"))
+    data[len(data) // 2] ^= 0xFF  # flip bits mid-frame
+    path = str(tmp_path / "bad.flac")
+    with open(path, "wb") as f:
+        f.write(bytes(data))
+    with pytest.raises(AudioReadError):
+        from msv_tpu.io.audio import open_audio_file_ex
+
+        open_audio_file_ex(path)
+
+
+def test_flac_fixture_dispatch():
+    """Committed fixture decodes through the magic-byte dispatcher."""
+    wav, sr = open_audio_file(os.path.join(FIXTURES, "sine440_8k.flac"))
+    assert sr == 8000 and wav.shape == (1, 4000)
+    t = np.arange(wav.shape[1]) / sr
+    ref = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    # 16-bit quantization only
+    np.testing.assert_allclose(wav[0], ref, atol=1.0 / (1 << 15))
+
+
+def test_flac_stereo_fixture():
+    wav, sr = open_audio_file(
+        os.path.join(FIXTURES, "duotone_8k_stereo.flac"))
+    assert sr == 8000 and wav.shape == (2, 2400)
+    t = np.arange(2400) / 8000
+    np.testing.assert_allclose(
+        wav[0], 0.5 * np.sin(2 * np.pi * 440.0 * t), atol=1.0 / (1 << 15))
+    np.testing.assert_allclose(
+        wav[1], 0.3 * np.sin(2 * np.pi * 660.0 * t), atol=1.0 / (1 << 15))
+
+
+def test_flac_in_session(tmp_path, rng):
+    """A .flac track goes through the full spectrogram pipeline."""
+    from msv_tpu import MultiTrack
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    wav = (0.4 * np.sin(2 * np.pi * 500.0 * t)).astype(np.float32)[None, :]
+    path = str(tmp_path / "tone.flac")
+    write_flac(path, wav, sr, mode="fixed2")
+    mt = MultiTrack()
+    mt.add_tracks([0], [path])
+    img = mt.get_spec_image(0, 50.0, 100)
+    assert img.shape[2] == 3 and img.shape[0] == 100
+
+
+# ---------------------------------------------------------------- vorbis ----
+
+needs_vorbis = pytest.mark.skipif(
+    not vorbis_available(), reason="libvorbisfile not present"
+)
+
+
+@needs_vorbis
+def test_vorbis_mono_fixture():
+    wav, sr = open_audio_file(os.path.join(FIXTURES, "sine440_8k.ogg"))
+    assert sr == 8000 and wav.shape == (1, 4000)
+    t = np.arange(wav.shape[1]) / sr
+    ref = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    # lossy codec: require high correlation + similar scale, skip the
+    # encoder's warmup transient
+    corr = np.corrcoef(wav[0][500:], ref[500:])[0, 1]
+    assert corr > 0.99
+    assert 0.3 < np.abs(wav[0][500:]).max() < 0.8
+
+
+@needs_vorbis
+def test_vorbis_stereo_fixture():
+    wav, sr = open_audio_file(
+        os.path.join(FIXTURES, "duotone_8k_stereo.ogg"))
+    assert sr == 8000 and wav.shape[0] == 2
+    t = np.arange(wav.shape[1]) / sr
+    c0 = np.corrcoef(wav[0][500:], np.sin(2 * np.pi * 440.0 * t)[500:])[0, 1]
+    c1 = np.corrcoef(wav[1][500:], np.sin(2 * np.pi * 660.0 * t)[500:])[0, 1]
+    assert c0 > 0.98 and c1 > 0.98  # channel order preserved
+
+
+@needs_vorbis
+def test_vorbis_real_world_file():
+    """Third-party file (pygame sample) — not produced by our tooling."""
+    path = "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.ogg"
+    if not os.path.exists(path):
+        pytest.skip("pygame sample not present")
+    wav, sr = open_audio_file(path)
+    assert sr == 11025 and wav.shape == (1, 78331)
+    assert np.isfinite(wav).all() and np.abs(wav).max() > 0.5
+
+
+@needs_vorbis
+def test_vorbis_garbage_rejected(tmp_path):
+    path = str(tmp_path / "junk.ogg")
+    with open(path, "wb") as f:
+        f.write(b"OggS" + b"\x00" * 64)
+    with pytest.raises(AudioReadError):
+        open_audio_file(path)
