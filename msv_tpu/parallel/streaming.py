@@ -36,7 +36,6 @@ def _streaming_core(
     # would silently stop working for compiled shapes).
     from ..config import precision_for
 
-    t_overlap = win // hop
     chunk_len = chunk_frames * hop + (win - hop)
     # fast mode = DEFAULT (single-pass) MXU precision on f32 operands; see
     # kernels/pipeline.py for why explicit bf16 input casts are avoided.
@@ -46,17 +45,35 @@ def _streaming_core(
         # PCM16 transfer format (half the tunnel bytes): exact 2^-15 scale.
         padded = padded.astype(jnp.float32) * jnp.float32(2.0**-15)
 
+    # Framing decomposition: with g = gcd(win, hop) the chunk reshapes to
+    # g-wide rows and frame t-th pieces are stride-(hop/g) row slices —
+    # zero-gather, dense on TPU.  For win % hop == 0 this reduces to the
+    # classic t_overlap slice-concat.  A degenerate gcd (tiny g => win/g
+    # slices would bloat the trace) falls back to gather framing, which
+    # still keeps the streaming engine's O(chunk) memory (the reason
+    # lib.rs:367-386-general params must not bypass it at hour scale).
+    import math
+
+    g = math.gcd(win, hop)
+    n_slices = win // g
+    rph = hop // g
+
     def step(carry, i):
         gmin, gmax = carry
         start = i * (chunk_frames * hop)
         x = jax.lax.dynamic_slice(padded, (start,), (chunk_len,))
-        n_rows = chunk_frames + t_overlap - 1
-        x2d = x[: n_rows * hop].reshape(n_rows, hop)
-        frames = jnp.concatenate(
-            [jax.lax.slice_in_dim(x2d, t, t + chunk_frames, axis=0)
-             for t in range(t_overlap)],
-            axis=1,
-        )
+        if n_slices <= 64:
+            n_rows = chunk_len // g
+            x2d = x[: n_rows * g].reshape(n_rows, g)
+            frames = jnp.concatenate(
+                [x2d[t : t + (chunk_frames - 1) * rph + 1 : rph]
+                 for t in range(n_slices)],
+                axis=1,
+            )
+        else:
+            idx = ((jnp.arange(chunk_frames) * hop)[:, None]
+                   + jnp.arange(win)[None, :])
+            frames = x[idx]
         if impl == "fft":
             # XLA's native rfft: ~an order of magnitude fewer FLOPs than the
             # DFT GEMM at these sizes and f32-accurate (no MXU rounding).
@@ -90,6 +107,137 @@ def _streaming_core(
     return dbs.reshape(n_chunks * chunk_frames, n_out), gmin, gmax
 
 
+def _seg_plan_for(n_frames: int, chunk_frames: int, seg_chunks: int):
+    """Segment-size ladder: full-size segments while they fit, then ONE
+    tail segment of the next power-of-two chunk count — bounds transfer
+    waste for short files at <2x while keeping program variety at
+    log2(seg_chunks)+1 compiled executables total."""
+    n_chunks_needed = -(-max(n_frames, 1) // chunk_frames)
+    seg_plan = []
+    remaining = n_chunks_needed
+    while remaining >= seg_chunks:
+        seg_plan.append(seg_chunks)
+        remaining -= seg_chunks
+    if remaining > 0:
+        tail = 1
+        while tail < remaining:
+            tail *= 2
+        seg_plan.append(min(tail, seg_chunks))
+    return seg_plan
+
+
+def padded_slice(src, a: int, b: int, half: int, n: int, dtype=np.int16):
+    """Samples [a, b) of the conceptual reflect-padded + zero-tailed signal,
+    materializing only this segment (src may be an np.memmap or ndarray).
+
+    Replaces whole-file reflect_pad + pad copies: at hour scale those are
+    two ~350 MB passes on the single host core before the first byte can
+    move; this touches each output byte once.
+    """
+    out = np.zeros(b - a, dtype=dtype)
+    # left reflect region: padded[p] = wav[half - p] for p < half
+    lo = a
+    if lo < half:
+        hi = min(b, half)
+        src_l = np.asarray(src[half - lo : half - hi : -1] if half - hi > 0
+                           else src[half - lo :: -1][: hi - lo])
+        out[: hi - lo] = src_l
+        lo = hi
+    # middle: padded[p] = wav[p - half] for half <= p < half + n
+    if lo < b and lo < half + n:
+        hi = min(b, half + n)
+        out[lo - a : hi - a] = src[lo - half : hi - half]
+        lo = hi
+    # right reflect: padded[p] = wav[n - 2 - (p - half - n)] while valid
+    if lo < b and lo < half + n + half:
+        hi = min(b, half + n + half)
+        idx0 = n - 2 - (lo - half - n)
+        idx1 = n - 2 - (hi - 1 - half - n)
+        if idx0 >= 0:
+            idx1c = max(idx1, 0)
+            src_r = np.asarray(src[idx0 : idx1c - 1 if idx1c > 0 else None : -1])
+            out[lo - a : lo - a + len(src_r)] = src_r
+    return out  # anything beyond stays zero (bucket tail)
+
+
+def _to_device_packed(seg_np, transfer: str):
+    """Ship one segment host->device, bit-packed when it pays.
+
+    'pack'/'auto': int16 segments go through the wirepack codec — fewer
+    wire bytes (the binding constraint: ~25 MB/s sustained), unpacked
+    on-device by vectorized integer ops into the identical int16 buffer.
+    Falls back to raw whenever packing would not shrink the transfer.
+    """
+    if transfer in ("pack", "auto") and seg_np.dtype == np.int16:
+        from .wirepack import pack_i16, unpack_jax
+
+        p = pack_i16(seg_np)
+        if p is not None:
+            return unpack_jax(p)
+    return jnp.asarray(seg_np)
+
+
+def _run_segments(
+    make_seg, seg_plan, n_frames, win, hop, c, s, mel_fb, window, n_fft,
+    chunk_frames, impl, transfer
+):
+    """Software-pipelined segment runner.
+
+    The relay executes its command stream in order, so the schedule is
+    transfer(0), then for each k: dispatch scan(k) BEFORE materializing /
+    packing / transferring segment k+1 — the wire streams k+1's bytes and
+    the host packs them while the device runs scan k.  (Enqueuing all
+    transfers up front serializes every byte ahead of the first scan:
+    measured 18-27 s vs 10.3-10.9 s for the hour workload.)
+    """
+    use_mel = mel_fb is not None
+
+    def to_dev(x):
+        # device arrays pass through (avoids a device->host->device bounce)
+        return x if isinstance(x, jax.Array) else jnp.asarray(np.asarray(x))
+
+    c_d = to_dev(c)
+    s_d = to_dev(s)
+    w_d = to_dev(
+        np.asarray(window, dtype=np.float32)
+        if window is not None
+        else np.zeros(win, np.float32)
+    )
+    fb_d = to_dev(mel_fb if use_mel else np.zeros((1, 1), np.float32))
+
+    mode = get_precision_mode()
+    outs = []
+    pending = None  # (device segment, start_frame, n_chunks)
+    start_frame = 0
+    plan = [*seg_plan, None]
+    for nck in plan:
+        if pending is not None:
+            dev, f0, pnck = pending
+            n_valid_g = max(0, min(n_frames - f0, pnck * chunk_frames))
+            outs.append(
+                _streaming_core(
+                    dev, c_d, s_d, w_d, fb_d, jnp.int32(n_valid_g),
+                    win=win, hop=hop, n_fft=n_fft or win,
+                    chunk_frames=chunk_frames, n_chunks=pnck,
+                    use_mel=use_mel, impl=impl, mode=mode,
+                )
+            )
+        if nck is None:
+            break
+        seg_frames_g = nck * chunk_frames
+        seg_len = seg_frames_g * hop + (win - hop)
+        seg_np = make_seg(start_frame * hop, seg_len)
+        pending = (_to_device_packed(seg_np, transfer), start_frame, nck)
+        start_frame += seg_frames_g
+    if len(outs) == 1:
+        db, gmin, gmax = outs[0]
+        return db, n_frames, float(gmin), float(gmax)
+    db = jnp.concatenate([o[0] for o in outs], axis=0)
+    mins = np.asarray(jnp.stack([o[1] for o in outs]))
+    maxs = np.asarray(jnp.stack([o[2] for o in outs]))
+    return db, n_frames, float(mins.min()), float(maxs.max())
+
+
 def streaming_spec_db(
     wav: np.ndarray,
     win: int,
@@ -102,6 +250,7 @@ def streaming_spec_db(
     window: np.ndarray | None = None,
     impl: str = "dft",
     seg_chunks: int = 8,
+    transfer: str = "auto",
 ):
     """Full-file dB spectrogram via segmented chunked scans.
 
@@ -109,11 +258,11 @@ def streaming_spec_db(
     Semantically identical to the one-shot pipeline (parity-tested); only
     the schedule differs.
 
-    The file is cut into fixed segments of ``seg_chunks`` scan chunks, each
-    dispatched as its own async transfer + scan: host->device transfer of
-    segment g+1 overlaps compute of segment g (the hour-scale workload is
-    transfer-bound over the axon tunnel), and ONE compiled program serves
-    any file length (a monolithic scan recompiles per chunk count).
+    The file is cut into fixed segments of ``seg_chunks`` scan chunks,
+    software-pipelined so the wire, the host packer, and the device all
+    stay busy (see _run_segments), with int16 segments bit-packed for the
+    transfer when that shrinks them (see wirepack.py; ``transfer`` =
+    'auto' | 'pack' | 'raw').
 
     ``impl``: 'dft' (windowed-DFT GEMMs via XLA), 'fft' (XLA native rfft;
     requires ``n_fft`` and ``window``), or 'pallas' (the fused VMEM-resident
@@ -130,80 +279,16 @@ def streaming_spec_db(
         return _streaming_pallas(wav, win, hop, c, s, mel_fb, chunk_frames,
                                  seg_chunks)
     n_frames = n_frames_for(len(wav), win, hop)
-    # Segment-size ladder: full-size segments while they fit, then ONE
-    # tail segment of the next power-of-two chunk count — bounds transfer
-    # waste for short files at <2x while keeping program variety at
-    # log2(seg_chunks)+1 compiled executables total.
-    n_chunks_needed = -(-max(n_frames, 1) // chunk_frames)
-    seg_plan = []  # list of per-segment chunk counts
-    remaining = n_chunks_needed
-    while remaining >= seg_chunks:
-        seg_plan.append(seg_chunks)
-        remaining -= seg_chunks
-    if remaining > 0:
-        tail = 1
-        while tail < remaining:
-            tail *= 2
-        seg_plan.append(min(tail, seg_chunks))
-    n_total = sum(seg_plan) * chunk_frames
-    padded = reflect_pad_center(wav, win)
-    need = n_total * hop + (win - hop)
-    if len(padded) < need:
-        padded = np.pad(padded, (0, need - len(padded)))
+    seg_plan = _seg_plan_for(n_frames, chunk_frames, seg_chunks)
+    half = win // 2
 
-    use_mel = mel_fb is not None
+    def make_seg(a, seg_len):
+        return padded_slice(wav, a, a + seg_len, half, len(wav), dtype=dtype)
 
-    def to_dev(x):
-        # device arrays pass through (avoids a device->host->device bounce)
-        return x if isinstance(x, jax.Array) else jnp.asarray(np.asarray(x))
-
-    c_d = to_dev(c)
-    s_d = to_dev(s)
-    w_d = to_dev(
-        np.asarray(window, dtype=np.float32)
-        if window is not None
-        else np.zeros(win, np.float32)
+    return _run_segments(
+        make_seg, seg_plan, n_frames, win, hop, c, s, mel_fb, window, n_fft,
+        chunk_frames, impl, transfer,
     )
-    fb_d = to_dev(mel_fb if use_mel else np.zeros((1, 1), np.float32))
-
-    # enqueue ALL segment transfers up front (device_put is async), then
-    # dispatch the per-segment scans — later transfers ride behind compute.
-    segs = []
-    start_frame = 0
-    for nck in seg_plan:
-        seg_frames_g = nck * chunk_frames
-        seg_len = seg_frames_g * hop + (win - hop)
-        s0 = start_frame * hop
-        segs.append((jnp.asarray(padded[s0 : s0 + seg_len]), start_frame, nck))
-        start_frame += seg_frames_g
-    outs = []
-    for seg, f0, nck in segs:
-        n_valid_g = max(0, min(n_frames - f0, nck * chunk_frames))
-        outs.append(
-            _streaming_core(
-                seg,
-                c_d,
-                s_d,
-                w_d,
-                fb_d,
-                jnp.int32(n_valid_g),
-                win=win,
-                hop=hop,
-                n_fft=n_fft or win,
-                chunk_frames=chunk_frames,
-                n_chunks=nck,
-                use_mel=use_mel,
-                impl=impl,
-                mode=get_precision_mode(),
-            )
-        )
-    if len(outs) == 1:
-        db, gmin, gmax = outs[0]
-        return db, n_frames, float(gmin), float(gmax)
-    db = jnp.concatenate([o[0] for o in outs], axis=0)
-    mins = np.asarray(jnp.stack([o[1] for o in outs]))
-    maxs = np.asarray(jnp.stack([o[2] for o in outs]))
-    return db, n_frames, float(mins.min()), float(maxs.max())
 
 
 def _streaming_pallas(wav, win, hop, c, s, mel_fb, chunk_frames, seg_chunks):
@@ -278,12 +363,14 @@ def _streaming_pallas(wav, win, hop, c, s, mel_fb, chunk_frames, seg_chunks):
 
 
 def streaming_spec_db_mmap(path, win, hop, c, s, mel_fb=None,
-                           chunk_frames: int = 4096, seg_chunks: int = 8):
+                           chunk_frames: int = 4096, seg_chunks: int = 8,
+                           transfer: str = "auto"):
     """Disk-streamed long-file spectrogram: segments are sliced straight
     from a memory-mapped mono-PCM16 WAV, so host resident memory is one
     segment (~30 MB) regardless of file size — a 10-hour file no longer
     needs 7 GB of RAM.  Semantics identical to streaming_spec_db
-    (reflect-pad edges handled per segment; parity-tested).
+    (reflect-pad edges handled per segment; parity-tested), including the
+    software-pipelined schedule and wire packing.
     """
     from ..io.audio import open_wav_mmap
 
@@ -293,85 +380,12 @@ def streaming_spec_db_mmap(path, win, hop, c, s, mel_fb=None,
     if n < half + 1:
         raise ValueError(f"{path}: too short for win_length={win}")
     n_frames = n_frames_for(n, win, hop)
-    n_chunks_needed = -(-max(n_frames, 1) // chunk_frames)
-    seg_plan = []
-    remaining = n_chunks_needed
-    while remaining >= seg_chunks:
-        seg_plan.append(seg_chunks)
-        remaining -= seg_chunks
-    if remaining > 0:
-        tail = 1
-        while tail < remaining:
-            tail *= 2
-        seg_plan.append(min(tail, seg_chunks))
+    seg_plan = _seg_plan_for(n_frames, chunk_frames, seg_chunks)
 
-    use_mel = mel_fb is not None
-    c_d = jnp.asarray(np.asarray(c))
-    s_d = jnp.asarray(np.asarray(s))
-    w_d = jnp.asarray(np.zeros(win, np.float32))
-    fb_d = jnp.asarray(
-        np.asarray(mel_fb) if use_mel else np.zeros((1, 1), np.float32)
+    def make_seg(a, seg_len):
+        return padded_slice(mm, a, a + seg_len, half, n)
+
+    return _run_segments(
+        make_seg, seg_plan, n_frames, win, hop, c, s, mel_fb, None, None,
+        chunk_frames, "dft", transfer,
     )
-
-    def padded_slice(a, b):
-        """Samples [a, b) of the conceptual reflect-padded + zero-tailed
-        signal, materializing only this segment from the memmap."""
-        out = np.zeros(b - a, dtype=np.int16)
-        # left reflect region: padded[p] = wav[half - p] for p < half
-        lo = a
-        if lo < half:
-            hi = min(b, half)
-            src = np.asarray(mm[half - lo : half - hi : -1] if half - hi > 0
-                             else mm[half - lo :: -1][: hi - lo])
-            out[: hi - lo] = src
-            lo = hi
-        # middle: padded[p] = wav[p - half] for half <= p < half + n
-        if lo < b and lo < half + n:
-            hi = min(b, half + n)
-            out[lo - a : hi - a] = mm[lo - half : hi - half]
-            lo = hi
-        # right reflect: padded[p] = wav[n - 2 - (p - half - n)] while valid
-        if lo < b and lo < half + n + half:
-            hi = min(b, half + n + half)
-            idx0 = n - 2 - (lo - half - n)
-            idx1 = n - 2 - (hi - 1 - half - n)
-            if idx0 >= 0:
-                idx1c = max(idx1, 0)
-                src = np.asarray(mm[idx0 : idx1c - 1 if idx1c > 0 else None : -1])
-                out[lo - a : lo - a + len(src)] = src
-        return out  # anything beyond stays zero (bucket tail)
-
-    outs = []
-    start_frame = 0
-    for nck in seg_plan:
-        seg_frames_g = nck * chunk_frames
-        seg_len = seg_frames_g * hop + (win - hop)
-        a = start_frame * hop
-        seg = padded_slice(a, a + seg_len)
-        n_valid_g = max(0, min(n_frames - start_frame, seg_frames_g))
-        outs.append(
-            _streaming_core(
-                jnp.asarray(seg),
-                c_d,
-                s_d,
-                w_d,
-                fb_d,
-                jnp.int32(n_valid_g),
-                win=win,
-                hop=hop,
-                n_fft=win,
-                chunk_frames=chunk_frames,
-                n_chunks=nck,
-                use_mel=use_mel,
-                impl="dft",
-                mode=get_precision_mode(),
-            )
-        )
-        start_frame += seg_frames_g
-    if len(outs) == 1:
-        db, gmin, gmax = outs[0]
-        return db, n_frames, float(gmin), float(gmax)
-    db = jnp.concatenate([o[0] for o in outs], axis=0)
-    mins = np.asarray(jnp.stack([o[1] for o in outs]))
-    maxs = np.asarray(jnp.stack([o[2] for o in outs]))
-    return db, n_frames, float(mins.min()), float(maxs.max())

@@ -1,0 +1,373 @@
+"""Lossless wire codec for host->device PCM transfer.
+
+The hour-scale workload is wire-bound: the axon relay sustains ~25 MB/s
+(tools/profile_hour2.py: 346 MB of PCM16 = 12-14 s) while the full hour of
+DFT+mel compute is ~0.5 s.  The only way past that floor is to send fewer
+bytes.  This module bit-packs the audio losslessly on the host and unpacks
+it ON DEVICE with vectorized integer ops, trading abundant TPU cycles for
+scarce wire bytes:
+
+  host:   residual = Delta^k(x)  (k in {0,1,2}, best per segment)
+          zigzag -> per-4096-sample-block bit width -> little-endian packing
+  device: 2x u32 gather + shift/mask field extraction  (VPU, trivially wide)
+          un-zigzag, then Delta^-k as k exact int32 cumsums (parallel prefix)
+
+Everything is static-shaped (block count derives from the bucketed segment
+length) and bit-exact: unpack(pack(x)) == x for all int16 inputs, so the
+numerical contract is untouched.  Typical music/speech costs 9-13 bits per
+16-bit sample (tonal content far less); full-scale white noise would cost
+17-18, so pack() falls back to raw when packing does not pay.
+
+No reference analogue — the reference runs in-process (audio.rs loads
+straight into RAM); this layer exists because a TPU is on the far side of
+a slow link.
+"""
+
+import functools
+
+import numpy as np
+
+BLOCK = 1024  # samples per width block; BLOCK * w bits is always byte-aligned
+_LOG2_BLOCK = 10
+
+
+class PackedPCM:
+    """Host-side container for one packed segment."""
+
+    __slots__ = ("order", "n", "head", "words", "block_w", "block_start")
+
+    def __init__(self, order, n, head, words, block_w, block_start):
+        self.order = order          # delta order k (0, 1, 2)
+        self.n = n                  # original sample count
+        self.head = head            # int32[k] warmup samples
+        self.words = words          # uint32[W] packed residual bits
+        self.block_w = block_w      # int32[NB] bits per residual
+        self.block_start = block_start  # int32[NB] bit offset of each block
+
+    @property
+    def nbytes(self):
+        return (self.words.nbytes + self.block_w.nbytes +
+                self.block_start.nbytes + self.head.nbytes)
+
+
+def _zigzag(r):
+    # branch-free on int32 (order<=2 residuals fit 19 bits, zigzag 20)
+    return ((r >> 31) ^ (r << 1)).astype(np.uint32)
+
+
+def _pack_rows(vals, w):
+    """Pack (k, BLOCK) uint32 fields of exact width w into (k, BLOCK*w/8)
+    little-endian bytes, with only strided vectorized ops.
+
+    Samples whose index is congruent mod g = 8/gcd(w,8) share the same
+    bit-within-byte phase and a uniform byte stride of w*g/8, so each of
+    the <=8 phases is <=4 wide OR-assignments — ~4 byte-ops per sample on
+    the single host core (which must outrun the ~25 MB/s wire), with no
+    per-bit matrix and no width rounding.
+    """
+    import math
+
+    k, B = vals.shape
+    rows = np.zeros((k, B * w // 8), np.uint8)
+    g = 8 // math.gcd(w, 8)
+    step = w * g // 8
+    npha = B // g
+    for c in range(g):
+        ph = (c * w) % 8
+        byte0 = (c * w) // 8
+        shifted = vals[:, c::g] << np.uint32(ph)  # w + ph <= 27 bits
+        for j in range((w + ph + 7) // 8):
+            b = ((shifted >> np.uint32(8 * j)) & np.uint32(0xFF)).astype(
+                np.uint8
+            )
+            rows[:, byte0 + j : byte0 + j + step * npha : step] |= b
+    return rows
+
+
+def _pack_bits(z, widths):
+    """Pack z (NB*BLOCK uint32, block b limited to widths[b] bits) into a
+    little-endian bit stream; returns (uint8 bytes, int64 bit starts)."""
+    nb = len(widths)
+    bits_per_block = widths.astype(np.int64) * BLOCK
+    starts = np.zeros(nb, np.int64)
+    np.cumsum(bits_per_block[:-1], out=starts[1:])
+    zb = z.reshape(nb, BLOCK)
+    # pack per width group, then stitch in block order with one concatenate
+    # (a fancy-index scatter would push 8-byte indices per output byte
+    # through the single core — 3x the traffic of the data itself)
+    pieces = [None] * nb
+    empty = np.zeros(0, np.uint8)
+    for w in np.unique(widths):
+        sel = np.nonzero(widths == w)[0]
+        if w == 0:
+            for b in sel:
+                pieces[b] = empty
+            continue
+        rows = _pack_rows(zb[sel], int(w))
+        for i, b in enumerate(sel):
+            pieces[b] = rows[i]
+    out = np.concatenate(pieces) if pieces else empty
+    return out, starts
+
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _native_lib():
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    import ctypes
+    import os
+
+    so = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "native",
+                     "libmsv_native.so")
+    )
+    try:
+        lib = ctypes.CDLL(so)
+        c = ctypes
+        lib.msv_wirepack_pack.argtypes = [
+            c.POINTER(c.c_int16), c.c_int64, c.c_int32, c.c_int32,
+            c.POINTER(c.POINTER(c.c_uint8)), c.POINTER(c.c_int64),
+            c.POINTER(c.POINTER(c.c_int32)), c.POINTER(c.POINTER(c.c_int32)),
+            c.POINTER(c.c_int64), c.POINTER(c.c_int32),
+            c.POINTER(c.c_int32),
+        ]
+        lib.msv_wirepack_pack.restype = c.c_int32
+        lib.msv_free_ptr.argtypes = [c.c_void_p]
+        lib.msv_free_ptr.restype = None
+        _NATIVE = lib
+    except (OSError, AttributeError):
+        _NATIVE = None
+    return _NATIVE
+
+
+def _pack_i16_native(x: np.ndarray):
+    """C packer (native/wirepack.cc): identical bitstream, one streaming
+    pass per stage — the single host core must outrun the ~25-40 MB/s wire,
+    and the numpy packer tops out around it."""
+    import ctypes as c
+
+    lib = _native_lib()
+    if lib is None:
+        return False, None
+    out_bytes = c.POINTER(c.c_uint8)()
+    out_nbytes = c.c_int64()
+    out_widths = c.POINTER(c.c_int32)()
+    out_starts = c.POINTER(c.c_int32)()
+    out_nblocks = c.c_int64()
+    out_order = c.c_int32()
+    head_buf = (c.c_int32 * 2)()
+    rc = lib.msv_wirepack_pack(
+        x.ctypes.data_as(c.POINTER(c.c_int16)), len(x), BLOCK, 2,
+        c.byref(out_bytes), c.byref(out_nbytes), c.byref(out_widths),
+        c.byref(out_starts), c.byref(out_nblocks), c.byref(out_order),
+        head_buf,
+    )
+    if rc != 0:
+        return True, None  # handled: raw is better
+    try:
+        nb = out_nblocks.value
+        order = out_order.value
+        data = np.ctypeslib.as_array(out_bytes, shape=(out_nbytes.value,)).copy()
+        widths = np.ctypeslib.as_array(out_widths, shape=(nb,)).copy()
+        starts = np.ctypeslib.as_array(out_starts, shape=(nb,)).copy()
+    finally:
+        lib.msv_free_ptr(out_bytes)
+        lib.msv_free_ptr(out_widths)
+        lib.msv_free_ptr(out_starts)
+    return True, PackedPCM(
+        order=order,
+        n=len(x),
+        head=np.asarray(head_buf[:order], np.int32),
+        words=np.ascontiguousarray(data.view("<u4")),
+        block_w=widths,
+        block_start=starts,
+    )
+
+
+def pack_i16(x: np.ndarray, max_order: int = 2, native: bool | None = None):
+    """Pack int16 PCM.  Returns PackedPCM, or None when raw i16 is smaller
+    (e.g. full-scale noise) — callers then ship the raw array.
+
+    Uses the native C packer when built (identical bitstream, ~20x the
+    throughput of the numpy path, which remains the oracle/fallback);
+    ``native=False`` forces numpy, ``native=True`` requires the C path.
+    """
+    x = np.ascontiguousarray(x, dtype=np.int16)
+    n = len(x)
+    if n <= 2 * BLOCK:
+        return None  # not worth the metadata for tiny inputs
+    if native is not False and max_order == 2:
+        handled, packed = _pack_i16_native(x)
+        if handled:
+            return packed
+        if native is True:
+            raise RuntimeError("native wirepack requested but unavailable")
+    xi = x.astype(np.int32)
+
+    def _block_widths(r):
+        """Exact per-block zigzag bit widths from residual min/max (avoids
+        materializing the zigzag for candidate orders we won't pick)."""
+        nr = len(r)
+        nb = -(-nr // BLOCK)
+        if nr < nb * BLOCK:
+            rp = np.zeros(nb * BLOCK, np.int32)
+            rp[:nr] = r
+        else:
+            rp = r
+        r2 = rp.reshape(nb, BLOCK)
+        hi = r2.max(axis=1).astype(np.int64)
+        lo = r2.min(axis=1).astype(np.int64)
+        zmax = np.maximum(hi * 2, -lo * 2 - 1)  # zigzag(max), zigzag(min)
+        widths = np.where(
+            zmax > 0,
+            # exact: log2 on float64 is exact for < 2^53
+            np.floor(
+                np.log2(np.maximum(zmax, 1).astype(np.float64))
+            ).astype(np.int32)
+            + 1,
+            0,
+        ).astype(np.int32)
+        return widths, nb
+
+    best = None
+    r = xi
+    heads_chain = []
+    residuals = []
+    for order in range(max_order + 1):
+        residuals.append(r)
+        widths, nb = _block_widths(r)
+        total_bits = int((widths.astype(np.int64) * BLOCK).sum())
+        cost = total_bits // 8 + nb * 8 + 64
+        if best is None or cost < best[0]:
+            best = (cost, order, widths, nb, list(heads_chain))
+        if order < max_order:
+            heads_chain.append(r[0])  # head[k] = (Delta^k x)[0]
+            r = np.diff(r)
+
+    cost, order, widths, nb, heads = best
+    if cost >= x.nbytes:
+        return None
+    z = _zigzag(residuals[order])
+    zp = np.zeros(nb * BLOCK, np.uint32)
+    zp[: len(z)] = z
+    data, starts = _pack_bits(zp, widths)
+    if starts.size and int(starts[-1] + widths[-1] * BLOCK) >= 2**31:
+        return None  # 2 Gbit segment: block_start would overflow int32
+    # pad so the hi-word gather at the last field stays in bounds (two
+    # spare words: an all-zero-width stream still gathers words[0] and [1])
+    pad = (-len(data)) % 4 + 8
+    data = np.pad(data, (0, pad))
+    words = data.view("<u4")
+    return PackedPCM(
+        order=order,
+        n=n,
+        head=np.asarray(heads, np.int32),
+        words=np.ascontiguousarray(words),
+        block_w=widths,
+        block_start=starts.astype(np.int32),
+    )
+
+
+def unpack_np(p: PackedPCM) -> np.ndarray:
+    """Host-side reference unpack (oracle for the device version)."""
+    nb = len(p.block_w)
+    i = np.arange(nb * BLOCK, dtype=np.int64)
+    b = i >> _LOG2_BLOCK
+    w = p.block_w[b].astype(np.int64)
+    pos = p.block_start[b].astype(np.int64) + (i & (BLOCK - 1)) * w
+    widx = pos >> 5
+    sh = pos & 31
+    lo = p.words[widx].astype(np.uint64)
+    hi = p.words[widx + 1].astype(np.uint64)
+    shu = sh.astype(np.uint64)
+    up = np.where(sh > 0, (hi << ((64 - shu) & 63)) >> 32, 0)
+    f = (lo >> shu) | up
+    z = (f & ((np.uint64(1) << w.astype(np.uint64)) - 1)).astype(np.int64)
+    r = (z >> 1) ^ -(z & 1)
+    nr = p.n - p.order
+    r = r[:nr].astype(np.int32)
+    x = r
+    for head_v in p.head[::-1]:
+        x = np.concatenate([[head_v], head_v + np.cumsum(x, dtype=np.int32)])
+    return x.astype(np.int16)
+
+
+_WMAX = 18  # max zigzag width: order-2 residual of int16 spans 18 bits
+_ROW_WORDS = BLOCK * _WMAX // 32  # u32 words covering one max-width block
+
+
+@functools.partial(
+    __import__("jax").jit, static_argnames=("n", "order", "n_blocks")
+)
+def unpack_device(words, block_w, block_start, head, *, n, order, n_blocks):
+    """Device unpack -> int16[n].  Gather-free by construction.
+
+    A naive two-word gather per field runs at ~58M fields/s on the TPU
+    (0.58 s per 33 MB segment — 12x the whole DFT pipeline), so instead a
+    lax.scan walks blocks: each step dynamic-slices the block's words
+    (block starts are always 32-bit aligned: BLOCK*w % 32 == 0), expands
+    them to a dense bit vector with plain shifts, and a 19-way lax.switch
+    on the block width does a STATIC slice+reshape+weighted-sum — all VPU
+    ops, no gathers anywhere.  The delta inverse is `order` exact int32
+    cumsums (intermediate values telescope back to bounded sample deltas,
+    so int32 never overflows).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    nwords = words.shape[0]
+    # room for the widest block's slice at the last block
+    words_p = jnp.pad(words, (0, _ROW_WORDS))
+    start_word = (block_start >> 5).astype(jnp.int32)
+    pow2 = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+
+    def decode_w(w):
+        def f(row_bits):
+            if w == 0:
+                return jnp.zeros((BLOCK,), jnp.uint32)
+            fld = row_bits[: BLOCK * w].reshape(BLOCK, w)
+            return (fld * pow2[:w]).sum(axis=1, dtype=jnp.uint32)
+
+        return f
+
+    branches = [decode_w(w) for w in range(_WMAX + 1)]
+
+    shifts32 = jnp.arange(32, dtype=jnp.uint32)
+
+    def step(_, sw_w):
+        sw, w = sw_w
+        row = jax.lax.dynamic_slice(words_p, (sw,), (_ROW_WORDS,))
+        row_bits = ((row[:, None] >> shifts32[None, :]) & jnp.uint32(1)).reshape(-1)
+        z = jax.lax.switch(jnp.clip(w, 0, _WMAX), branches, row_bits)
+        return None, z
+
+    _, zrows = jax.lax.scan(step, None, (start_word, block_w))
+    z = zrows.reshape(n_blocks * BLOCK).astype(jnp.int32)
+    r = (z >> 1) ^ -(z & 1)
+    r = r[: n - order]
+    x = r
+    for k in range(order, 0, -1):
+        x = head[k - 1] + jnp.cumsum(x, dtype=jnp.int32)
+        x = jnp.concatenate([head[k - 1 : k], x])
+    del nwords
+    return x.astype(jnp.int16)
+
+
+def unpack_jax(p: PackedPCM):
+    """Unpack a PackedPCM on the default device -> int16[n] jax array."""
+    import jax.numpy as jnp
+
+    return unpack_device(
+        jnp.asarray(p.words),
+        jnp.asarray(p.block_w),
+        jnp.asarray(p.block_start),
+        jnp.asarray(p.head if p.order else np.zeros(1, np.int32)),
+        n=p.n,
+        order=p.order,
+        n_blocks=len(p.block_w),
+    )

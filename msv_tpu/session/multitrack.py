@@ -307,7 +307,7 @@ class MultiTrack:
         win, hop = track.win_length, track.hop_length
 
         n_frames = n_frames_for(len(track.wav), win, hop)
-        if n_frames > STREAMING_FRAME_THRESHOLD and win % hop == 0:
+        if n_frames > STREAMING_FRAME_THRESHOLD:
             src = (
                 track._wav_i16
                 if track._wav_i16 is not None
@@ -401,10 +401,7 @@ class MultiTrack:
         for id in id_list:
             tr = self.tracks[id]
             n_frames = n_frames_for(len(tr.wav), tr.win_length, tr.hop_length)
-            streaming = (
-                n_frames > STREAMING_FRAME_THRESHOLD
-                and tr.win_length % tr.hop_length == 0
-            )
+            streaming = n_frames > STREAMING_FRAME_THRESHOLD
             if streaming or self._use_pallas(tr) or get_engine() == "pallas":
                 singles.append(id)
                 continue

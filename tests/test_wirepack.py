@@ -1,0 +1,132 @@
+"""Wire codec (parallel/wirepack.py) + segment slicing correctness.
+
+The codec is part of the transfer path for every long-file workload, so
+its contract is absolute: unpack(pack(x)) == x bit-exactly for ALL int16
+inputs, on both the host oracle and the device implementation, and the
+streaming pipeline must produce bitwise-identical output with packing on
+or off.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msv_tpu.parallel.streaming import padded_slice, streaming_spec_db
+from msv_tpu.parallel.wirepack import BLOCK, pack_i16, unpack_jax, unpack_np
+
+
+def _signals(rng):
+    t = np.arange(48000 * 3) / 48000
+    return {
+        "sine": np.round(0.3 * 32768 * np.sin(2 * np.pi * 220 * t)),
+        "sine+noise": np.round(
+            32768 * (0.3 * np.sin(2 * np.pi * 220 * t)
+                     + 0.02 * rng.standard_normal(len(t)))),
+        "quiet_noise": np.round(300 * rng.standard_normal(100000)),
+        "constant": np.full(50000, -12345.0),
+        "zeros": np.zeros(50000),
+        "ramp_wrap": (np.arange(100000) % 65536 - 32768).astype(np.float64),
+        "ramp_offset": (np.arange(100000) % 60000 - 17000).astype(np.float64),
+        "walk": np.cumsum(rng.integers(-50, 51, 150000)).astype(np.float64),
+        "odd_len": rng.integers(-1000, 1000, BLOCK * 3 + 17).astype(np.float64),
+        "transient": np.where(np.arange(80000) == 40000, 32767.0, 0.0),
+    }
+
+
+@pytest.mark.parametrize("name", list(_signals(np.random.default_rng(0))))
+def test_roundtrip_host(rng, name):
+    x = np.clip(_signals(rng)[name], -32768, 32767).astype(np.int16)
+    p = pack_i16(x)
+    if p is None:
+        return  # raw fallback is always correct by construction
+    np.testing.assert_array_equal(unpack_np(p), x)
+    assert p.nbytes < x.nbytes  # pack() must only choose itself when smaller
+
+
+@pytest.mark.parametrize("name", ["sine", "sine+noise", "ramp_offset", "walk"])
+def test_roundtrip_device_matches_host(rng, name):
+    x = np.clip(_signals(rng)[name], -32768, 32767).astype(np.int16)
+    p = pack_i16(x)
+    assert p is not None
+    y_dev = np.asarray(unpack_jax(p))
+    np.testing.assert_array_equal(y_dev, x)
+
+
+def test_incompressible_falls_back_to_raw(rng):
+    x = rng.integers(-32768, 32768, 100000).astype(np.int16)
+    assert pack_i16(x) is None  # full-scale white noise: packing can't win
+
+
+def test_tiny_input_not_packed(rng):
+    assert pack_i16(rng.integers(-5, 5, 100).astype(np.int16)) is None
+
+
+def test_all_width_buckets_roundtrip(rng):
+    """Exercise every residual bit width 1..18 (incl. >16 from deltas)."""
+    for w in range(1, 16):
+        amp = 2 ** (w - 1) - 1
+        x = rng.integers(-amp - 1, amp + 1, 3 * BLOCK).astype(np.int16)
+        p = pack_i16(x)
+        if p is not None:
+            np.testing.assert_array_equal(unpack_np(p), x)
+    # alternating near-extremes: order-1/2 residuals need 17-18 bits, so
+    # pack must either fall back or stay exact
+    x = np.where(np.arange(3 * BLOCK) % 2 == 0, 30000, -30000).astype(np.int16)
+    p = pack_i16(x)
+    if p is not None:
+        np.testing.assert_array_equal(unpack_np(p), x)
+
+
+def test_streaming_pack_matches_raw(rng):
+    """transfer='pack' and 'raw' must give bitwise-identical pipelines."""
+    from msv_tpu.config import SpecSetting, derive_stft_params
+    from msv_tpu.ops.dft import windowed_dft_matrices
+    from msv_tpu.ops.mel import calc_mel_fb_default
+    from msv_tpu.ops.windows import default_stft_window
+
+    p = derive_stft_params(8000, SpecSetting())
+    window = default_stft_window(p.win_length, p.n_fft)
+    c, s = windowed_dft_matrices(window, p.n_fft)
+    fb = calc_mel_fb_default(8000, p.n_fft)
+    t = np.arange(8000 * 40) / 8000
+    wav = np.clip(
+        32768 * (0.3 * np.sin(2 * np.pi * 300 * t)
+                 + 0.01 * rng.standard_normal(len(t))),
+        -32768, 32767,
+    ).astype(np.int16)
+
+    kw = dict(chunk_frames=256, seg_chunks=4)
+    db_r, nf_r, lo_r, hi_r = streaming_spec_db(
+        wav, p.win_length, p.hop_length, c, s, fb, transfer="raw", **kw)
+    db_p, nf_p, lo_p, hi_p = streaming_spec_db(
+        wav, p.win_length, p.hop_length, c, s, fb, transfer="pack", **kw)
+    assert nf_r == nf_p and lo_r == lo_p and hi_r == hi_p
+    np.testing.assert_array_equal(np.asarray(db_r), np.asarray(db_p))
+
+
+def test_padded_slice_matches_reflect_pad(rng):
+    """padded_slice is the zero-copy replacement for whole-file
+    reflect_pad_center + zero tail; verify exact equality in pieces."""
+    from msv_tpu.ops.framing import reflect_pad_center
+
+    for n, win in [(5000, 320), (1600, 320), (12345, 640)]:
+        wav = rng.integers(-3000, 3000, n).astype(np.int16)
+        half = win // 2
+        full = reflect_pad_center(wav, win)
+        total = len(full) + 4096  # beyond-end region must read zero
+        full_z = np.concatenate([full, np.zeros(4096, np.int16)])
+        for a, b in [(0, 100), (0, total), (half - 7, half + 9),
+                     (n, total), (total - 50, total),
+                     (half + n - 5, half + n + half + 5)]:
+            got = padded_slice(wav, a, b, half, n)
+            np.testing.assert_array_equal(got, full_z[a:b], err_msg=f"{n},{win},{a},{b}")
+
+
+def test_padded_slice_float32(rng):
+    from msv_tpu.ops.framing import reflect_pad_center
+
+    wav = rng.standard_normal(4000).astype(np.float32)
+    half = 160
+    full = reflect_pad_center(wav, 320)
+    got = padded_slice(wav, 0, len(full), half, 4000, dtype=np.float32)
+    np.testing.assert_array_equal(got, full)
