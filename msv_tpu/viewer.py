@@ -38,6 +38,13 @@ _PAGE = """<!DOCTYPE html>
  amp&plusmn;<input id="amp" type="number" value="1.0" min="0.05" max="4" step="0.05" style="width:56px">
  <input id="addpath" placeholder="/path/to/file.wav" style="margin-left:14px;width:220px">
  <button id="addbtn">add</button>
+ <span style="margin-left:14px;color:#888;font-size:12px">
+  win <input id="win_ms" type="number" value="40" min="5" max="500" step="5" style="width:48px"> ms
+  &times;<input id="t_overlap" type="number" value="4" min="1" max="16" style="width:36px">
+  <select id="freq_scale"><option value="mel">mel</option><option value="linear">linear</option></select>
+  range <input id="db_range" type="number" value="120" min="20" max="200" step="10" style="width:52px"> dB
+  <button id="applyset">apply</button>
+ </span>
 </div>
 <div id="tracks"></div>
 <script>
@@ -132,6 +139,27 @@ document.getElementById('addbtn').addEventListener('click', async () => {
   if (!r.ok) { alert(await r.text()); return; }
   load();
 });
+document.getElementById('applyset').addEventListener('click', async () => {
+  // live SpecSetting round-trip (lib.rs:64-70 surface; the reference has
+  // no setter wired yet — ours re-derives all tracks server-side)
+  const body = {
+    win_ms: +document.getElementById('win_ms').value,
+    t_overlap: +document.getElementById('t_overlap').value,
+    freq_scale: document.getElementById('freq_scale').value,
+    db_range: +document.getElementById('db_range').value,
+  };
+  const r = await fetch('/api/setting', {method:'POST', body: JSON.stringify(body)});
+  if (!r.ok) { alert(await r.text()); return; }
+  load();
+});
+async function loadSetting() {
+  const s = await (await fetch('/api/setting')).json();
+  document.getElementById('win_ms').value = s.win_ms;
+  document.getElementById('t_overlap').value = s.t_overlap;
+  document.getElementById('freq_scale').value = s.freq_scale;
+  document.getElementById('db_range').value = s.db_range;
+}
+loadSetting();
 document.getElementById('tracks').addEventListener('click', async ev => {
   const rm = ev.target.getAttribute && ev.target.getAttribute('data-rm');
   if (rm === null || rm === undefined) return;
@@ -260,6 +288,23 @@ class _Handler(BaseHTTPRequestHandler):
                 from .render.colormap import get_colormap
 
                 self._send(200, "application/octet-stream", get_colormap())
+            elif url.path == "/api/setting":
+                # live SpecSetting readout (lib.rs:64-70)
+                from .config import FreqScale
+
+                st = mt.setting
+                body = json.dumps(
+                    {
+                        "win_ms": st.win_ms,
+                        "t_overlap": st.t_overlap,
+                        "f_overlap": st.f_overlap,
+                        "freq_scale": "mel"
+                        if st.freq_scale == FreqScale.MEL
+                        else "linear",
+                        "db_range": st.db_range,
+                    }
+                ).encode()
+                self._send(200, "application/json", body)
             elif url.path == "/api/stats":
                 # observability (SURVEY.md §5.e): stage timings + cache sizes
                 with self.lock:
@@ -306,6 +351,38 @@ class _Handler(BaseHTTPRequestHandler):
             elif url.path == "/api/remove":
                 with self.lock:
                     changed = mt.remove_track(int(body["id"]))
+                self._send(
+                    200, "application/json",
+                    json.dumps({"ok": True, "changed": bool(changed)}).encode(),
+                )
+            elif url.path == "/api/setting":
+                # live settings: merge partial fields into the current
+                # SpecSetting and re-derive every track (lib.rs:57-61
+                # reload semantics, which the reference never calls)
+                import dataclasses
+
+                from .config import FreqScale, SpecSetting
+
+                cur = mt.setting
+                fs = body.get("freq_scale")
+                new = dataclasses.replace(
+                    cur,
+                    win_ms=float(body.get("win_ms", cur.win_ms)),
+                    t_overlap=int(body.get("t_overlap", cur.t_overlap)),
+                    f_overlap=int(body.get("f_overlap", cur.f_overlap)),
+                    db_range=float(body.get("db_range", cur.db_range)),
+                    freq_scale=(
+                        FreqScale.MEL if fs == "mel"
+                        else FreqScale.LINEAR if fs == "linear"
+                        else cur.freq_scale
+                    ),
+                )
+                if not (1 <= new.t_overlap <= 64) or not (
+                    1 <= new.win_ms <= 2000
+                ) or not (1 <= new.db_range <= 400):
+                    raise ValueError("setting out of range")
+                with self.lock:
+                    changed = mt.set_setting(new)
                 self._send(
                     200, "application/json",
                     json.dumps({"ok": True, "changed": bool(changed)}).encode(),

@@ -137,3 +137,40 @@ def test_viewer_colormap_export(viewer_url):
     code, body = _get(viewer_url + "/api/colormap")
     assert code == 200 and len(body) == 30
     assert body == COLORMAP.tobytes()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, r.read()
+
+
+def test_viewer_setting_roundtrip(viewer_url):
+    """Live SpecSetting over HTTP (lib.rs:64-70 surface; VERDICT r1 #8)."""
+    code, body = _get(viewer_url + "/api/setting")
+    s = json.loads(body)
+    assert code == 200 and s["win_ms"] == 40.0 and s["freq_scale"] == "mel"
+
+    code, body = _post(
+        viewer_url + "/api/setting",
+        {"win_ms": 25.0, "t_overlap": 2, "freq_scale": "linear"},
+    )
+    assert code == 200 and json.loads(body)["ok"]
+
+    code, body = _get(viewer_url + "/api/setting")
+    s = json.loads(body)
+    assert s["win_ms"] == 25.0 and s["t_overlap"] == 2
+    assert s["freq_scale"] == "linear"
+    assert s["db_range"] == 120.0  # untouched fields keep their values
+
+    # tracks were re-derived and renders still work
+    code, body = _get(viewer_url + "/api/spec/0?px_per_sec=50&height=100")
+    assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+
+    # out-of-range rejected
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        _post(viewer_url + "/api/setting", {"t_overlap": 0})
