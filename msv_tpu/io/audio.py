@@ -51,6 +51,11 @@ def _parse_wav_numpy(data: bytes, path: str):
         (audio_fmt,) = struct.unpack_from("<H", fmt_body, 24)
     if n_ch == 0:
         raise AudioReadError(f"{path}: zero channels")
+    # defensive truncation: a data chunk whose byte count is not a multiple
+    # of the sample size (truncated final sample) must not crash frombuffer
+    if bits in (8, 16, 24, 32, 64):
+        bsz = bits // 8
+        raw = raw[: len(raw) - (len(raw) % bsz)] if bsz > 1 else raw
 
     if audio_fmt == _WAVE_FORMAT_IEEE_FLOAT:
         if bits == 32:
