@@ -112,6 +112,12 @@ def _parse_wav_numpy(data: bytes, path: str):
     return wav, int(sr), None
 
 
+def _is_mono_pcm16(data: bytes) -> bool:
+    """Cheap fmt-chunk probe: does the numpy raw-i16 fast path apply?"""
+    info = _probe_fmt(data)
+    return info is not None and info == (_WAVE_FORMAT_PCM, 1, 16)
+
+
 def open_audio_file(path: str):
     """Decode an audio file -> (float32 (n_ch, n_samples), sample_rate)."""
     wav, sr, _ = open_audio_file_ex(path)
@@ -133,20 +139,26 @@ def open_audio_file_ex(path: str):
             is_flac = head[:4] == b"fLaC"
             is_ogg = head[:4] == b"OggS"
             if is_wav:
-                # The C++ decoder (msv_tpu/native) is an alternative backend
-                # kept at parity with the numpy parser (tests/test_audio.py);
-                # opt in via MSV_NATIVE_AUDIO=1.  The numpy parser stays the
-                # default because it also extracts the raw-i16 transfer
-                # format for the device pipelines.
+                # Decoder routing (parity-tested against each other in
+                # tests/test_audio.py + tests/test_parity_fuzz.py):
+                #  - mono PCM16 -> numpy parser, which also extracts the
+                #    raw-i16 device transfer format (half the wire bytes);
+                #  - everything else -> the native C++ decoder when built
+                #    (one memcpy-speed pass vs several strided numpy passes
+                #    on the single host core — decode was 1.2 s of a 1.6 s
+                #    add_track for a 60 s stereo file), numpy as fallback.
+                # MSV_NATIVE_AUDIO=1 forces native for all WAVs.
                 import os as _os
 
-                if _os.environ.get("MSV_NATIVE_AUDIO") == "1":
+                data = f.read()
+                force_native = _os.environ.get("MSV_NATIVE_AUDIO") == "1"
+                if force_native or not _is_mono_pcm16(data):
                     from . import _native_audio
 
                     native = _native_audio.try_decode(path)
                     if native is not None:
                         return native[0], native[1], None
-                return _parse_wav_numpy(f.read(), path)
+                return _parse_wav_numpy(data, path)
     except OSError as e:
         raise AudioReadError(f"{path}: {e}") from e
 
@@ -172,6 +184,87 @@ def open_audio_file_ex(path: str):
         )
     data, sr = soundfile.read(path, dtype="float32", always_2d=True)
     return np.ascontiguousarray(data.T), int(sr), None
+
+
+def open_audio_mono_ex(path: str):
+    """Decode -> (mono_sum f32 (n_samples,), sr, raw_int | None).
+
+    The session's loader: channels are SUMMED to mono (lib.rs:42).  For
+    PCM16 sources the sum of k int16 channels is an exact integer in
+    [-k*2^15, k*(2^15-1)] — representable exactly in both int32 and f32 —
+    so ``raw_int`` carries it in the integer domain (int16 for mono,
+    int32 for multi-channel) as the device transfer format: the device
+    applies the exact 2^-15 scale, bit-identical to summing scaled f32
+    channels, at half-or-better the wire bytes and wirepack-compressible
+    (parallel/wirepack.py).  Non-PCM16 sources return raw_int=None.
+    """
+    try:
+        with open(path, "rb") as f:
+            head = f.read(12)
+            f.seek(0)
+            if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+                data = f.read()
+                info = _probe_fmt(data)
+                if info is not None and info[0] == _WAVE_FORMAT_PCM and (
+                    info[2] == 16
+                ):
+                    n_ch = info[1]
+                    raw = _data_chunk(data)
+                    if raw is not None:
+                        i16 = np.frombuffer(
+                            raw[: len(raw) - (len(raw) % (2 * n_ch))], "<i2"
+                        )
+                        if n_ch == 1:
+                            mono_i = np.ascontiguousarray(i16)
+                        else:
+                            mono_i = i16.reshape(-1, n_ch).sum(
+                                axis=1, dtype=np.int32
+                            )
+                        mono = mono_i.astype(np.float32) * np.float32(2.0**-15)
+                        return mono, _probe_sr(data), mono_i
+    except OSError as e:
+        raise AudioReadError(f"{path}: {e}") from e
+    wav2d, sr, raw_i16 = open_audio_file_ex(path)
+    return wav2d.sum(axis=0), sr, raw_i16
+
+
+def _probe_fmt(data: bytes):
+    """(audio_fmt, n_ch, bits) from the fmt chunk, or None."""
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if cid == b"fmt " and size >= 16:
+            fmt, n_ch, _sr, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", data, pos + 8
+            )
+            if fmt == _WAVE_FORMAT_EXTENSIBLE and size >= 26:
+                (fmt,) = struct.unpack_from("<H", data, pos + 8 + 24)
+            return fmt, n_ch, bits
+        pos += 8 + size + (size & 1)
+    return None
+
+
+def _probe_sr(data: bytes) -> int:
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if cid == b"fmt " and size >= 16:
+            return int(struct.unpack_from("<HHI", data, pos + 8)[2])
+        pos += 8 + size + (size & 1)
+    raise AudioReadError("missing fmt chunk")
+
+
+def _data_chunk(data: bytes):
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if cid == b"data":
+            return data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    return None
 
 
 def open_wav_mmap(path: str):

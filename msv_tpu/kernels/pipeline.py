@@ -55,8 +55,9 @@ def spec_pipeline(padded, c, s, mel_fb, n_valid, *, win, hop, n_frames,
             "spec_pipeline requires an explicit precision mode "
             "(pass mode=get_precision_mode())"
         )
-    if padded.dtype == jnp.int16:
-        # PCM16 transfer format: exact power-of-two scaling on device.
+    if padded.dtype in (jnp.int16, jnp.int32):
+        # integer transfer format (raw PCM16 or exact int32 channel sum):
+        # exact power-of-two scaling on device.
         padded = padded.astype(jnp.float32) * jnp.float32(2.0**-15)
     # fast mode = single-pass MXU (DEFAULT precision) on f32 operands with
     # f32 accumulation.  Explicit bf16 INPUT casts were measured to blow up

@@ -29,20 +29,26 @@ inline int bit_width(uint32_t v) {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-void msv_free_ptr(void* p) { free(p); }
-
-// Packs int16 PCM.  Returns 0 on success; 1 when raw i16 is smaller or the
-// input is too small / stream too large (caller ships raw).
-// out_head must have room for max_order int32s.
-int32_t msv_wirepack_pack(const int16_t* x, int64_t n, int32_t block,
-                          int32_t max_order,
-                          uint8_t** out_bytes, int64_t* out_nbytes,
-                          int32_t** out_widths, int32_t** out_starts,
-                          int64_t* out_nblocks, int32_t* out_order,
-                          int32_t* out_head) {
+// Packs integer PCM (int16 raw samples, or int32 channel sums bounded by
+// |v| < 2^21 so order-2 zigzag widths stay <= 24 bits).  Returns 0 on
+// success; 1 when the raw array is smaller or the input is too small /
+// stream too large (caller ships raw).  out_head: room for max_order i32s.
+template <typename T>
+int32_t wirepack_pack_impl(const T* x, int64_t n, int32_t block,
+                           int32_t max_order,
+                           uint8_t** out_bytes, int64_t* out_nbytes,
+                           int32_t** out_widths, int32_t** out_starts,
+                           int64_t* out_nblocks, int32_t* out_order,
+                           int32_t* out_head) {
   if (n <= 2 * (int64_t)block || block <= 0 || (block % 8) != 0) return 1;
+  if (sizeof(T) == 4) {
+    for (int64_t i = 0; i < n; i++) {
+      int64_t v = (int64_t)x[i];
+      if (v >= (1ll << 21) || v < -(1ll << 21)) return 1;
+    }
+  }
   if (max_order < 0) max_order = 0;
   if (max_order > 2) max_order = 2;
 
@@ -123,7 +129,8 @@ int32_t msv_wirepack_pack(const int16_t* x, int64_t n, int32_t block,
       best = k;
     }
   }
-  if (best_cost >= (uint64_t)n * 2 || total_bits[best] >= (1ull << 31)) {
+  if (best_cost >= (uint64_t)n * sizeof(T) ||
+      total_bits[best] >= (1ull << 31)) {
     for (int k = 0; k < n_orders; k++) free(widths_buf[k]);
     return 1;
   }
@@ -204,6 +211,34 @@ int32_t msv_wirepack_pack(const int16_t* x, int64_t n, int32_t block,
   *out_nblocks = nblocks;
   *out_order = order;
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+void msv_free_ptr(void* p) { free(p); }
+
+int32_t msv_wirepack_pack(const int16_t* x, int64_t n, int32_t block,
+                          int32_t max_order,
+                          uint8_t** out_bytes, int64_t* out_nbytes,
+                          int32_t** out_widths, int32_t** out_starts,
+                          int64_t* out_nblocks, int32_t* out_order,
+                          int32_t* out_head) {
+  return wirepack_pack_impl<int16_t>(x, n, block, max_order, out_bytes,
+                                     out_nbytes, out_widths, out_starts,
+                                     out_nblocks, out_order, out_head);
+}
+
+int32_t msv_wirepack_pack_i32(const int32_t* x, int64_t n, int32_t block,
+                              int32_t max_order,
+                              uint8_t** out_bytes, int64_t* out_nbytes,
+                              int32_t** out_widths, int32_t** out_starts,
+                              int64_t* out_nblocks, int32_t* out_order,
+                              int32_t* out_head) {
+  return wirepack_pack_impl<int32_t>(x, n, block, max_order, out_bytes,
+                                     out_nbytes, out_widths, out_starts,
+                                     out_nblocks, out_order, out_head);
 }
 
 }  // extern "C"

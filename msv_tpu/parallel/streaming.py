@@ -41,8 +41,9 @@ def _streaming_core(
     # kernels/pipeline.py for why explicit bf16 input casts are avoided.
     prec = precision_for(mode)
     cc, ss, fb = c, s, mel_fb
-    if padded.dtype == jnp.int16:
-        # PCM16 transfer format (half the tunnel bytes): exact 2^-15 scale.
+    if padded.dtype in (jnp.int16, jnp.int32):
+        # integer transfer format (raw PCM16 / int32 channel sum, fewer
+        # tunnel bytes + wirepack-compressible): exact 2^-15 scale.
         padded = padded.astype(jnp.float32) * jnp.float32(2.0**-15)
 
     # Framing decomposition: with g = gcd(win, hop) the chunk reshapes to
@@ -168,10 +169,10 @@ def _to_device_packed(seg_np, transfer: str):
     on-device by vectorized integer ops into the identical int16 buffer.
     Falls back to raw whenever packing would not shrink the transfer.
     """
-    if transfer in ("pack", "auto") and seg_np.dtype == np.int16:
-        from .wirepack import pack_i16, unpack_jax
+    if transfer in ("pack", "auto") and seg_np.dtype in (np.int16, np.int32):
+        from .wirepack import pack_int, unpack_jax
 
-        p = pack_i16(seg_np)
+        p = pack_int(seg_np)
         if p is not None:
             return unpack_jax(p)
     return jnp.asarray(seg_np)
@@ -268,8 +269,9 @@ def streaming_spec_db(
     requires ``n_fft`` and ``window``), or 'pallas' (the fused VMEM-resident
     kernel, kernels/spectrogram_pallas.py; requires mel + win % hop == 0).
     """
-    # int16 input is kept as the transfer format (scaled on device, exact)
-    dtype = np.int16 if wav.dtype == np.int16 else np.float32
+    # integer input is kept as the transfer format (scaled on device,
+    # exact): int16 raw PCM or the int32 multi-channel sum
+    dtype = wav.dtype if wav.dtype in (np.int16, np.int32) else np.float32
     wav = np.ascontiguousarray(wav, dtype=dtype)
     if impl == "fft" and (n_fft is None or window is None):
         raise ValueError("impl='fft' requires n_fft and window")

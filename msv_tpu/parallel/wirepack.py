@@ -34,15 +34,18 @@ _LOG2_BLOCK = 10
 class PackedPCM:
     """Host-side container for one packed segment."""
 
-    __slots__ = ("order", "n", "head", "words", "block_w", "block_start")
+    __slots__ = ("order", "n", "head", "words", "block_w", "block_start",
+                 "out_dtype")
 
-    def __init__(self, order, n, head, words, block_w, block_start):
+    def __init__(self, order, n, head, words, block_w, block_start,
+                 out_dtype="int16"):
         self.order = order          # delta order k (0, 1, 2)
         self.n = n                  # original sample count
         self.head = head            # int32[k] warmup samples
         self.words = words          # uint32[W] packed residual bits
         self.block_w = block_w      # int32[NB] bits per residual
         self.block_start = block_start  # int32[NB] bit offset of each block
+        self.out_dtype = out_dtype  # 'int16' (raw PCM) or 'int32' (ch sum)
 
     @property
     def nbytes(self):
@@ -137,6 +140,10 @@ def _native_lib():
             c.POINTER(c.c_int32),
         ]
         lib.msv_wirepack_pack.restype = c.c_int32
+        lib.msv_wirepack_pack_i32.argtypes = (
+            [c.POINTER(c.c_int32)] + lib.msv_wirepack_pack.argtypes[1:]
+        )
+        lib.msv_wirepack_pack_i32.restype = c.c_int32
         lib.msv_free_ptr.argtypes = [c.c_void_p]
         lib.msv_free_ptr.restype = None
         _NATIVE = lib
@@ -145,7 +152,7 @@ def _native_lib():
     return _NATIVE
 
 
-def _pack_i16_native(x: np.ndarray):
+def _pack_int_native(x: np.ndarray, out_dtype: str):
     """C packer (native/wirepack.cc): identical bitstream, one streaming
     pass per stage — the single host core must outrun the ~25-40 MB/s wire,
     and the numpy packer tops out around it."""
@@ -161,12 +168,20 @@ def _pack_i16_native(x: np.ndarray):
     out_nblocks = c.c_int64()
     out_order = c.c_int32()
     head_buf = (c.c_int32 * 2)()
-    rc = lib.msv_wirepack_pack(
-        x.ctypes.data_as(c.POINTER(c.c_int16)), len(x), BLOCK, 2,
-        c.byref(out_bytes), c.byref(out_nbytes), c.byref(out_widths),
-        c.byref(out_starts), c.byref(out_nblocks), c.byref(out_order),
-        head_buf,
-    )
+    if x.dtype == np.int32:
+        rc = lib.msv_wirepack_pack_i32(
+            x.ctypes.data_as(c.POINTER(c.c_int32)), len(x), BLOCK, 2,
+            c.byref(out_bytes), c.byref(out_nbytes), c.byref(out_widths),
+            c.byref(out_starts), c.byref(out_nblocks), c.byref(out_order),
+            head_buf,
+        )
+    else:
+        rc = lib.msv_wirepack_pack(
+            x.ctypes.data_as(c.POINTER(c.c_int16)), len(x), BLOCK, 2,
+            c.byref(out_bytes), c.byref(out_nbytes), c.byref(out_widths),
+            c.byref(out_starts), c.byref(out_nblocks), c.byref(out_order),
+            head_buf,
+        )
     if rc != 0:
         return True, None  # handled: raw is better
     try:
@@ -186,23 +201,35 @@ def _pack_i16_native(x: np.ndarray):
         words=np.ascontiguousarray(data.view("<u4")),
         block_w=widths,
         block_start=starts,
+        out_dtype=out_dtype,
     )
 
 
-def pack_i16(x: np.ndarray, max_order: int = 2, native: bool | None = None):
-    """Pack int16 PCM.  Returns PackedPCM, or None when raw i16 is smaller
+def pack_int(x: np.ndarray, max_order: int = 2, native: bool | None = None):
+    """Pack integer PCM: int16 (raw samples) or int32 (exact channel sums,
+    |v| < 2^21).  Returns PackedPCM, or None when the raw array is smaller
     (e.g. full-scale noise) — callers then ship the raw array.
 
     Uses the native C packer when built (identical bitstream, ~20x the
     throughput of the numpy path, which remains the oracle/fallback);
     ``native=False`` forces numpy, ``native=True`` requires the C path.
     """
-    x = np.ascontiguousarray(x, dtype=np.int16)
-    n = len(x)
-    if n <= 2 * BLOCK:
-        return None  # not worth the metadata for tiny inputs
+    if x.dtype == np.int32:
+        out_dtype = "int32"
+        x = np.ascontiguousarray(x)
+        n = len(x)
+        if n <= 2 * BLOCK:
+            return None
+        if n and max(int(x.max()), -int(x.min()) - 1) >= 1 << 21:
+            return None  # residual widths would exceed _WMAX
+    else:
+        out_dtype = "int16"
+        x = np.ascontiguousarray(x, dtype=np.int16)
+        n = len(x)
+        if n <= 2 * BLOCK:
+            return None  # not worth the metadata for tiny inputs
     if native is not False and max_order == 2:
-        handled, packed = _pack_i16_native(x)
+        handled, packed = _pack_int_native(x, out_dtype)
         if handled:
             return packed
         if native is True:
@@ -270,6 +297,7 @@ def pack_i16(x: np.ndarray, max_order: int = 2, native: bool | None = None):
         words=np.ascontiguousarray(words),
         block_w=widths,
         block_start=starts.astype(np.int32),
+        out_dtype=out_dtype,
     )
 
 
@@ -294,17 +322,21 @@ def unpack_np(p: PackedPCM) -> np.ndarray:
     x = r
     for head_v in p.head[::-1]:
         x = np.concatenate([[head_v], head_v + np.cumsum(x, dtype=np.int32)])
-    return x.astype(np.int16)
+    return x.astype(np.int16 if p.out_dtype == "int16" else np.int32)
 
 
-_WMAX = 18  # max zigzag width: order-2 residual of int16 spans 18 bits
+_WMAX = 24  # order-2 residual of a 2^21-bounded int32 channel sum: 24 bits
+# (int16 inputs only ever need 18; one shared bound keeps ONE compiled
+# unpack program per segment shape instead of one per input kind)
 _ROW_WORDS = BLOCK * _WMAX // 32  # u32 words covering one max-width block
 
 
 @functools.partial(
-    __import__("jax").jit, static_argnames=("n", "order", "n_blocks")
+    __import__("jax").jit,
+    static_argnames=("n", "order", "n_blocks", "out_dtype"),
 )
-def unpack_device(words, block_w, block_start, head, *, n, order, n_blocks):
+def unpack_device(words, block_w, block_start, head, *, n, order, n_blocks,
+                  out_dtype="int16"):
     """Device unpack -> int16[n].  Gather-free by construction.
 
     A naive two-word gather per field runs at ~58M fields/s on the TPU
@@ -355,7 +387,10 @@ def unpack_device(words, block_w, block_start, head, *, n, order, n_blocks):
         x = head[k - 1] + jnp.cumsum(x, dtype=jnp.int32)
         x = jnp.concatenate([head[k - 1 : k], x])
     del nwords
-    return x.astype(jnp.int16)
+    return x.astype(jnp.int16) if out_dtype == "int16" else x
+
+
+pack_i16 = pack_int  # backwards-compatible alias
 
 
 def unpack_jax(p: PackedPCM):
@@ -370,4 +405,5 @@ def unpack_jax(p: PackedPCM):
         n=p.n,
         order=p.order,
         n_blocks=len(p.block_w),
+        out_dtype=p.out_dtype,
     )

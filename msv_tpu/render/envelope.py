@@ -82,7 +82,7 @@ def _chunked_window_minmax(wav, starts, ends, m, n_cols):
 @jax.jit
 def _block_minmax(wav):
     """Per-block min/max pyramid level (zoom-invariant; cached per track)."""
-    if wav.dtype == jnp.int16:
+    if wav.dtype in (jnp.int16, jnp.int32):
         wav = wav.astype(jnp.float32) * jnp.float32(2.0**-15)
     nb = wav.shape[0] // _BLOCK
     blocks = wav[: nb * _BLOCK].reshape(nb, _BLOCK)
@@ -207,7 +207,7 @@ def _envelope_core(
     wav, bmax, bmin, starts, ends, amp_min, amp_max, *, m, nheight, n_cols,
     pooled
 ):
-    if wav.dtype == jnp.int16:
+    if wav.dtype in (jnp.int16, jnp.int32):
         wav = wav.astype(jnp.float32) * jnp.float32(2.0**-15)
     if pooled:
         mx, mn = _pooled_window_minmax(wav, bmax, bmin, starts, ends, m, n_cols)

@@ -142,10 +142,14 @@ class AudioTrack:
     """Loaded track + derived STFT params (lib.rs:30-62)."""
 
     def __init__(self, path: str, setting: SpecSetting):
-        wav2d, sr, raw_i16 = open_audio_file_ex(path)
+        from ..io.audio import open_audio_mono_ex
+
+        mono, sr, raw_int = open_audio_mono_ex(path)  # SUM-to-mono (lib.rs:42)
         self.path = path
-        self.wav = wav2d.sum(axis=0)  # SUM, not mean (lib.rs:42)
-        self._wav_i16 = raw_i16  # PCM16-mono transfer fast path (or None)
+        self.wav = mono
+        # integer-domain transfer fast path: raw PCM16 (mono sources) or the
+        # exact int32 channel sum (multi-channel PCM16); None for float/codec
+        self._wav_int = raw_int
         self.sr = int(sr)
         p = derive_stft_params(sr, setting)
         self.win_length = p.win_length
@@ -234,7 +238,7 @@ class MultiTrack:
 
         jnp = self._jnp
         win, hop = track.win_length, track.hop_length
-        if padded.dtype == np.int16:
+        if padded.dtype in (np.int16, np.int32):
             # the kernel consumes f32; scale on host for this path
             padded = padded.astype(np.float32) * np.float32(2.0**-15)
         c3, s3, fb3, n_mel = _dev_pallas_tiles(track.sr, win, track.n_fft)
@@ -287,8 +291,8 @@ class MultiTrack:
         n_frames = n_frames_for(len(track.wav), win, hop)
         n_frames_pad = round_up_to(max(n_frames, 1), FRAME_BUCKET)
         src = (
-            track._wav_i16
-            if track._wav_i16 is not None
+            track._wav_int
+            if track._wav_int is not None
             else track.wav.astype(np.float32)
         )
         padded = reflect_pad_center(src, win)
@@ -309,8 +313,8 @@ class MultiTrack:
         n_frames = n_frames_for(len(track.wav), win, hop)
         if n_frames > STREAMING_FRAME_THRESHOLD:
             src = (
-                track._wav_i16
-                if track._wav_i16 is not None
+                track._wav_int
+                if track._wav_int is not None
                 else track.wav.astype(np.float32)
             )
             return self._calc_spec_streaming(track, src, n_frames)
@@ -335,9 +339,12 @@ class MultiTrack:
             # pass a dummy so the jit signature is stable per (shape, use_mel)
             mel_fb = jnp.zeros((1, 1), dtype=jnp.float32)
         from ..config import get_precision_mode
+        from ..parallel.streaming import _to_device_packed
 
+        # integer-domain padded waveforms ride the wire codec when it pays
+        # (the add-track path is transfer-bound like the streaming one)
         db, smin, smax = spec_pipeline(
-            jnp.asarray(padded),
+            _to_device_packed(padded, "auto"),
             c,
             s,
             mel_fb,
@@ -405,7 +412,7 @@ class MultiTrack:
             if streaming or self._use_pallas(tr) or get_engine() == "pallas":
                 singles.append(id)
                 continue
-            dtype = "i16" if tr._wav_i16 is not None else "f32"
+            dtype = (str(tr._wav_int.dtype) if tr._wav_int is not None else "f32")
             n_frames_pad = round_up_to(max(n_frames, 1), FRAME_BUCKET)
             key = (tr.sr, n_frames_pad, dtype)
             groups.setdefault(key, []).append(id)
@@ -608,7 +615,7 @@ class MultiTrack:
         if st is None:
             from ..render.envelope import EnvelopeState
 
-            st = EnvelopeState(track.wav, track._wav_i16)
+            st = EnvelopeState(track.wav, track._wav_int)
             self._env_states[id] = st
         with self.timer.stage("get_wav_image.render"):
             return wav_to_image(
@@ -636,7 +643,7 @@ class MultiTrack:
         if st is None:
             from ..render.envelope import EnvelopeState
 
-            st = EnvelopeState(track.wav, track._wav_i16)
+            st = EnvelopeState(track.wav, track._wav_int)
             self._env_states[id] = st
         with self.timer.stage("get_wav_image.render"):
             return wav_to_image(

@@ -133,3 +133,51 @@ def test_reference_sample_decode_golden(reference_sample_paths):
     assert wav.min() == pytest.approx(-0.20217896, abs=1e-7)
     # PCM16 values are exact multiples of 2^-15
     assert float(wav[0, 1006]) == pytest.approx(3.0517578e-05, abs=1e-12)
+
+
+def test_mono_ex_integer_sum_stereo(tmp_path, rng):
+    """Multi-channel PCM16: open_audio_mono_ex returns the EXACT int32
+    channel sum, and the f32 mono equals sum(scaled channels) bit-for-bit
+    (integer*2^-15 is exactly representable, so the integer-domain wire
+    format is lossless vs the reference's f32 sum, lib.rs:42)."""
+    from msv_tpu.io.audio import open_audio_file, open_audio_mono_ex
+
+    x = np.clip(rng.standard_normal((2, 5000)) * 0.4, -1, 0.99).astype(
+        np.float32
+    )
+    p = str(tmp_path / "st.wav")
+    write_wav(p, x, 16000)
+
+    mono, sr, raw = open_audio_mono_ex(p)
+    assert sr == 16000 and raw is not None and raw.dtype == np.int32
+
+    wav2d, sr2 = open_audio_file(p)
+    expect = wav2d.sum(axis=0)
+    np.testing.assert_array_equal(mono, expect)
+    np.testing.assert_array_equal(
+        raw.astype(np.float32) * np.float32(2.0**-15), mono
+    )
+
+
+def test_mono_ex_mono_keeps_i16(tmp_path, rng):
+    from msv_tpu.io.audio import open_audio_mono_ex
+
+    x = (rng.standard_normal((1, 3000)) * 0.3).astype(np.float32)
+    p = str(tmp_path / "m.wav")
+    write_wav(p, x, 8000)
+    mono, sr, raw = open_audio_mono_ex(p)
+    assert raw is not None and raw.dtype == np.int16
+    np.testing.assert_array_equal(
+        raw.astype(np.float32) * np.float32(2.0**-15), mono
+    )
+
+
+def test_mono_ex_float_source_no_raw(tmp_path, rng):
+    from msv_tpu.io.audio import open_audio_mono_ex
+
+    x = (rng.standard_normal((2, 2000)) * 0.3).astype(np.float32)
+    p = str(tmp_path / "f.wav")
+    write_wav(p, x, 8000, bits=32)
+    mono, sr, raw = open_audio_mono_ex(p)
+    assert raw is None
+    np.testing.assert_allclose(mono, x.sum(axis=0), atol=0)
