@@ -60,6 +60,8 @@ def _build_parser():
     v.add_argument("--port", type=int, default=8080)
     v.add_argument("--host", default="127.0.0.1",
                    help="bind address (default loopback; 0.0.0.0 to expose)")
+    v.add_argument("--add-root", default=None,
+                   help="restrict POST /api/add to this directory tree")
     v.add_argument("--freq-scale", choices=["mel", "linear"], default="mel")
     return p
 
@@ -132,7 +134,8 @@ def _main(argv=None):
             if args.freq_scale == "mel"
             else FreqScale.LINEAR
         )
-        serve_viewer(args.files, args.port, setting, host=args.host)
+        serve_viewer(args.files, args.port, setting, host=args.host,
+                     add_root=args.add_root)
         return 0
 
     if args.cmd == "serve":

@@ -36,6 +36,13 @@ def _load():
         lib.msv_wav_decode.restype = ctypes.c_int32
         lib.msv_flac_decode.argtypes = lib.msv_wav_decode.argtypes
         lib.msv_flac_decode.restype = ctypes.c_int32
+        lib.msv_flac_decode_ex.argtypes = lib.msv_wav_decode.argtypes + [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.msv_flac_decode_ex.restype = ctypes.c_int32
+        lib.msv_free_ptr.argtypes = [ctypes.c_void_p]
+        lib.msv_free_ptr.restype = None
         lib.msv_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
         lib.msv_free.restype = None
         _LIB = lib
@@ -109,3 +116,48 @@ def decode_flac(path: str):
             f"{path}: FLAC decode failed ({_FLAC_ERRORS.get(rc, rc)})"
         )
     return out
+
+
+def decode_flac_ex(path: str):
+    """FLAC -> (wav f32 (n_ch, n), sr, raw_int32 (n_ch, n) | None, bps).
+
+    ``raw_int32`` carries the decoder's exact integer samples (units of
+    2^-(bps-1)) when the stream has one uniform bit depth — the session's
+    integer-domain wire path consumes these instead of f32."""
+    from ..utils.errors import AudioReadError
+
+    lib = _load()
+    if lib is None:
+        raise AudioReadError(
+            f"{path}: FLAC decoding unavailable "
+            "(build libmsv_native.so: make -C msv_tpu/native)"
+        )
+    buf = ctypes.POINTER(ctypes.c_float)()
+    n_samples = ctypes.c_int64()
+    n_ch = ctypes.c_int32()
+    sr = ctypes.c_int32()
+    ibuf = ctypes.POINTER(ctypes.c_int32)()
+    bps = ctypes.c_int32()
+    rc = lib.msv_flac_decode_ex(
+        path.encode(), ctypes.byref(buf), ctypes.byref(n_samples),
+        ctypes.byref(n_ch), ctypes.byref(sr), ctypes.byref(ibuf),
+        ctypes.byref(bps),
+    )
+    if rc != 0:
+        raise AudioReadError(
+            f"{path}: FLAC decode failed ({_FLAC_ERRORS.get(rc, rc)})"
+        )
+    try:
+        wav = np.ctypeslib.as_array(
+            buf, shape=(n_ch.value, n_samples.value)
+        ).copy()
+        raw = None
+        if bps.value > 0 and ibuf:
+            raw = np.ctypeslib.as_array(
+                ibuf, shape=(n_ch.value, n_samples.value)
+            ).copy()
+    finally:
+        lib.msv_free(buf)
+        if ibuf:
+            lib.msv_free_ptr(ctypes.cast(ibuf, ctypes.c_void_p))
+    return wav, sr.value, raw, bps.value

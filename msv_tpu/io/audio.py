@@ -202,6 +202,18 @@ def open_audio_mono_ex(path: str):
         with open(path, "rb") as f:
             head = f.read(12)
             f.seek(0)
+            if head[:4] == b"fLaC":
+                # FLAC: the native decoder's exact integer samples (units
+                # of 2^-(bps-1)) re-scale to 2^-15 units by an integer
+                # shift for bps <= 16, joining the same wire path as WAV.
+                from . import _native_audio
+
+                wav2d, sr, raw, bps = _native_audio.decode_flac_ex(path)
+                mono = wav2d.sum(axis=0)
+                if raw is not None and 0 < bps <= 16:
+                    mono_i = raw.sum(axis=0, dtype=np.int32) << (16 - bps)
+                    return mono, int(sr), mono_i
+                return mono, int(sr), None
             if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
                 data = f.read()
                 info = _probe_fmt(data)

@@ -222,7 +222,8 @@ static const uint32_t kRateFromCode[] = {0,     88200, 176400, 192000,
                                          32000, 44100, 48000,  96000};
 
 int decode_flac(const uint8_t* data, size_t n, float** out_buf,
-                int64_t* out_samples, int32_t* out_ch, int32_t* out_sr) {
+                int64_t* out_samples, int32_t* out_ch, int32_t* out_sr,
+                int32_t** out_int = nullptr, int32_t* out_bps = nullptr) {
   if (n < 8 || memcmp(data, "fLaC", 4) != 0) return 2;  // not FLAC
   size_t pos = 4;
   StreamInfo si;
@@ -257,6 +258,11 @@ int decode_flac(const uint8_t* data, size_t n, float** out_buf,
   std::vector<std::vector<float>> out((size_t)si.channels);
   if (si.total_samples)
     for (auto& v : out) v.reserve((size_t)si.total_samples);
+  // optional raw-integer output (units of 2^-(bps-1)); only meaningful
+  // when every frame shares one bit depth (the overwhelmingly common case)
+  bool want_int = out_int != nullptr && out_bps != nullptr;
+  int int_bps = -1;
+  std::vector<std::vector<int32_t>> outi(want_int ? (size_t)si.channels : 0);
 
   std::vector<int64_t> chan[8];
   uint64_t decoded = 0;
@@ -357,6 +363,17 @@ int decode_flac(const uint8_t* data, size_t n, float** out_buf,
     for (int ch = 0; ch < n_ch; ch++)
       for (uint64_t i = 0; i < want; i++)
         out[(size_t)ch].push_back((float)chan[ch][i] * scale);
+    if (want_int) {
+      if (int_bps == -1) int_bps = bps;
+      if (bps != int_bps) {
+        want_int = false;  // mixed bit depths: int view is ill-defined
+        outi.clear();
+      } else {
+        for (int ch = 0; ch < n_ch; ch++)
+          for (uint64_t i = 0; i < want; i++)
+            outi[(size_t)ch].push_back((int32_t)chan[ch][i]);
+      }
+    }
     decoded += want;
     pos += br.byte;
     if (si.total_samples && decoded >= si.total_samples) break;
@@ -375,6 +392,19 @@ int decode_flac(const uint8_t* data, size_t n, float** out_buf,
   *out_samples = (int64_t)per_ch;
   *out_ch = si.channels;
   *out_sr = (int32_t)si.sample_rate;
+  if (out_int) *out_int = nullptr;
+  if (out_bps) *out_bps = 0;
+  if (want_int && int_bps > 0) {
+    int32_t* ibuf =
+        (int32_t*)malloc(sizeof(int32_t) * per_ch * (size_t)si.channels);
+    if (ibuf) {
+      for (int ch = 0; ch < si.channels; ch++)
+        memcpy(ibuf + (size_t)ch * per_ch, outi[(size_t)ch].data(),
+               sizeof(int32_t) * per_ch);
+      *out_int = ibuf;
+      *out_bps = int_bps;
+    }
+  }
   return 0;
 }
 
@@ -400,6 +430,27 @@ int32_t msv_flac_decode(const char* path, float** out_buf,
   if (got != (size_t)sz) return 1;
   return decode_flac(data.data(), data.size(), out_buf, out_samples, out_ch,
                      out_sr);
+}
+
+// As msv_flac_decode, additionally returning the raw integer samples
+// (units of 2^-(bps-1), channel-major) when the stream has one uniform
+// bit depth — the session's integer-domain wire path consumes these.
+int32_t msv_flac_decode_ex(const char* path, float** out_buf,
+                           int64_t* out_samples, int32_t* out_ch,
+                           int32_t* out_sr, int32_t** out_int,
+                           int32_t* out_bps) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (sz <= 0) { fclose(f); return 1; }
+  std::vector<uint8_t> data((size_t)sz);
+  size_t got = fread(data.data(), 1, (size_t)sz, f);
+  fclose(f);
+  if (got != (size_t)sz) return 1;
+  return decode_flac(data.data(), data.size(), out_buf, out_samples, out_ch,
+                     out_sr, out_int, out_bps);
 }
 
 }  // extern "C"

@@ -173,6 +173,7 @@ load();
 class _Handler(BaseHTTPRequestHandler):
     session = None  # set by serve_viewer
     lock = None
+    add_root = None  # restrict POST /api/add to this directory (None = any)
 
     def log_message(self, *a):  # quiet
         pass
@@ -341,9 +342,21 @@ class _Handler(BaseHTTPRequestHandler):
             length = int(self.headers.get("Content-Length", 0))
             body = json.loads(self.rfile.read(length) or b"{}")
             if url.path == "/api/add":
+                import os as _os
+
+                req_path = str(body["path"])
+                if self.add_root is not None:
+                    real = _os.path.realpath(req_path)
+                    rroot = _os.path.realpath(self.add_root)
+                    if not (real == rroot or real.startswith(rroot + _os.sep)):
+                        self._send(
+                            403, "text/plain",
+                            f"error: path outside --add-root ({rroot})".encode(),
+                        )
+                        return
                 with self.lock:
                     tid = int(body["id"])
-                    changed = mt.add_tracks([tid], [str(body["path"])])
+                    changed = mt.add_tracks([tid], [req_path])
                 self._send(
                     200, "application/json",
                     json.dumps({"ok": True, "changed": bool(changed)}).encode(),
@@ -393,21 +406,24 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(500, "text/plain", f"error: {e}".encode())
 
 
-def serve_viewer(paths, port: int = 8080, setting=None, host: str = "127.0.0.1"):
+def serve_viewer(paths, port: int = 8080, setting=None,
+                 host: str = "127.0.0.1", add_root: str | None = None):
     """Load tracks and serve the viewer UI.  Blocks.
 
     Binds loopback by default: POST /api/add takes filesystem paths and
     GET /api/audio streams decoded files, so exposing the server to the
     network would let any peer read decodable files on this host (the
     reference is a local Electron app with no network surface).  Pass an
-    explicit ``host`` ("" / "0.0.0.0") to opt in to remote access.
+    explicit ``host`` ("" / "0.0.0.0") to opt in to remote access, and
+    ``add_root`` to confine /api/add to one directory tree.
     """
     from .session import MultiTrack
 
     mt = MultiTrack(setting)
     if paths:
         mt.add_tracks(list(range(len(paths))), list(paths))
-    handler = type("H", (_Handler,), {"session": mt, "lock": threading.Lock()})
+    handler = type("H", (_Handler,), {"session": mt, "lock": threading.Lock(),
+                                      "add_root": add_root})
     srv = ThreadingHTTPServer((host, port), handler)
     shown = host or "0.0.0.0"
     print(f"msv_tpu viewer on http://{shown}:{port}  ({len(paths)} tracks)")

@@ -194,3 +194,37 @@ def test_vorbis_garbage_rejected(tmp_path):
         f.write(b"OggS" + b"\x00" * 64)
     with pytest.raises(AudioReadError):
         open_audio_file(path)
+
+
+def test_flac_integer_domain_loader(tmp_path, rng):
+    """open_audio_mono_ex on FLAC: exact integer channel sum in 2^-15
+    units, equal to the f32 mono bit-for-bit (the session wire path)."""
+    from msv_tpu.io.audio import open_audio_mono_ex
+
+    pcm = _pcm16(rng, (2, 3000))
+    path = str(tmp_path / "st.flac")
+    with open(path, "wb") as f:
+        f.write(encode_flac(pcm, 16000, mode="fixed2", stereo_mode="mid_side"))
+    mono, sr, raw = open_audio_mono_ex(path)
+    assert sr == 16000 and raw is not None and raw.dtype == np.int32
+    np.testing.assert_array_equal(raw, pcm.sum(axis=0))
+    np.testing.assert_array_equal(
+        raw.astype(np.float32) * np.float32(2.0**-15), mono
+    )
+
+
+def test_flac_8bit_integer_rescale(tmp_path, rng):
+    from msv_tpu.io.audio import open_audio_mono_ex
+
+    pcm = np.clip(rng.standard_normal((1, 2000)) * 40, -128, 127).astype(
+        np.int64
+    )
+    path = str(tmp_path / "m8.flac")
+    with open(path, "wb") as f:
+        f.write(encode_flac(pcm, 8000, bps=8, mode="verbatim"))
+    mono, sr, raw = open_audio_mono_ex(path)
+    assert raw is not None
+    np.testing.assert_array_equal(raw, pcm[0] << 8)  # 2^-15 units
+    np.testing.assert_array_equal(
+        raw.astype(np.float32) * np.float32(2.0**-15), mono
+    )

@@ -174,3 +174,44 @@ def test_viewer_setting_roundtrip(viewer_url):
 
     with pytest.raises(urllib.error.HTTPError):
         _post(viewer_url + "/api/setting", {"t_overlap": 0})
+
+
+def test_viewer_add_root_restriction(tmp_path, rng):
+    """POST /api/add outside --add-root is rejected with 403."""
+    import urllib.error
+    from http.server import ThreadingHTTPServer
+
+    from msv_tpu.session import MultiTrack
+    from msv_tpu.viewer import _Handler
+
+    sr = 8000
+    t = np.arange(sr // 2) / sr
+    x = (0.3 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    allowed = tmp_path / "allowed"
+    allowed.mkdir()
+    inside = str(allowed / "in.wav")
+    outside = str(tmp_path / "out.wav")
+    write_wav(inside, x[None], sr)
+    write_wav(outside, x[None], sr)
+
+    mt = MultiTrack()
+    handler = type("H", (_Handler,), {
+        "session": mt, "lock": threading.Lock(), "add_root": str(allowed),
+    })
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, body = _post(url + "/api/add", {"id": 0, "path": inside})
+        assert code == 200
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(url + "/api/add", {"id": 1, "path": outside})
+        assert ei.value.code == 403
+        # traversal attempt
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(url + "/api/add",
+                  {"id": 2, "path": str(allowed / ".." / "out.wav")})
+        assert ei.value.code == 403
+    finally:
+        srv.shutdown()
