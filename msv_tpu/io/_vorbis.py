@@ -102,6 +102,7 @@ def decode(path: str):
         chunks = []
         pcm = ctypes.POINTER(ctypes.POINTER(ctypes.c_float))()
         bitstream = ctypes.c_int(0)
+        cur_link = None
         while True:
             got = lib.ov_read_float(vf, ctypes.byref(pcm), 4096,
                                     ctypes.byref(bitstream))
@@ -109,6 +110,17 @@ def decode(path: str):
                 break
             if got < 0:  # OV_HOLE etc: skip corrupt section, keep going
                 continue
+            if bitstream.value != cur_link:
+                # chained streams may change channel layout per link; the
+                # pcm pointer array is only n_ch_link long, so indexing
+                # past it would read garbage pointers (or crash)
+                cur_link = bitstream.value
+                link_info = lib.ov_info(vf, cur_link)
+                if link_info and int(link_info.contents.channels) != n_ch:
+                    raise AudioReadError(
+                        f"{path}: chained vorbis stream changes channel "
+                        "count mid-file (unsupported)"
+                    )
             block = np.empty((n_ch, got), np.float32)
             for ch in range(n_ch):
                 block[ch] = np.ctypeslib.as_array(pcm[ch], shape=(got,))

@@ -150,14 +150,18 @@ def open_audio_file_ex(path: str):
                 # MSV_NATIVE_AUDIO=1 forces native for all WAVs.
                 import os as _os
 
-                data = f.read()
+                # probe the header without slurping the file: the native
+                # branch re-reads from disk itself, and a full read here
+                # would transiently double a large file in host RAM
+                head_data = f.read(1 << 18)
                 force_native = _os.environ.get("MSV_NATIVE_AUDIO") == "1"
-                if force_native or not _is_mono_pcm16(data):
+                if force_native or not _is_mono_pcm16(head_data):
                     from . import _native_audio
 
                     native = _native_audio.try_decode(path)
                     if native is not None:
                         return native[0], native[1], None
+                data = head_data + f.read()
                 return _parse_wav_numpy(data, path)
     except OSError as e:
         raise AudioReadError(f"{path}: {e}") from e
@@ -215,11 +219,12 @@ def open_audio_mono_ex(path: str):
                     return mono, int(sr), mono_i
                 return mono, int(sr), None
             if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
-                data = f.read()
-                info = _probe_fmt(data)
+                head_data = f.read(1 << 18)  # header probe, not a slurp
+                info = _probe_fmt(head_data)
                 if info is not None and info[0] == _WAVE_FORMAT_PCM and (
-                    info[2] == 16
+                    info[2] == 16 and info[1] >= 1
                 ):
+                    data = head_data + f.read()
                     n_ch = info[1]
                     raw = _data_chunk(data)
                     if raw is not None:
@@ -236,21 +241,27 @@ def open_audio_mono_ex(path: str):
                         return mono, _probe_sr(data), mono_i
     except OSError as e:
         raise AudioReadError(f"{path}: {e}") from e
+    except struct.error as e:
+        raise AudioReadError(f"{path}: truncated WAV header ({e})") from e
     wav2d, sr, raw_i16 = open_audio_file_ex(path)
     return wav2d.sum(axis=0), sr, raw_i16
 
 
 def _probe_fmt(data: bytes):
-    """(audio_fmt, n_ch, bits) from the fmt chunk, or None."""
+    """(audio_fmt, n_ch, bits) from the fmt chunk, or None (bounds-safe on
+    truncated headers — never raises struct.error)."""
     pos = 12
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
         if cid == b"fmt " and size >= 16:
+            if pos + 8 + 16 > len(data):
+                return None  # truncated fmt body
             fmt, n_ch, _sr, _br, _ba, bits = struct.unpack_from(
                 "<HHIIHH", data, pos + 8
             )
-            if fmt == _WAVE_FORMAT_EXTENSIBLE and size >= 26:
+            if (fmt == _WAVE_FORMAT_EXTENSIBLE and size >= 26
+                    and pos + 8 + 26 <= len(data)):
                 (fmt,) = struct.unpack_from("<H", data, pos + 8 + 24)
             return fmt, n_ch, bits
         pos += 8 + size + (size & 1)
@@ -262,7 +273,7 @@ def _probe_sr(data: bytes) -> int:
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
-        if cid == b"fmt " and size >= 16:
+        if cid == b"fmt " and size >= 16 and pos + 8 + 8 <= len(data):
             return int(struct.unpack_from("<HHI", data, pos + 8)[2])
         pos += 8 + size + (size & 1)
     raise AudioReadError("missing fmt chunk")

@@ -333,26 +333,32 @@ _ROW_WORDS = BLOCK * _WMAX // 32  # u32 words covering one max-width block
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("n", "order", "n_blocks", "out_dtype"),
+    static_argnames=("n", "n_blocks", "out_dtype"),
 )
-def unpack_device(words, block_w, block_start, head, *, n, order, n_blocks,
+def unpack_device(words, block_w, block_start, head, order, *, n, n_blocks,
                   out_dtype="int16"):
-    """Device unpack -> int16[n].  Gather-free by construction.
+    """Device unpack -> int[n].  Gather-free by construction.
 
     A naive two-word gather per field runs at ~58M fields/s on the TPU
     (0.58 s per 33 MB segment — 12x the whole DFT pipeline), so instead a
     lax.scan walks blocks: each step dynamic-slices the block's words
     (block starts are always 32-bit aligned: BLOCK*w % 32 == 0), expands
-    them to a dense bit vector with plain shifts, and a 19-way lax.switch
-    on the block width does a STATIC slice+reshape+weighted-sum — all VPU
-    ops, no gathers anywhere.  The delta inverse is `order` exact int32
-    cumsums (intermediate values telescope back to bounded sample deltas,
-    so int32 never overflows).
+    them to a dense bit vector with plain shifts, and a (WMAX+1)-way
+    lax.switch on the block width does a STATIC slice+reshape+weighted-sum
+    — all VPU ops, no gathers anywhere.  The delta inverse is `order`
+    exact int32 cumsums (intermediate values telescope back to bounded
+    sample deltas, so int32 never overflows).
+
+    Program-cache discipline (CLAUDE.md: remote compiles cost 40-740 s and
+    all jit shapes are bucketed): ``order`` is a TRACED scalar handled by
+    a 3-way switch, and callers must pass ``words`` padded to a bucketed
+    length (unpack_jax does; trailing zeros are inert since fields are
+    addressed via block_start) — otherwise every distinct packed size
+    would compile a fresh executable.
     """
     import jax
     import jax.numpy as jnp
 
-    nwords = words.shape[0]
     # room for the widest block's slice at the last block
     words_p = jnp.pad(words, (0, _ROW_WORDS))
     start_word = (block_start >> 5).astype(jnp.int32)
@@ -381,29 +387,59 @@ def unpack_device(words, block_w, block_start, head, *, n, order, n_blocks,
     _, zrows = jax.lax.scan(step, None, (start_word, block_w))
     z = zrows.reshape(n_blocks * BLOCK).astype(jnp.int32)
     r = (z >> 1) ^ -(z & 1)
-    r = r[: n - order]
-    x = r
-    for k in range(order, 0, -1):
-        x = head[k - 1] + jnp.cumsum(x, dtype=jnp.int32)
-        x = jnp.concatenate([head[k - 1 : k], x])
-    del nwords
+
+    # delta inverse per order, all branches emitting (n,) so `order` can
+    # stay traced (3 programs -> 1)
+    def inv0(_):
+        return r[:n]
+
+    def inv1(_):
+        return jnp.concatenate(
+            [head[0:1], head[0] + jnp.cumsum(r[: n - 1], dtype=jnp.int32)]
+        )
+
+    def inv2(_):
+        d1 = jnp.concatenate(
+            [head[1:2], head[1] + jnp.cumsum(r[: n - 2], dtype=jnp.int32)]
+        )
+        return jnp.concatenate(
+            [head[0:1], head[0] + jnp.cumsum(d1, dtype=jnp.int32)]
+        )
+
+    x = jax.lax.switch(jnp.clip(order, 0, 2), [inv0, inv1, inv2], None)
     return x.astype(jnp.int16) if out_dtype == "int16" else x
 
 
 pack_i16 = pack_int  # backwards-compatible alias
 
 
+def _bucket_words(nwords: int, n: int, itemsize: int) -> int:
+    """Padded words length: 1/16-of-raw granularity so the jit program
+    family stays small (<=16 shapes per segment bucket) while wire waste
+    stays <=6.25% of the raw size (in practice ~3%)."""
+    raw_words = max(1, (n * itemsize + 3) // 4)
+    gran = max(1024, raw_words // 16)
+    return min(-(-nwords // gran) * gran, raw_words + gran)
+
+
 def unpack_jax(p: PackedPCM):
-    """Unpack a PackedPCM on the default device -> int16[n] jax array."""
+    """Unpack a PackedPCM on the default device -> int16/int32[n]."""
     import jax.numpy as jnp
 
+    itemsize = 2 if p.out_dtype == "int16" else 4
+    nb = _bucket_words(len(p.words), p.n, itemsize)
+    words = p.words
+    if nb > len(words):
+        words = np.pad(words, (0, nb - len(words)))
+    head = np.zeros(2, np.int32)
+    head[: p.order] = p.head
     return unpack_device(
-        jnp.asarray(p.words),
+        jnp.asarray(words),
         jnp.asarray(p.block_w),
         jnp.asarray(p.block_start),
-        jnp.asarray(p.head if p.order else np.zeros(1, np.int32)),
+        jnp.asarray(head),
+        jnp.int32(p.order),
         n=p.n,
-        order=p.order,
         n_blocks=len(p.block_w),
         out_dtype=p.out_dtype,
     )

@@ -29,7 +29,6 @@ from functools import lru_cache as _functools_lru
 import numpy as np
 
 from ..config import FreqScale, SpecSetting, derive_stft_params
-from ..io.audio import open_audio_file_ex
 from ..kernels.pipeline import render_rgb, spec_pipeline
 from ..ops.framing import n_frames_for, reflect_pad_center
 from ..ops.mel import calc_mel_fb_default, hz_to_mel, mel_to_hz
@@ -339,12 +338,15 @@ class MultiTrack:
             # pass a dummy so the jit signature is stable per (shape, use_mel)
             mel_fb = jnp.zeros((1, 1), dtype=jnp.float32)
         from ..config import get_precision_mode
-        from ..parallel.streaming import _to_device_packed
 
-        # integer-domain padded waveforms ride the wire codec when it pays
-        # (the add-track path is transfer-bound like the streaming one)
+        # NOTE: the one-shot path ships raw integer-domain samples (half
+        # the bytes of f32) but does NOT wirepack them: its padded lengths
+        # form the FRAME_BUCKET program family, and multiplying that by
+        # packed-size buckets would blow the remote-compile budget
+        # (CLAUDE.md).  Long tracks stream, and the streaming segments ARE
+        # packed (few fixed segment shapes).
         db, smin, smax = spec_pipeline(
-            _to_device_packed(padded, "auto"),
+            jnp.asarray(padded),
             c,
             s,
             mel_fb,

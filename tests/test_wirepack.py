@@ -12,7 +12,13 @@ import numpy as np
 import pytest
 
 from msv_tpu.parallel.streaming import padded_slice, streaming_spec_db
-from msv_tpu.parallel.wirepack import BLOCK, pack_i16, unpack_jax, unpack_np
+from msv_tpu.parallel.wirepack import (
+    BLOCK,
+    pack_i16,
+    pack_int,
+    unpack_jax,
+    unpack_np,
+)
 
 
 def _signals(rng):
@@ -130,3 +136,72 @@ def test_padded_slice_float32(rng):
     full = reflect_pad_center(wav, 320)
     got = padded_slice(wav, 0, len(full), half, 4000, dtype=np.float32)
     np.testing.assert_array_equal(got, full)
+
+
+def test_native_packer_bitstream_identical_to_numpy(rng):
+    """The C packer's contract is the IDENTICAL bitstream (wirepack.cc
+    header): order selection, widths, starts, heads, words must all equal
+    the numpy oracle's, for i16 and i32 inputs across signal classes."""
+    from msv_tpu.parallel.wirepack import _native_lib
+
+    if _native_lib() is None:
+        pytest.skip("libmsv_native.so not built")
+    t = np.arange(48000 * 2) / 48000
+    cases = [
+        np.round(9830 * np.sin(2 * np.pi * 220 * t)).astype(np.int16),
+        np.clip(
+            32768 * (0.3 * np.sin(2 * np.pi * 220 * t)
+                     + 0.02 * rng.standard_normal(len(t))),
+            -32768, 32767,
+        ).astype(np.int16),
+        rng.integers(-400, 400, 60000).astype(np.int16),
+        (np.arange(60000) % 60000 - 17000).astype(np.int16),
+        # int32 channel sums
+        np.round(2 * 9830 * np.sin(2 * np.pi * 220 * t)).astype(np.int32),
+        rng.integers(-120000, 120000, 60000).astype(np.int32),
+    ]
+    for i, x in enumerate(cases):
+        pn = pack_int(x, native=False)
+        pc = pack_int(x, native=True)
+        if pn is None or pc is None:
+            assert (pn is None) == (pc is None), f"case {i}"
+            continue
+        assert pc.order == pn.order, f"case {i} order"
+        assert pc.out_dtype == pn.out_dtype, f"case {i} dtype"
+        np.testing.assert_array_equal(pc.head, pn.head, err_msg=f"case {i}")
+        np.testing.assert_array_equal(pc.block_w, pn.block_w,
+                                      err_msg=f"case {i}")
+        np.testing.assert_array_equal(pc.block_start, pn.block_start,
+                                      err_msg=f"case {i}")
+        # words may differ only in bucket padding length; compare content
+        m = min(len(pc.words), len(pn.words))
+        np.testing.assert_array_equal(pc.words[:m], pn.words[:m],
+                                      err_msg=f"case {i}")
+        assert not pc.words[m:].any() and not pn.words[m:].any()
+
+
+def test_unpack_jit_family_is_bucketed(rng):
+    """Different audio content (different packed sizes) of the SAME length
+    must reuse a small set of compiled unpack programs — remote compiles
+    cost 40-740 s each, so a content-dependent jit shape would be fatal
+    in production (round-2 code-review finding)."""
+    from msv_tpu.parallel.wirepack import _bucket_words
+
+    n = 48000 * 4
+    t = np.arange(n) / 48000
+    shapes = set()
+    for amp, noise in [(500, 0.0), (9830, 0.0), (9830, 0.02), (30, 0.001)]:
+        x = np.clip(
+            amp * np.sin(2 * np.pi * 220 * t)
+            + noise * 32768 * rng.standard_normal(n),
+            -32768, 32767,
+        ).astype(np.int16)
+        p = pack_int(x)
+        if p is None:
+            continue
+        nb = _bucket_words(len(p.words), p.n, 2)
+        shapes.add((nb, len(p.block_w)))
+        y = np.asarray(unpack_jax(p))
+        np.testing.assert_array_equal(y, x)
+    # 4 wildly different contents -> at most 16 possible buckets by design
+    assert len(shapes) <= 4
