@@ -190,7 +190,7 @@ def open_audio_file_ex(path: str):
     return np.ascontiguousarray(data.T), int(sr), None
 
 
-def open_audio_mono_ex(path: str):
+def open_audio_mono_ex(path: str, materialize: bool = True):
     """Decode -> (mono_sum f32 (n_samples,), sr, raw_int | None).
 
     The session's loader: channels are SUMMED to mono (lib.rs:42).  For
@@ -213,11 +213,11 @@ def open_audio_mono_ex(path: str):
                 from . import _native_audio
 
                 wav2d, sr, raw, bps = _native_audio.decode_flac_ex(path)
-                mono = wav2d.sum(axis=0)
                 if raw is not None and 0 < bps <= 16:
                     mono_i = raw.sum(axis=0, dtype=np.int32) << (16 - bps)
+                    mono = wav2d.sum(axis=0) if materialize else None
                     return mono, int(sr), mono_i
-                return mono, int(sr), None
+                return wav2d.sum(axis=0), int(sr), None
             if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
                 head_data = f.read(1 << 18)  # header probe, not a slurp
                 info = _probe_fmt(head_data)
@@ -237,8 +237,12 @@ def open_audio_mono_ex(path: str):
                             mono_i = i16.reshape(-1, n_ch).sum(
                                 axis=1, dtype=np.int32
                             )
-                        mono = mono_i.astype(np.float32) * np.float32(2.0**-15)
-                        return mono, _probe_sr(data), mono_i
+                        mono = (
+                            mono_i.astype(np.float32) * np.float32(2.0**-15)
+                            if materialize
+                            else None
+                        )
+                        return mono, _probe_sr(head_data), mono_i
     except OSError as e:
         raise AudioReadError(f"{path}: {e}") from e
     except struct.error as e:

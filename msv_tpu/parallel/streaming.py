@@ -180,7 +180,7 @@ def _to_device_packed(seg_np, transfer: str):
 
 def _run_segments(
     make_seg, seg_plan, n_frames, win, hop, c, s, mel_fb, window, n_fft,
-    chunk_frames, impl, transfer
+    chunk_frames, impl, transfer, keep_wav: bool = False
 ):
     """Software-pipelined segment runner.
 
@@ -208,6 +208,7 @@ def _run_segments(
 
     mode = get_precision_mode()
     outs = []
+    devs = []  # device segments (kept when the caller wants the waveform)
     pending = None  # (device segment, start_frame, n_chunks)
     start_frame = 0
     plan = [*seg_plan, None]
@@ -229,14 +230,27 @@ def _run_segments(
         seg_len = seg_frames_g * hop + (win - hop)
         seg_np = make_seg(start_frame * hop, seg_len)
         pending = (_to_device_packed(seg_np, transfer), start_frame, nck)
+        if keep_wav:
+            devs.append((pending[0], seg_frames_g))
         start_frame += seg_frames_g
+    wav_dev = None
+    if keep_wav:
+        # stitch the already-on-device segments into the padded waveform:
+        # consecutive segments overlap by (win - hop) samples, so all but
+        # the last contribute their first seg_frames*hop samples.  The
+        # waveform thus rides the SAME wire bytes as the spectrogram — an
+        # envelope render afterwards costs no second ~350 MB transfer.
+        pieces = [d[: fg * hop] for d, fg in devs[:-1]] + [devs[-1][0]]
+        wav_dev = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
     if len(outs) == 1:
         db, gmin, gmax = outs[0]
-        return db, n_frames, float(gmin), float(gmax)
-    db = jnp.concatenate([o[0] for o in outs], axis=0)
-    mins = np.asarray(jnp.stack([o[1] for o in outs]))
-    maxs = np.asarray(jnp.stack([o[2] for o in outs]))
-    return db, n_frames, float(mins.min()), float(maxs.max())
+        out = (db, n_frames, float(gmin), float(gmax))
+    else:
+        db = jnp.concatenate([o[0] for o in outs], axis=0)
+        mins = np.asarray(jnp.stack([o[1] for o in outs]))
+        maxs = np.asarray(jnp.stack([o[2] for o in outs]))
+        out = (db, n_frames, float(mins.min()), float(maxs.max()))
+    return (*out, wav_dev) if keep_wav else out
 
 
 def streaming_spec_db(
@@ -252,6 +266,7 @@ def streaming_spec_db(
     impl: str = "dft",
     seg_chunks: int = 8,
     transfer: str = "auto",
+    keep_wav: bool = False,
 ):
     """Full-file dB spectrogram via segmented chunked scans.
 
@@ -268,6 +283,11 @@ def streaming_spec_db(
     ``impl``: 'dft' (windowed-DFT GEMMs via XLA), 'fft' (XLA native rfft;
     requires ``n_fft`` and ``window``), or 'pallas' (the fused VMEM-resident
     kernel, kernels/spectrogram_pallas.py; requires mel + win % hop == 0).
+
+    ``keep_wav=True`` appends a 5th return value: the device-resident
+    reflect-padded waveform assembled from the transferred segments (the
+    sample at padded index win//2 is the file's sample 0) — callers reuse
+    it for envelope rendering instead of re-shipping the file.
     """
     # integer input is kept as the transfer format (scaled on device,
     # exact): int16 raw PCM or the int32 multi-channel sum
@@ -278,6 +298,8 @@ def streaming_spec_db(
     if impl == "pallas":
         if mel_fb is None or win % hop != 0:
             raise ValueError("impl='pallas' requires mel_fb and win % hop == 0")
+        if keep_wav:
+            raise ValueError("keep_wav is not supported with impl='pallas'")
         return _streaming_pallas(wav, win, hop, c, s, mel_fb, chunk_frames,
                                  seg_chunks)
     n_frames = n_frames_for(len(wav), win, hop)
@@ -289,7 +311,7 @@ def streaming_spec_db(
 
     return _run_segments(
         make_seg, seg_plan, n_frames, win, hop, c, s, mel_fb, window, n_fft,
-        chunk_frames, impl, transfer,
+        chunk_frames, impl, transfer, keep_wav=keep_wav,
     )
 
 

@@ -99,16 +99,56 @@ class EnvelopeState:
     transfer format (values identical after the exact on-device scale).
     """
 
-    def __init__(self, wav_f32: np.ndarray, transfer_i16=None):
-        self.wav_np = np.ascontiguousarray(wav_f32, dtype=np.float32)
-        self.n = len(self.wav_np)
-        src = transfer_i16 if transfer_i16 is not None else self.wav_np
+    def __init__(self, wav_f32, transfer_i16=None, n: int | None = None):
+        # ``wav_f32`` may be None for integer sources: the host f32 copy is
+        # only needed by the rare deep-zoom upsample branch, and at hour
+        # scale it is ~700 MB — materialize lazily via the property.
+        self._wav_np = (
+            np.ascontiguousarray(wav_f32, dtype=np.float32)
+            if wav_f32 is not None
+            else None
+        )
+        self._src_int = transfer_i16
+        if self._wav_np is None and transfer_i16 is None:
+            raise ValueError("EnvelopeState needs wav_f32 or transfer_i16")
+        self.n = n if n is not None else len(
+            transfer_i16 if transfer_i16 is not None else self._wav_np
+        )
+        src = transfer_i16 if transfer_i16 is not None else self._wav_np
         pad = round_up_to(max(self.n, _WAV_BUCKET), _WAV_BUCKET) - self.n
         self.dev = jnp.asarray(np.pad(np.ascontiguousarray(src), (0, pad)))
+        self.offset = 0  # device-buffer index of the file's sample 0
         self._pooled = None
         import collections
 
         self._col_cache = collections.OrderedDict()
+
+    @property
+    def wav_np(self) -> np.ndarray:
+        if self._wav_np is None:
+            self._wav_np = self._src_int.astype(np.float32) * np.float32(
+                2.0**-15
+            )
+        return self._wav_np
+
+    @classmethod
+    def from_device(cls, dev, n: int, offset: int, src_int=None):
+        """Adopt an already-device-resident buffer (e.g. the streamed,
+        reflect-padded waveform from streaming_spec_db(keep_wav=True),
+        whose sample 0 sits at ``offset``) — the envelope then costs no
+        second whole-file transfer.  ``src_int`` feeds the lazy host-f32
+        view for the deep-zoom branch."""
+        self = cls.__new__(cls)
+        self._wav_np = None
+        self._src_int = src_int
+        self.n = n
+        self.dev = dev
+        self.offset = int(offset)
+        self._pooled = None
+        import collections
+
+        self._col_cache = collections.OrderedDict()
+        return self
 
     def pooled(self):
         if self._pooled is None:
@@ -265,6 +305,7 @@ def wav_to_image(
         return np.zeros((max(nheight, 0), max(nwidth, 0), 4), dtype=np.uint8)
 
     samples_per_px = f32(n) / f32(nwidth)
+    offset = state.offset
     if samples_per_px < 1.0:
         # deep zoom: the quirky upsampled buffer is small (n < nwidth px),
         # so this path builds an ephemeral device buffer per call
@@ -273,6 +314,7 @@ def wav_to_image(
         buf_len = len(buf_np)
         pad_len = round_up_to(max(buf_len, _WAV_BUCKET), _WAV_BUCKET) - buf_len
         dev = jnp.asarray(np.pad(buf_np, (0, pad_len)))
+        offset = 0  # the ephemeral buffer starts at sample 0
     else:
         buf_len = n
         dev = state.dev
@@ -289,8 +331,11 @@ def wav_to_image(
     n_cols = round_up_to(out_cols, _COL_BUCKET)
     starts_p = np.zeros(n_cols, dtype=np.int32)
     ends_p = np.zeros(n_cols, dtype=np.int32)
-    starts_p[:out_cols] = starts
-    ends_p[:out_cols] = ends
+    # `offset` shifts file-coordinate windows into device-buffer
+    # coordinates (nonzero when the buffer is the reflect-padded waveform
+    # adopted from the streaming pipeline)
+    starts_p[:out_cols] = starts + offset
+    ends_p[:out_cols] = ends + offset
     ends_p[out_cols:] = 1  # dummy non-empty windows for the padded tail
 
     max_win = int((ends - starts).max())

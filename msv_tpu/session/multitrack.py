@@ -143,12 +143,17 @@ class AudioTrack:
     def __init__(self, path: str, setting: SpecSetting):
         from ..io.audio import open_audio_mono_ex
 
-        mono, sr, raw_int = open_audio_mono_ex(path)  # SUM-to-mono (lib.rs:42)
+        # SUM-to-mono (lib.rs:42).  For integer sources the f32 mono is
+        # LAZY: at hour scale it is ~700 MB and seconds of conversion on
+        # the single host core, and the device pipelines only consume the
+        # integer form — only the audio-export/deep-zoom paths ever ask.
+        mono, sr, raw_int = open_audio_mono_ex(path, materialize=False)
         self.path = path
-        self.wav = mono
+        self._mono_f32 = mono  # None when raw_int carries the samples
         # integer-domain transfer fast path: raw PCM16 (mono sources) or the
         # exact int32 channel sum (multi-channel PCM16); None for float/codec
         self._wav_int = raw_int
+        self.n_samples = len(raw_int) if raw_int is not None else len(mono)
         self.sr = int(sr)
         p = derive_stft_params(sr, setting)
         self.win_length = p.win_length
@@ -156,9 +161,18 @@ class AudioTrack:
         self.n_fft = p.n_fft
 
     @property
+    def wav(self) -> np.ndarray:
+        """f32 mono sum (materialized on first access for int sources)."""
+        if self._mono_f32 is None:
+            self._mono_f32 = self._wav_int.astype(np.float32) * np.float32(
+                2.0**-15
+            )
+        return self._mono_f32
+
+    @property
     def sec(self) -> float:
         """Duration in f32 seconds (lib.rs:178: len as f32 / sr as f32)."""
-        return float(np.float32(len(self.wav)) / np.float32(self.sr))
+        return float(np.float32(self.n_samples) / np.float32(self.sr))
 
     def reload(self, setting: SpecSetting) -> None:
         """Re-derive params after a setting change (lib.rs:57-61)."""
@@ -260,17 +274,30 @@ class MultiTrack:
         smin = jnp.min(jnp.where(fmask, db, jnp.inf))
         return db, smin, smax
 
-    def _calc_spec_streaming(self, track, src, n_frames) -> _TrackState:
+    def _calc_spec_streaming(self, track, src, n_frames, id=None) -> _TrackState:
         """Long-track path: segmented streaming scans (overlapped transfers,
-        O(chunk) device memory; SURVEY.md §5.g)."""
+        O(chunk) device memory; SURVEY.md §5.g).
+
+        The streamed (reflect-padded) waveform is kept on device and
+        adopted as the track's envelope buffer: a later get_wav_image
+        costs NO second whole-file transfer (~350 MB, 12-30 s at hour
+        scale) — the waveform rode the same wire bytes as the spectrogram.
+        """
         from ..parallel.streaming import streaming_spec_db
+        from ..render.envelope import EnvelopeState
 
         use_mel = self.setting.freq_scale == FreqScale.MEL
         c_dev, s_dev = self._dfts[track.sr]  # device-resident (cached)
         fb = self._mel_dev.get(track.sr) if use_mel else None
-        db, n_valid, smin, smax = streaming_spec_db(
-            src, track.win_length, track.hop_length, c_dev, s_dev, fb
+        db, n_valid, smin, smax, wav_dev = streaming_spec_db(
+            src, track.win_length, track.hop_length, c_dev, s_dev, fb,
+            keep_wav=True,
         )
+        if id is not None:
+            self._env_states[id] = EnvelopeState.from_device(
+                wav_dev, track.n_samples, offset=track.win_length // 2,
+                src_int=track._wav_int,
+            )
         st = _TrackState()
         st.spec_db = db
         st.n_frames = n_valid
@@ -287,7 +314,7 @@ class MultiTrack:
         2^-15 (exact); reflect-pad commutes with the scaling.
         """
         win, hop = track.win_length, track.hop_length
-        n_frames = n_frames_for(len(track.wav), win, hop)
+        n_frames = n_frames_for(track.n_samples, win, hop)
         n_frames_pad = round_up_to(max(n_frames, 1), FRAME_BUCKET)
         src = (
             track._wav_int
@@ -309,14 +336,14 @@ class MultiTrack:
         mel_fb = self._mel_dev.get(track.sr) if use_mel else None
         win, hop = track.win_length, track.hop_length
 
-        n_frames = n_frames_for(len(track.wav), win, hop)
+        n_frames = n_frames_for(track.n_samples, win, hop)
         if n_frames > STREAMING_FRAME_THRESHOLD:
             src = (
                 track._wav_int
                 if track._wav_int is not None
-                else track.wav.astype(np.float32)
+                else np.asarray(track.wav, np.float32)
             )
-            return self._calc_spec_streaming(track, src, n_frames)
+            return self._calc_spec_streaming(track, src, n_frames, id=id)
 
         padded, n_frames, n_frames_pad = self._prep_padded(track)
 
@@ -409,7 +436,7 @@ class MultiTrack:
         singles: list[int] = []
         for id in id_list:
             tr = self.tracks[id]
-            n_frames = n_frames_for(len(tr.wav), tr.win_length, tr.hop_length)
+            n_frames = n_frames_for(tr.n_samples, tr.win_length, tr.hop_length)
             streaming = n_frames > STREAMING_FRAME_THRESHOLD
             if streaming or self._use_pallas(tr) or get_engine() == "pallas":
                 singles.append(id)
@@ -534,7 +561,7 @@ class MultiTrack:
         st = self._state[id]
         jnp = self._jnp
         f32 = np.float32
-        nwidth = trunc_int(f32(px_per_sec) * f32(len(track.wav)) / f32(track.sr))
+        nwidth = trunc_int(f32(px_per_sec) * f32(track.n_samples) / f32(track.sr))
         if nwidth == 0 or nheight == 0:
             return np.zeros((nheight, nwidth, 3), dtype=np.uint8)
 
@@ -581,7 +608,7 @@ class MultiTrack:
         st = self._state[id]
         jnp = self._jnp
         f32 = np.float32
-        full_w = trunc_int(f32(px_per_sec) * f32(len(track.wav)) / f32(track.sr))
+        full_w = trunc_int(f32(px_per_sec) * f32(track.n_samples) / f32(track.sr))
         c0 = max(0, trunc_int(f32(px_per_sec) * f32(start_sec)))
         c1 = min(full_w, trunc_int(f32(px_per_sec) * f32(end_sec)))
         if c1 <= c0 or nheight == 0:
@@ -606,22 +633,32 @@ class MultiTrack:
         planar = np.asarray(img)[:, :nheight, :ncols]
         return np.ascontiguousarray(planar.transpose(1, 2, 0))
 
+    def _env_state_for(self, id: int, track):
+        st = self._env_states.get(id)
+        if st is None:
+            from ..render.envelope import EnvelopeState
+
+            # int sources skip the f32 materialization (lazy inside the
+            # state for the rare deep-zoom branch)
+            st = EnvelopeState(
+                None if track._wav_int is not None else track.wav,
+                track._wav_int,
+                n=track.n_samples,
+            )
+            self._env_states[id] = st
+        return st
+
     def get_wav_image(
         self, id: int, px_per_sec: float, nheight: int, amp_min: float, amp_max: float
     ) -> np.ndarray:
         """Waveform envelope image (lib.rs:300-313) -> (h, w, 4) RGBA u8."""
         track = self._track(id)
         f32 = np.float32
-        nwidth = trunc_int(f32(px_per_sec) * f32(len(track.wav)) / f32(track.sr))
-        st = self._env_states.get(id)
-        if st is None:
-            from ..render.envelope import EnvelopeState
-
-            st = EnvelopeState(track.wav, track._wav_int)
-            self._env_states[id] = st
+        nwidth = trunc_int(f32(px_per_sec) * f32(track.n_samples) / f32(track.sr))
+        st = self._env_state_for(id, track)
         with self.timer.stage("get_wav_image.render"):
             return wav_to_image(
-                track.wav, nwidth, nheight, (amp_min, amp_max), state=st
+                None, nwidth, nheight, (amp_min, amp_max), state=st
             )
 
     def get_wav_image_crop(
@@ -638,18 +675,13 @@ class MultiTrack:
         envelope image (pixel-identical to slicing it)."""
         track = self._track(id)
         f32 = np.float32
-        nwidth = trunc_int(f32(px_per_sec) * f32(len(track.wav)) / f32(track.sr))
+        nwidth = trunc_int(f32(px_per_sec) * f32(track.n_samples) / f32(track.sr))
         c0 = trunc_int(f32(px_per_sec) * f32(start_sec))
         c1 = trunc_int(f32(px_per_sec) * f32(end_sec))
-        st = self._env_states.get(id)
-        if st is None:
-            from ..render.envelope import EnvelopeState
-
-            st = EnvelopeState(track.wav, track._wav_int)
-            self._env_states[id] = st
+        st = self._env_state_for(id, track)
         with self.timer.stage("get_wav_image.render"):
             return wav_to_image(
-                track.wav,
+                None,
                 nwidth,
                 nheight,
                 (amp_min, amp_max),

@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from msv_tpu.render.colormap import WAVECOLOR
-from msv_tpu.render.envelope import wav_to_image
+from msv_tpu.render.envelope import EnvelopeState, wav_to_image
 
 
 def _rust_round(x):
@@ -98,3 +98,67 @@ def test_full_scale_sample_no_crash():
     img = wav_to_image(wav, 20, 64, (-1.0, 1.0))
     assert img.shape == (64, 20, 4)
     assert (img[:, :, 3] > 0).any()
+
+
+def test_envelope_from_streamed_device_buffer(rng):
+    """The envelope buffer adopted from the streaming pipeline (padded
+    waveform at offset win//2) must render pixel-identically to a fresh
+    EnvelopeState built from the raw samples."""
+    import jax.numpy as jnp
+
+    from msv_tpu.parallel.streaming import streaming_spec_db
+    from msv_tpu.config import SpecSetting, derive_stft_params
+    from msv_tpu.ops.dft import windowed_dft_matrices
+    from msv_tpu.ops.windows import default_stft_window
+
+    p = derive_stft_params(8000, SpecSetting())
+    window = default_stft_window(p.win_length, p.n_fft)
+    c, s = windowed_dft_matrices(window, p.n_fft)
+    wav = (rng.standard_normal(8000 * 4) * 8000).astype(np.int16)
+
+    db, nf, lo, hi, wav_dev = streaming_spec_db(
+        wav, p.win_length, p.hop_length, c, s, None, chunk_frames=64,
+        keep_wav=True,
+    )
+    # sanity: the device buffer at offset really is the waveform
+    half = p.win_length // 2
+    got = np.asarray(wav_dev[half : half + len(wav)])
+    np.testing.assert_array_equal(got, wav)
+
+    st_stream = EnvelopeState.from_device(
+        wav_dev, len(wav), offset=half, src_int=wav)
+    st_fresh = EnvelopeState(None, wav, n=len(wav))
+    for nwidth, nheight in [(300, 80), (40, 50)]:
+        a = wav_to_image(None, nwidth, nheight, (-1.0, 1.0), state=st_stream)
+        b = wav_to_image(None, nwidth, nheight, (-1.0, 1.0), state=st_fresh)
+        np.testing.assert_array_equal(a, b, err_msg=str(nwidth))
+    # deep zoom (spp < 1) exercises the lazy host-f32 + zero-offset branch
+    a = wav_to_image(None, len(wav) * 2, 40, (-1.0, 1.0), state=st_stream)
+    b = wav_to_image(None, len(wav) * 2, 40, (-1.0, 1.0), state=st_fresh)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_session_long_track_envelope_reuses_streamed_wav(tmp_path, monkeypatch, rng):
+    """After a streamed add_track, get_wav_image must use the adopted
+    device buffer (no second transfer) and match a short-path render."""
+    import msv_tpu.session.multitrack as mtmod
+    from msv_tpu import MultiTrack
+    from msv_tpu.io.audio import write_wav
+
+    sr = 8000
+    t = np.arange(sr * 2) / sr
+    x = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    path = str(tmp_path / "x.wav")
+    write_wav(path, x[None], sr)
+
+    mt_short = MultiTrack()
+    mt_short.add_tracks([0], [path])
+    img_short = mt_short.get_wav_image(0, 50.0, 80, -1.0, 1.0)
+
+    monkeypatch.setattr(mtmod, "STREAMING_FRAME_THRESHOLD", 4)
+    mt_long = MultiTrack()
+    mt_long.add_tracks([0], [path])
+    assert 0 in mt_long._env_states  # adopted during add_tracks
+    assert mt_long._env_states[0].offset > 0
+    img_long = mt_long.get_wav_image(0, 50.0, 80, -1.0, 1.0)
+    np.testing.assert_array_equal(img_long, img_short)

@@ -318,9 +318,9 @@ def test_session_streams_all_long_tracks(tmp_path, monkeypatch, rng):
     calls = []
     orig = mtmod.MultiTrack._calc_spec_streaming
 
-    def spy(self, track, src, n_frames):
+    def spy(self, track, src, n_frames, id=None):
         calls.append(n_frames)
-        return orig(self, track, src, n_frames)
+        return orig(self, track, src, n_frames, id=id)
 
     monkeypatch.setattr(mtmod.MultiTrack, "_calc_spec_streaming", spy)
     mt = MultiTrack(SpecSetting(win_ms=41.0, t_overlap=3))
