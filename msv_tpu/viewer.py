@@ -242,24 +242,31 @@ class _Handler(BaseHTTPRequestHandler):
                 # audio playback (reference roadmap item "audio player",
                 # ReadMe.md — unimplemented there): serve the mono mix as
                 # a PCM16 WAV for the browser's <audio> element.
-                import tempfile
-                import os as _os
+                import struct as _struct
 
                 tid = int(url.path.rsplit("/", 1)[1])
                 with self.lock:
                     track = mt.tracks[tid]
-                    wav = track.wav
+                    raw_int = track._wav_int
                     sr = track.sr
-                from .io.audio import write_wav
+                    if raw_int is not None and raw_int.dtype == "int16":
+                        # mono PCM16 source: serve the raw samples without
+                        # a f32 round-trip (an hour track's lazy f32 is
+                        # ~700 MB of conversion on the single host core)
+                        pcm = raw_int.tobytes()
+                    else:
+                        import numpy as _np
 
-                fd, p = tempfile.mkstemp(suffix=".wav")
-                try:
-                    _os.close(fd)
-                    write_wav(p, wav[None, :], sr)
-                    with open(p, "rb") as f:
-                        self._send(200, "audio/wav", f.read())
-                finally:
-                    _os.unlink(p)
+                        wav = track.wav  # f32 mono (may clip past +-1.0)
+                        pcm = _np.clip(
+                            wav * 32768.0, -32768, 32767
+                        ).astype("<i2").tobytes()
+                hdr = b"RIFF" + _struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+                hdr += b"fmt " + _struct.pack(
+                    "<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16
+                )
+                hdr += b"data" + _struct.pack("<I", len(pcm))
+                self._send(200, "audio/wav", hdr + pcm)
             elif url.path.startswith("/api/spec_crop/"):
                 tid = int(url.path.rsplit("/", 1)[1])
                 with self.lock:
