@@ -32,13 +32,17 @@ def _wav(path, seconds, sr, stereo=False):
 
 
 def _timeit(fn, reps=3):
+    """Median of reps (round-2 methodology: tunnel bandwidth varies ~2x
+    run to run, min() overstates).  Every workload's fn ends in a host
+    fetch (np image / float scalar), so timings are honest on the axon
+    relay, where block_until_ready acks at enqueue."""
     fn()  # warm (compile)
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         fn()
         ts.append(time.perf_counter() - t0)
-    return min(ts)
+    return sorted(ts)[len(ts) // 2]
 
 
 def emit(name, seconds, **extra):
@@ -170,13 +174,9 @@ def main():
     # (5) streaming long-file mode
     if not args.skip_hour:
         hour_sec = 60.0 if args.quick else 3600.0
-        n = int(48000 * hour_sec)
-        rngl = np.random.default_rng(11)
-        t = np.arange(n) / 48000.0
-        long_wav = (
-            0.4 * np.sin(2 * np.pi * 220 * t).astype(np.float32)
-            + 0.02 * rngl.standard_normal(n).astype(np.float32)
-        ).astype(np.float32)
+        from bench import realistic_audio
+
+        long_wav = realistic_audio(hour_sec)  # PCM16, wirepack-eligible
         fb = calc_mel_fb_default(48000, p.n_fft)
 
         def run_cfg5():

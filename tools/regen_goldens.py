@@ -47,6 +47,14 @@ def main():
         print(f'    "{n}": "{d}",')
     print("}")
 
+    flac = os.path.join(os.path.dirname(__file__), "..", "tests",
+                        "fixtures", "sine440_8k.flac")
+    mtf = MultiTrack()
+    mtf.add_tracks([0], [flac])
+    img = mtf.get_spec_image(0, 100.0, 200)
+    d = hashlib.sha256(np.ascontiguousarray(img).tobytes()).hexdigest()[:16]
+    print(f'GOLDEN_FLAC_SPEC = "{d}"')
+
 
 if __name__ == "__main__":
     main()
