@@ -190,17 +190,63 @@ def open_audio_file_ex(path: str):
     return np.ascontiguousarray(data.T), int(sr), None
 
 
-def open_audio_mono_ex(path: str, materialize: bool = True):
-    """Decode -> (mono_sum f32 (n_samples,), sr, raw_int | None).
+def detect_scaled_int(x: np.ndarray):
+    """Exact scaled-integer detection for a float32 signal.
 
-    The session's loader: channels are SUMMED to mono (lib.rs:42).  For
-    PCM16 sources the sum of k int16 channels is an exact integer in
-    [-k*2^15, k*(2^15-1)] — representable exactly in both int32 and f32 —
-    so ``raw_int`` carries it in the integer domain (int16 for mono,
-    int32 for multi-channel) as the device transfer format: the device
-    applies the exact 2^-15 scale, bit-identical to summing scaled f32
-    channels, at half-or-better the wire bytes and wirepack-compressible
-    (parallel/wirepack.py).  Non-PCM16 sources return raw_int=None.
+    Finds the MINIMAL shift s such that every sample times 2^s is an
+    integer representable in int32, directly from the IEEE mantissas (one
+    vector pass, no trial scaling).  Returns (int16|int32 carrier, s) or
+    None (denormal/inf/nan present, s would exceed 31, or values overflow
+    int32).  ``carrier * 2^-s`` reconstructs the f32 stream BIT-exactly:
+    the carrier values are f32-representable by construction and the
+    power-of-two scale is exact.
+
+    This is what makes float WAVs converted from 8/16/24/32-bit PCM (and
+    f32 channel sums of high-bps sources, whose rounded sums are still
+    dyadic rationals) ride the integer wire path — half-or-better the
+    bytes of raw f32 and wirepack-compressible (parallel/wirepack.py).
+    """
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    if len(x) == 0:
+        return None
+    b = x.view(np.uint32)
+    e = ((b >> np.uint32(23)) & np.uint32(0xFF)).astype(np.int32)
+    m = b & np.uint32(0x7FFFFF)
+    nz = (e > 0) | (m > 0)  # +-0.0 needs no shift
+    if not bool(nz.any()):
+        return np.zeros(len(x), np.int16), 0
+    if bool((nz & (e == 0)).any()) or bool((e == 255).any()):
+        return None  # denormals need s up to 149; inf/nan are not integers
+    mm = m | np.uint32(1 << 23)  # implicit leading 1
+    low = mm & (np.uint32(0) - mm)  # lowest set bit (power of two)
+    ctz = np.round(np.log2(low.astype(np.float64))).astype(np.int32)
+    # fractional bits of |x| = 1.m * 2^(e-127):  23 - (e-127) - ctz
+    frac = np.where(nz, 23 - (e - 127) - ctz, 0)
+    s = max(int(frac.max()), 0)
+    if s > 31:
+        return None
+    if float(np.abs(x).max()) * float(2.0**s) >= 2.0**31:
+        return None
+    v = (x.astype(np.float64) * float(2.0**s)).astype(np.int64)  # exact
+    if s <= 15 and -(1 << 15) <= v.min() and v.max() < (1 << 15):
+        return v.astype(np.int16), s
+    return v.astype(np.int32), s
+
+
+def open_audio_mono_ex(path: str, materialize: bool = True):
+    """Decode -> (mono_sum f32 (n_samples,), sr, raw_int | None, shift).
+
+    The session's loader: channels are SUMMED to mono (lib.rs:42).
+    Whenever the mono signal is exactly ``raw_int * 2^-shift`` (int16 or
+    int32 carrier), it is returned in the INTEGER domain as the device
+    transfer format: the device applies the exact power-of-two scale,
+    bit-identical to summing scaled f32 channels, at half-or-better the
+    wire bytes and wirepack-compressible (parallel/wirepack.py).  Sources
+    covered: PCM16 WAV (shift 15, the historical path), FLAC of any bps
+    (exact decoder integers), and any f32-valued mono that is secretly a
+    scaled integer — 8/24/32-bit PCM, float WAVs converted from PCM,
+    rounded f32 channel sums (see :func:`detect_scaled_int`).  True
+    full-entropy float content returns raw_int=None, shift=0.
     """
     try:
         with open(path, "rb") as f:
@@ -208,16 +254,27 @@ def open_audio_mono_ex(path: str, materialize: bool = True):
             f.seek(0)
             if head[:4] == b"fLaC":
                 # FLAC: the native decoder's exact integer samples (units
-                # of 2^-(bps-1)) re-scale to 2^-15 units by an integer
-                # shift for bps <= 16, joining the same wire path as WAV.
+                # of 2^-(bps-1)).  bps <= 16 re-scales to 2^-15 units by an
+                # integer shift (joining the classic WAV wire path); mono
+                # 17..25 bps ships the decoder integers as-is with
+                # shift = bps-1 (values still f32-representable, so the
+                # f32 contract is untouched).  Everything else falls to
+                # the f32 sum + scaled-int detection below.
                 from . import _native_audio
 
                 wav2d, sr, raw, bps = _native_audio.decode_flac_ex(path)
                 if raw is not None and 0 < bps <= 16:
                     mono_i = raw.sum(axis=0, dtype=np.int32) << (16 - bps)
                     mono = wav2d.sum(axis=0) if materialize else None
-                    return mono, int(sr), mono_i
-                return wav2d.sum(axis=0), int(sr), None
+                    return mono, int(sr), mono_i, 15
+                if raw is not None and raw.shape[0] == 1 and 16 < bps <= 25:
+                    mono = wav2d.sum(axis=0) if materialize else None
+                    return mono, int(sr), np.ascontiguousarray(raw[0]), bps - 1
+                mono = wav2d.sum(axis=0)
+                det = detect_scaled_int(mono)
+                if det is not None:
+                    return mono, int(sr), det[0], det[1]
+                return mono, int(sr), None, 0
             if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
                 head_data = f.read(1 << 18)  # header probe, not a slurp
                 info = _probe_fmt(head_data)
@@ -242,13 +299,19 @@ def open_audio_mono_ex(path: str, materialize: bool = True):
                             if materialize
                             else None
                         )
-                        return mono, _probe_sr(head_data), mono_i
+                        return mono, _probe_sr(head_data), mono_i, 15
     except OSError as e:
         raise AudioReadError(f"{path}: {e}") from e
     except struct.error as e:
         raise AudioReadError(f"{path}: truncated WAV header ({e})") from e
     wav2d, sr, raw_i16 = open_audio_file_ex(path)
-    return wav2d.sum(axis=0), sr, raw_i16
+    mono = wav2d.sum(axis=0)
+    if raw_i16 is not None:
+        return mono, sr, raw_i16, 15
+    det = detect_scaled_int(mono)
+    if det is not None:
+        return mono, sr, det[0], det[1]
+    return mono, sr, None, 0
 
 
 def _probe_fmt(data: bytes):

@@ -33,7 +33,7 @@ from ..render.resize import _apply_banded_cols
     jax.jit, static_argnames=("win", "hop", "n_frames", "use_mel", "mode")
 )
 def spec_pipeline(padded, c, s, mel_fb, n_valid, *, win, hop, n_frames,
-                  use_mel, mode=None):
+                  use_mel, mode=None, scale=2.0**-15):
     """padded wav -> (spec_db (n_frames, n_out), spec_min, spec_max).
 
     ``n_frames`` is the bucketed frame count; ``n_valid`` the true one.
@@ -44,6 +44,11 @@ def spec_pipeline(padded, c, s, mel_fb, n_valid, *, win, hop, n_frames,
     executable.  None would freeze the trace-time global into the cache
     (set_precision_mode would silently stop working for compiled shapes),
     so callers resolve it via get_precision_mode() BEFORE the call.
+
+    ``scale`` (TRACED — all shifts share one program) is the exact f32
+    value of one integer-carrier unit when ``padded`` is int16/int32
+    (2^-15 for PCM16, 2^-(bps-1) for high-bps FLAC, 2^-s for detected
+    scaled-int floats); ignored for f32 input.
 
     Equivalent of MultiTrack::calc_spec_of (lib.rs:112-136) + the per-spec
     part of the global dB reduce (lib.rs:194-207).
@@ -56,9 +61,10 @@ def spec_pipeline(padded, c, s, mel_fb, n_valid, *, win, hop, n_frames,
             "(pass mode=get_precision_mode())"
         )
     if padded.dtype in (jnp.int16, jnp.int32):
-        # integer transfer format (raw PCM16 or exact int32 channel sum):
-        # exact power-of-two scaling on device.
-        padded = padded.astype(jnp.float32) * jnp.float32(2.0**-15)
+        # integer transfer format: exact power-of-two scaling on device
+        # (carrier values are f32-representable by construction, so the
+        # astype+multiply reproduces the host f32 mono bit-for-bit)
+        padded = padded.astype(jnp.float32) * jnp.float32(scale)
     # fast mode = single-pass MXU (DEFAULT precision) on f32 operands with
     # f32 accumulation.  Explicit bf16 INPUT casts were measured to blow up
     # near-null bins by tens of dB for almost no additional speed (the MXU
@@ -85,22 +91,24 @@ def spec_pipeline(padded, c, s, mel_fb, n_valid, *, win, hop, n_frames,
     jax.jit, static_argnames=("win", "hop", "n_frames", "use_mel", "mode")
 )
 def spec_pipeline_batched(padded_b, c, s, mel_fb, n_valid, *, win, hop,
-                          n_frames, use_mel, mode=None):
+                          n_frames, use_mel, mode=None, scale=2.0**-15):
     """vmapped spec_pipeline over a leading batch of same-bucket tracks.
 
     One device launch computes N tracks (the reference's rayon-across-tracks
-    granularity, lib.rs:161-167, as an MXU batch dim).  Returns
+    granularity, lib.rs:161-167, as an MXU batch dim).  ``scale`` is shared
+    by the batch (the session groups tracks by carrier shift).  Returns
     (db (B, n_frames, n_out), smin (B,), smax (B,)).
     """
     if mode is None:
         raise ValueError("spec_pipeline_batched requires an explicit mode")
-    fn = functools.partial(
-        spec_pipeline, win=win, hop=hop, n_frames=n_frames, use_mel=use_mel,
-        mode=mode,
-    )
-    return jax.vmap(fn, in_axes=(0, None, None, None, 0))(
-        padded_b, c, s, mel_fb, n_valid
-    )
+
+    def fn(padded, n_v):
+        return spec_pipeline(
+            padded, c, s, mel_fb, n_v, win=win, hop=hop, n_frames=n_frames,
+            use_mel=use_mel, mode=mode, scale=scale,
+        )
+
+    return jax.vmap(fn)(padded_b, n_valid)
 
 
 @functools.partial(

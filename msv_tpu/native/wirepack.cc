@@ -19,8 +19,15 @@
 
 namespace {
 
+// mod-2^32 safe for the FULL int32 range (v << 1 on INT_MIN would be UB;
+// the uint32 form wraps, matching the numpy oracle's uint32 arithmetic)
 inline uint32_t zigzag(int32_t v) {
-  return (uint32_t)((v >> 31) ^ (v << 1));
+  return ((uint32_t)v << 1) ^ (uint32_t)(v >> 31);
+}
+
+// wrapped (mod 2^32) difference — the codec's delta arithmetic
+inline int32_t wsub(int32_t a, int32_t b) {
+  return (int32_t)((uint32_t)a - (uint32_t)b);
 }
 
 inline int bit_width(uint32_t v) {
@@ -31,10 +38,11 @@ inline int bit_width(uint32_t v) {
 
 namespace {
 
-// Packs integer PCM (int16 raw samples, or int32 channel sums bounded by
-// |v| < 2^21 so order-2 zigzag widths stay <= 24 bits).  Returns 0 on
-// success; 1 when the raw array is smaller or the input is too small /
-// stream too large (caller ships raw).  out_head: room for max_order i32s.
+// Packs integer PCM (int16 raw samples, or FULL-range int32: channel
+// sums, scaled-int carriers, ordered-float transforms — delta arithmetic
+// is mod 2^32, widths up to 32 bits).  Returns 0 on success; 1 when the
+// raw array is smaller or the input is too small / stream too large
+// (caller ships raw).  out_head: room for max_order i32s.
 template <typename T>
 int32_t wirepack_pack_impl(const T* x, int64_t n, int32_t block,
                            int32_t max_order,
@@ -43,12 +51,6 @@ int32_t wirepack_pack_impl(const T* x, int64_t n, int32_t block,
                            int64_t* out_nblocks, int32_t* out_order,
                            int32_t* out_head) {
   if (n <= 2 * (int64_t)block || block <= 0 || (block % 8) != 0) return 1;
-  if (sizeof(T) == 4) {
-    for (int64_t i = 0; i < n; i++) {
-      int64_t v = (int64_t)x[i];
-      if (v >= (1ll << 21) || v < -(1ll << 21)) return 1;
-    }
-  }
   if (max_order < 0) max_order = 0;
   if (max_order > 2) max_order = 2;
 
@@ -85,7 +87,7 @@ int32_t wirepack_pack_impl(const T* x, int64_t n, int32_t block,
         bfill[0] = 0;
       }
       if (n_orders > 1 && i >= 1) {
-        int32_t r1 = r0 - (int32_t)x[i - 1];
+        int32_t r1 = wsub(r0, (int32_t)x[i - 1]);
         uint32_t z1 = zigzag(r1);
         if (z1 > zmax[1]) zmax[1] = z1;
         if (++bfill[1] == block) {
@@ -95,7 +97,7 @@ int32_t wirepack_pack_impl(const T* x, int64_t n, int32_t block,
         }
         if (n_orders > 2) {
           if (i >= 2) {
-            int32_t r2 = r1 - prev1;
+            int32_t r2 = wsub(r1, prev1);
             uint32_t z2 = zigzag(r2);
             if (z2 > zmax[2]) zmax[2] = z2;
             if (++bfill[2] == block) {
@@ -144,7 +146,7 @@ int32_t wirepack_pack_impl(const T* x, int64_t n, int32_t block,
   // heads: head[k] = (Delta^k x)[0]
   for (int k = 0; k < order; k++)
     out_head[k] = k == 0 ? (int32_t)x[0]
-                         : (int32_t)x[1] - (int32_t)x[0];  // order<=2
+                         : wsub((int32_t)x[1], (int32_t)x[0]);  // order<=2
 
   int32_t* starts = (int32_t*)malloc(sizeof(int32_t) * nblocks);
   if (!starts) {
@@ -189,8 +191,10 @@ int32_t wirepack_pack_impl(const T* x, int64_t n, int32_t block,
       if (i < nr) {
         int32_t r;
         if (order == 0) r = x[i];
-        else if (order == 1) r = (int32_t)x[i + 1] - (int32_t)x[i];
-        else r = (int32_t)x[i + 2] - 2 * (int32_t)x[i + 1] + (int32_t)x[i];
+        else if (order == 1) r = wsub((int32_t)x[i + 1], (int32_t)x[i]);
+        else
+          r = (int32_t)((uint32_t)x[i + 2] - 2u * (uint32_t)x[i + 1] +
+                        (uint32_t)x[i]);
         z = zigzag(r);
       }
       acc |= ((uint64_t)z) << accbits;

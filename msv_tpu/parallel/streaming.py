@@ -28,8 +28,8 @@ from ..ops.framing import n_frames_for, reflect_pad_center
                      "use_mel", "impl", "mode"),
 )
 def _streaming_core(
-    padded, c, s, window, mel_fb, n_valid, *, win, hop, n_fft, chunk_frames,
-    n_chunks, use_mel, impl, mode
+    padded, c, s, window, mel_fb, n_valid, scale, *, win, hop, n_fft,
+    chunk_frames, n_chunks, use_mel, impl, mode
 ):
     # ``mode`` is STATIC: reading the global inside the trace would bake the
     # trace-time precision into the cached executable (set_precision_mode
@@ -42,9 +42,11 @@ def _streaming_core(
     prec = precision_for(mode)
     cc, ss, fb = c, s, mel_fb
     if padded.dtype in (jnp.int16, jnp.int32):
-        # integer transfer format (raw PCM16 / int32 channel sum, fewer
-        # tunnel bytes + wirepack-compressible): exact 2^-15 scale.
-        padded = padded.astype(jnp.float32) * jnp.float32(2.0**-15)
+        # integer transfer format (fewer tunnel bytes, wirepack-
+        # compressible): exact power-of-two scale, TRACED so every carrier
+        # shift (2^-15 PCM16, 2^-(bps-1) FLAC, 2^-s scaled-int floats)
+        # shares one compiled program.
+        padded = padded.astype(jnp.float32) * jnp.float32(scale)
 
     # Framing decomposition: with g = gcd(win, hop) the chunk reshapes to
     # g-wide rows and frame t-th pieces are stride-(hop/g) row slices —
@@ -169,10 +171,19 @@ def _to_device_packed(seg_np, transfer: str):
     on-device by vectorized integer ops into the identical int16 buffer.
     Falls back to raw whenever packing would not shrink the transfer.
     """
-    if transfer in ("pack", "auto") and seg_np.dtype in (np.int16, np.int32):
-        from .wirepack import pack_int, unpack_jax
+    if transfer in ("pack", "auto"):
+        if seg_np.dtype in (np.int16, np.int32):
+            from .wirepack import pack_int, unpack_jax
 
-        p = pack_int(seg_np)
+            p = pack_int(seg_np)
+        elif seg_np.dtype == np.float32:
+            # true-float sources: lossless ordered-float packing (strips
+            # shared zero mantissa planes; raw when entropy is full)
+            from .wirepack import pack_f32, unpack_jax
+
+            p = pack_f32(seg_np)
+        else:
+            p = None
         if p is not None:
             return unpack_jax(p)
     return jnp.asarray(seg_np)
@@ -180,7 +191,8 @@ def _to_device_packed(seg_np, transfer: str):
 
 def _run_segments(
     make_seg, seg_plan, n_frames, win, hop, c, s, mel_fb, window, n_fft,
-    chunk_frames, impl, transfer, keep_wav: bool = False
+    chunk_frames, impl, transfer, keep_wav: bool = False,
+    scale: float = 2.0**-15,
 ):
     """Software-pipelined segment runner.
 
@@ -219,6 +231,7 @@ def _run_segments(
             outs.append(
                 _streaming_core(
                     dev, c_d, s_d, w_d, fb_d, jnp.int32(n_valid_g),
+                    jnp.float32(scale),
                     win=win, hop=hop, n_fft=n_fft or win,
                     chunk_frames=chunk_frames, n_chunks=pnck,
                     use_mel=use_mel, impl=impl, mode=mode,
@@ -267,6 +280,7 @@ def streaming_spec_db(
     seg_chunks: int = 8,
     transfer: str = "auto",
     keep_wav: bool = False,
+    scale: float = 2.0**-15,
 ):
     """Full-file dB spectrogram via segmented chunked scans.
 
@@ -300,6 +314,11 @@ def streaming_spec_db(
             raise ValueError("impl='pallas' requires mel_fb and win % hop == 0")
         if keep_wav:
             raise ValueError("keep_wav is not supported with impl='pallas'")
+        if wav.dtype != np.int16 or scale != 2.0**-15:
+            # the fused kernel's i16 DMA path bakes the 2^-15 scale; other
+            # carriers take the (bit-identical) host-scaled f32 form
+            if wav.dtype in (np.int16, np.int32):
+                wav = wav.astype(np.float32) * np.float32(scale)
         return _streaming_pallas(wav, win, hop, c, s, mel_fb, chunk_frames,
                                  seg_chunks)
     n_frames = n_frames_for(len(wav), win, hop)
@@ -311,7 +330,7 @@ def streaming_spec_db(
 
     return _run_segments(
         make_seg, seg_plan, n_frames, win, hop, c, s, mel_fb, window, n_fft,
-        chunk_frames, impl, transfer, keep_wav=keep_wav,
+        chunk_frames, impl, transfer, keep_wav=keep_wav, scale=scale,
     )
 
 

@@ -12,8 +12,20 @@ scarce wire bytes:
   device: 2x u32 gather + shift/mask field extraction  (VPU, trivially wide)
           un-zigzag, then Delta^-k as k exact int32 cumsums (parallel prefix)
 
+All delta arithmetic is mod-2^32 (two's-complement wrap), so ANY int32
+stream round-trips: residuals of full-range values wrap to int32, the
+inverse cumsum wraps back — a bijection, no magnitude bounds needed.
+
+Float32 streams ride the same machinery (``pack_f32``): the IEEE bits are
+mapped to an order-preserving int32 (sign-magnitude -> offset two's
+complement, so smooth audio keeps small deltas), after stripping the
+mantissa bits that are zero across the whole segment (int16/int24-origin
+float files have 8-9 such planes).  The transform is a bit-level bijection
+— every pattern including -0.0, denormals, Inf and NaN reconstructs
+exactly.
+
 Everything is static-shaped (block count derives from the bucketed segment
-length) and bit-exact: unpack(pack(x)) == x for all int16 inputs, so the
+length) and bit-exact: unpack(pack(x)) == x for all inputs, so the
 numerical contract is untouched.  Typical music/speech costs 9-13 bits per
 16-bit sample (tonal content far less); full-scale white noise would cost
 17-18, so pack() falls back to raw when packing does not pay.
@@ -35,17 +47,18 @@ class PackedPCM:
     """Host-side container for one packed segment."""
 
     __slots__ = ("order", "n", "head", "words", "block_w", "block_start",
-                 "out_dtype")
+                 "out_dtype", "shift")
 
     def __init__(self, order, n, head, words, block_w, block_start,
-                 out_dtype="int16"):
+                 out_dtype="int16", shift=0):
         self.order = order          # delta order k (0, 1, 2)
         self.n = n                  # original sample count
         self.head = head            # int32[k] warmup samples
         self.words = words          # uint32[W] packed residual bits
         self.block_w = block_w      # int32[NB] bits per residual
         self.block_start = block_start  # int32[NB] bit offset of each block
-        self.out_dtype = out_dtype  # 'int16' (raw PCM) or 'int32' (ch sum)
+        self.out_dtype = out_dtype  # 'int16' / 'int32' (PCM) or 'f32'
+        self.shift = shift          # f32 only: stripped mantissa planes
 
     @property
     def nbytes(self):
@@ -54,8 +67,11 @@ class PackedPCM:
 
 
 def _zigzag(r):
-    # branch-free on int32 (order<=2 residuals fit 19 bits, zigzag 20)
-    return ((r >> 31) ^ (r << 1)).astype(np.uint32)
+    # branch-free, mod-2^32 safe for the FULL int32 range: zigzag(v) =
+    # (v << 1) ^ (v >> 31 arithmetic), computed in uint32 so full-range
+    # residuals wrap instead of tripping undefined/overflow behavior
+    ru = r.astype(np.uint32)
+    return (ru << np.uint32(1)) ^ (np.uint32(0) - (ru >> np.uint32(31)))
 
 
 def _pack_rows(vals, w):
@@ -78,11 +94,13 @@ def _pack_rows(vals, w):
     for c in range(g):
         ph = (c * w) % 8
         byte0 = (c * w) // 8
-        shifted = vals[:, c::g] << np.uint32(ph)  # w + ph <= 27 bits
+        if w + ph > 32:  # widest fields need a 64-bit staging shift
+            shifted = vals[:, c::g].astype(np.uint64) << np.uint64(ph)
+        else:
+            shifted = vals[:, c::g] << np.uint32(ph)
         for j in range((w + ph + 7) // 8):
-            b = ((shifted >> np.uint32(8 * j)) & np.uint32(0xFF)).astype(
-                np.uint8
-            )
+            b = ((shifted >> shifted.dtype.type(8 * j))
+                 & shifted.dtype.type(0xFF)).astype(np.uint8)
             rows[:, byte0 + j : byte0 + j + step * npha : step] |= b
     return rows
 
@@ -206,9 +224,10 @@ def _pack_int_native(x: np.ndarray, out_dtype: str):
 
 
 def pack_int(x: np.ndarray, max_order: int = 2, native: bool | None = None):
-    """Pack integer PCM: int16 (raw samples) or int32 (exact channel sums,
-    |v| < 2^21).  Returns PackedPCM, or None when the raw array is smaller
-    (e.g. full-scale noise) — callers then ship the raw array.
+    """Pack integer PCM: int16 (raw samples) or int32 (channel sums,
+    scaled-int carriers, ordered-float transforms — the FULL int32 range,
+    delta arithmetic is mod 2^32).  Returns PackedPCM, or None when the
+    raw array is smaller (e.g. full-scale noise) — callers then ship raw.
 
     Uses the native C packer when built (identical bitstream, ~20x the
     throughput of the numpy path, which remains the oracle/fallback);
@@ -220,8 +239,6 @@ def pack_int(x: np.ndarray, max_order: int = 2, native: bool | None = None):
         n = len(x)
         if n <= 2 * BLOCK:
             return None
-        if n and max(int(x.max()), -int(x.min()) - 1) >= 1 << 21:
-            return None  # residual widths would exceed _WMAX
     else:
         out_dtype = "int16"
         x = np.ascontiguousarray(x, dtype=np.int16)
@@ -301,6 +318,53 @@ def pack_int(x: np.ndarray, max_order: int = 2, native: bool | None = None):
     )
 
 
+def _f32_to_ordered(x: np.ndarray):
+    """float32 -> (order-preserving int32, stripped-plane count t).
+
+    Sign-magnitude IEEE bits map to offset two's complement — positives to
+    their magnitude M' in [0, 2^31), negatives (incl. -0.0) to -(M'+1) —
+    a bit-level bijection that is monotonic in float value, so smooth
+    audio keeps small deltas.  ``t`` mantissa planes that are zero across
+    the whole segment are stripped first (int-origin float files have
+    8-9); M' = M >> t.
+    """
+    b = x.view(np.uint32)
+    mag = b & np.uint32(0x7FFFFFFF)
+    sign = (b >> np.uint32(31)).astype(bool)
+    orr = int(np.bitwise_or.reduce(mag)) if len(mag) else 0
+    t = ((orr & -orr).bit_length() - 1) if orr else 31
+    mp = (mag >> np.uint32(t)).astype(np.int64)
+    return np.where(sign, -(mp + 1), mp).astype(np.int32), t
+
+
+def _ordered_to_f32(o: np.ndarray, t: int) -> np.ndarray:
+    """Inverse of :func:`_f32_to_ordered` (host oracle)."""
+    sign = o < 0
+    mp = np.where(sign, ~o, o).astype(np.uint32)  # ~o == -(o+1), no overflow
+    b = (mp << np.uint32(t)) | (sign.astype(np.uint32) << np.uint32(31))
+    return b.view(np.float32)
+
+
+def pack_f32(x: np.ndarray, native: bool | None = None):
+    """Pack a float32 stream losslessly (bit-exact incl. -0.0/Inf/NaN).
+
+    Returns PackedPCM(out_dtype='f32', shift=t) or None when raw f32 is
+    smaller (true full-entropy float content).  Scaled-int sources should
+    prefer an int carrier upstream (linear-domain deltas pack tighter);
+    this path covers everything else at typically 20-60% fewer bytes.
+    """
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    if len(x) <= 2 * BLOCK:
+        return None
+    o, t = _f32_to_ordered(x)
+    p = pack_int(o, native=native)
+    if p is None:
+        return None
+    p.out_dtype = "f32"
+    p.shift = t
+    return p
+
+
 def unpack_np(p: PackedPCM) -> np.ndarray:
     """Host-side reference unpack (oracle for the device version)."""
     nb = len(p.block_w)
@@ -321,13 +385,18 @@ def unpack_np(p: PackedPCM) -> np.ndarray:
     r = r[:nr].astype(np.int32)
     x = r
     for head_v in p.head[::-1]:
+        # int32 cumsum wraps mod 2^32 — the exact inverse of the wrapped
+        # deltas, so full-range streams reconstruct bit-for-bit
         x = np.concatenate([[head_v], head_v + np.cumsum(x, dtype=np.int32)])
+    if p.out_dtype == "f32":
+        return _ordered_to_f32(x, p.shift)
     return x.astype(np.int16 if p.out_dtype == "int16" else np.int32)
 
 
-_WMAX = 24  # order-2 residual of a 2^21-bounded int32 channel sum: 24 bits
-# (int16 inputs only ever need 18; one shared bound keeps ONE compiled
-# unpack program per segment shape instead of one per input kind)
+_WMAX = 32  # full-range int32 residuals (ordered-float / scaled-int
+# carriers) zigzag to <= 32 bits under mod-2^32 arithmetic; one shared
+# bound keeps ONE compiled unpack program per segment shape for every
+# input kind (int16 PCM only ever uses <= 18 of the 33 width branches)
 _ROW_WORDS = BLOCK * _WMAX // 32  # u32 words covering one max-width block
 
 
@@ -335,8 +404,8 @@ _ROW_WORDS = BLOCK * _WMAX // 32  # u32 words covering one max-width block
     __import__("jax").jit,
     static_argnames=("n", "n_blocks", "out_dtype"),
 )
-def unpack_device(words, block_w, block_start, head, order, *, n, n_blocks,
-                  out_dtype="int16"):
+def unpack_device(words, block_w, block_start, head, order, shift, *, n,
+                  n_blocks, out_dtype="int16"):
     """Device unpack -> int[n].  Gather-free by construction.
 
     A naive two-word gather per field runs at ~58M fields/s on the TPU
@@ -385,8 +454,13 @@ def unpack_device(words, block_w, block_start, head, order, *, n, n_blocks,
         return None, z
 
     _, zrows = jax.lax.scan(step, None, (start_word, block_w))
-    z = zrows.reshape(n_blocks * BLOCK).astype(jnp.int32)
-    r = (z >> 1) ^ -(z & 1)
+    z = zrows.reshape(n_blocks * BLOCK)  # uint32
+    # un-zigzag in uint32 then bitcast: full-width (w=32) fields exceed
+    # int32 as values, but the BITS are exactly the wrapped residual
+    r = jax.lax.bitcast_convert_type(
+        (z >> jnp.uint32(1)) ^ (jnp.uint32(0) - (z & jnp.uint32(1))),
+        jnp.int32,
+    )
 
     # delta inverse per order, all branches emitting (n,) so `order` can
     # stay traced (3 programs -> 1)
@@ -407,7 +481,18 @@ def unpack_device(words, block_w, block_start, head, order, *, n, n_blocks,
         )
 
     x = jax.lax.switch(jnp.clip(order, 0, 2), [inv0, inv1, inv2], None)
-    return x.astype(jnp.int16) if out_dtype == "int16" else x
+    if out_dtype == "int16":
+        return x.astype(jnp.int16)
+    if out_dtype == "int32":
+        return x
+    # f32: inverse ordered-float transform (see _f32_to_ordered); ``shift``
+    # is TRACED so every stripped-plane count shares one program
+    sign = x < 0
+    mp = jax.lax.bitcast_convert_type(jnp.where(sign, ~x, x), jnp.uint32)
+    b = (mp << shift.astype(jnp.uint32)) | (
+        sign.astype(jnp.uint32) << jnp.uint32(31)
+    )
+    return jax.lax.bitcast_convert_type(b, jnp.float32)
 
 
 pack_i16 = pack_int  # backwards-compatible alias
@@ -423,7 +508,7 @@ def _bucket_words(nwords: int, n: int, itemsize: int) -> int:
 
 
 def unpack_jax(p: PackedPCM):
-    """Unpack a PackedPCM on the default device -> int16/int32[n]."""
+    """Unpack a PackedPCM on the default device -> int16/int32/f32[n]."""
     import jax.numpy as jnp
 
     itemsize = 2 if p.out_dtype == "int16" else 4
@@ -439,6 +524,7 @@ def unpack_jax(p: PackedPCM):
         jnp.asarray(p.block_start),
         jnp.asarray(head),
         jnp.int32(p.order),
+        jnp.int32(p.shift),
         n=p.n,
         n_blocks=len(p.block_w),
         out_dtype=p.out_dtype,

@@ -80,10 +80,14 @@ def _chunked_window_minmax(wav, starts, ends, m, n_cols):
 
 
 @jax.jit
-def _block_minmax(wav):
-    """Per-block min/max pyramid level (zoom-invariant; cached per track)."""
+def _block_minmax(wav, scale=2.0**-15):
+    """Per-block min/max pyramid level (zoom-invariant; cached per track).
+
+    ``scale`` (traced) is the integer-carrier unit for int16/int32 input
+    (see io/audio.py open_audio_mono_ex); ignored for f32.
+    """
     if wav.dtype in (jnp.int16, jnp.int32):
-        wav = wav.astype(jnp.float32) * jnp.float32(2.0**-15)
+        wav = wav.astype(jnp.float32) * jnp.float32(scale)
     nb = wav.shape[0] // _BLOCK
     blocks = wav[: nb * _BLOCK].reshape(nb, _BLOCK)
     return jnp.max(blocks, axis=1), jnp.min(blocks, axis=1)
@@ -95,11 +99,13 @@ class EnvelopeState:
     not the waveform — at hour scale the wav transfer alone was ~10 s).
 
     ``wav_f32``: host f32 signal (kept for the deep-zoom upsample branch);
-    ``transfer_i16``: optional PCM16 form used as the half-width device
-    transfer format (values identical after the exact on-device scale).
+    ``transfer_i16``: optional integer-carrier form (int16/int32) used as
+    the narrow device transfer format; ``scale`` is its unit (values are
+    identical after the exact on-device power-of-two scale).
     """
 
-    def __init__(self, wav_f32, transfer_i16=None, n: int | None = None):
+    def __init__(self, wav_f32, transfer_i16=None, n: int | None = None,
+                 scale: float = 2.0**-15):
         # ``wav_f32`` may be None for integer sources: the host f32 copy is
         # only needed by the rare deep-zoom upsample branch, and at hour
         # scale it is ~700 MB — materialize lazily via the property.
@@ -109,6 +115,7 @@ class EnvelopeState:
             else None
         )
         self._src_int = transfer_i16
+        self.scale = float(scale)
         if self._wav_np is None and transfer_i16 is None:
             raise ValueError("EnvelopeState needs wav_f32 or transfer_i16")
         self.n = n if n is not None else len(
@@ -127,12 +134,13 @@ class EnvelopeState:
     def wav_np(self) -> np.ndarray:
         if self._wav_np is None:
             self._wav_np = self._src_int.astype(np.float32) * np.float32(
-                2.0**-15
+                self.scale
             )
         return self._wav_np
 
     @classmethod
-    def from_device(cls, dev, n: int, offset: int, src_int=None):
+    def from_device(cls, dev, n: int, offset: int, src_int=None,
+                    scale: float = 2.0**-15):
         """Adopt an already-device-resident buffer (e.g. the streamed,
         reflect-padded waveform from streaming_spec_db(keep_wav=True),
         whose sample 0 sits at ``offset``) — the envelope then costs no
@@ -141,6 +149,7 @@ class EnvelopeState:
         self = cls.__new__(cls)
         self._wav_np = None
         self._src_int = src_int
+        self.scale = float(scale)
         self.n = n
         self.dev = dev
         self.offset = int(offset)
@@ -152,7 +161,7 @@ class EnvelopeState:
 
     def pooled(self):
         if self._pooled is None:
-            self._pooled = _block_minmax(self.dev)
+            self._pooled = _block_minmax(self.dev, self.scale)
         return self._pooled
 
     def col_windows(self, nwidth: int, buf_len: int):
@@ -244,11 +253,11 @@ def _pooled_window_minmax(wav, bmax, bmin, starts, ends, mp, n_cols):
     jax.jit, static_argnames=("m", "nheight", "n_cols", "pooled")
 )
 def _envelope_core(
-    wav, bmax, bmin, starts, ends, amp_min, amp_max, *, m, nheight, n_cols,
-    pooled
+    wav, bmax, bmin, starts, ends, amp_min, amp_max, scale, *, m, nheight,
+    n_cols, pooled
 ):
     if wav.dtype in (jnp.int16, jnp.int32):
-        wav = wav.astype(jnp.float32) * jnp.float32(2.0**-15)
+        wav = wav.astype(jnp.float32) * jnp.float32(scale)
     if pooled:
         mx, mn = _pooled_window_minmax(wav, bmax, bmin, starts, ends, m, n_cols)
     else:
@@ -359,6 +368,7 @@ def wav_to_image(
         jnp.asarray(ends_p),
         float(amp_min),
         float(amp_max),
+        state.scale,
         m=m,
         nheight=int(nheight),
         n_cols=n_cols,

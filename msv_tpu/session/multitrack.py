@@ -147,12 +147,14 @@ class AudioTrack:
         # LAZY: at hour scale it is ~700 MB and seconds of conversion on
         # the single host core, and the device pipelines only consume the
         # integer form — only the audio-export/deep-zoom paths ever ask.
-        mono, sr, raw_int = open_audio_mono_ex(path, materialize=False)
+        mono, sr, raw_int, shift = open_audio_mono_ex(path, materialize=False)
         self.path = path
         self._mono_f32 = mono  # None when raw_int carries the samples
-        # integer-domain transfer fast path: raw PCM16 (mono sources) or the
-        # exact int32 channel sum (multi-channel PCM16); None for float/codec
+        # integer-domain transfer fast path: mono == raw_int * 2^-shift
+        # exactly (PCM16 / FLAC integers / detected scaled-int floats);
+        # None for true-float sources
         self._wav_int = raw_int
+        self._wav_shift = shift
         self.n_samples = len(raw_int) if raw_int is not None else len(mono)
         self.sr = int(sr)
         p = derive_stft_params(sr, setting)
@@ -161,11 +163,16 @@ class AudioTrack:
         self.n_fft = p.n_fft
 
     @property
+    def scale(self) -> float:
+        """Exact f32 value of one integer-carrier unit (2^-shift)."""
+        return float(2.0 ** -self._wav_shift)
+
+    @property
     def wav(self) -> np.ndarray:
         """f32 mono sum (materialized on first access for int sources)."""
         if self._mono_f32 is None:
             self._mono_f32 = self._wav_int.astype(np.float32) * np.float32(
-                2.0**-15
+                self.scale
             )
         return self._mono_f32
 
@@ -253,7 +260,7 @@ class MultiTrack:
         win, hop = track.win_length, track.hop_length
         if padded.dtype in (np.int16, np.int32):
             # the kernel consumes f32; scale on host for this path
-            padded = padded.astype(np.float32) * np.float32(2.0**-15)
+            padded = padded.astype(np.float32) * np.float32(track.scale)
         c3, s3, fb3, n_mel = _dev_pallas_tiles(track.sr, win, track.n_fft)
         wav2d = prepare_wav2d(padded, win, hop, n_frames_pad)
         interpret = get_engine() == "pallas" and jax.default_backend() != "tpu"
@@ -291,12 +298,12 @@ class MultiTrack:
         fb = self._mel_dev.get(track.sr) if use_mel else None
         db, n_valid, smin, smax, wav_dev = streaming_spec_db(
             src, track.win_length, track.hop_length, c_dev, s_dev, fb,
-            keep_wav=True,
+            keep_wav=True, scale=track.scale,
         )
         if id is not None:
             self._env_states[id] = EnvelopeState.from_device(
                 wav_dev, track.n_samples, offset=track.win_length // 2,
-                src_int=track._wav_int,
+                src_int=track._wav_int, scale=track.scale,
             )
         st = _TrackState()
         st.spec_db = db
@@ -383,6 +390,7 @@ class MultiTrack:
             n_frames=n_frames_pad,
             use_mel=use_mel,
             mode=get_precision_mode(),
+            scale=track.scale,
         )
         st = _TrackState()
         st.spec_db = db
@@ -443,14 +451,15 @@ class MultiTrack:
                 continue
             dtype = (str(tr._wav_int.dtype) if tr._wav_int is not None else "f32")
             n_frames_pad = round_up_to(max(n_frames, 1), FRAME_BUCKET)
-            key = (tr.sr, n_frames_pad, dtype)
+            # shift in the key: a batch shares one carrier scale
+            key = (tr.sr, n_frames_pad, dtype, tr._wav_shift)
             groups.setdefault(key, []).append(id)
 
         for key, ids in groups.items():
             if len(ids) == 1:
                 singles.extend(ids)
                 continue
-            sr, n_frames_pad, _ = key
+            sr, n_frames_pad = key[0], key[1]
             tr0 = self.tracks[ids[0]]
             win, hop = tr0.win_length, tr0.hop_length
             preps = [self._prep_padded(self.tracks[i]) for i in ids]
@@ -475,6 +484,7 @@ class MultiTrack:
                 n_frames=n_frames_pad,
                 use_mel=use_mel,
                 mode=get_precision_mode(),
+                scale=tr0.scale,
             )
             mm = np.asarray(jnp.stack([smin_b, smax_b]))  # one host sync
             for b, id in enumerate(ids):
@@ -644,6 +654,7 @@ class MultiTrack:
                 None if track._wav_int is not None else track.wav,
                 track._wav_int,
                 n=track.n_samples,
+                scale=track.scale,
             )
             self._env_states[id] = st
         return st

@@ -249,7 +249,8 @@ class _Handler(BaseHTTPRequestHandler):
                     track = mt.tracks[tid]
                     raw_int = track._wav_int
                     sr = track.sr
-                    if raw_int is not None and raw_int.dtype == "int16":
+                    if (raw_int is not None and raw_int.dtype == "int16"
+                            and track._wav_shift == 15):
                         # mono PCM16 source: serve the raw samples without
                         # a f32 round-trip (an hour track's lazy f32 is
                         # ~700 MB of conversion on the single host core)

@@ -148,8 +148,9 @@ def test_mono_ex_integer_sum_stereo(tmp_path, rng):
     p = str(tmp_path / "st.wav")
     write_wav(p, x, 16000)
 
-    mono, sr, raw = open_audio_mono_ex(p)
+    mono, sr, raw, shift = open_audio_mono_ex(p)
     assert sr == 16000 and raw is not None and raw.dtype == np.int32
+    assert shift == 15
 
     wav2d, sr2 = open_audio_file(p)
     expect = wav2d.sum(axis=0)
@@ -165,19 +166,112 @@ def test_mono_ex_mono_keeps_i16(tmp_path, rng):
     x = (rng.standard_normal((1, 3000)) * 0.3).astype(np.float32)
     p = str(tmp_path / "m.wav")
     write_wav(p, x, 8000)
-    mono, sr, raw = open_audio_mono_ex(p)
-    assert raw is not None and raw.dtype == np.int16
+    mono, sr, raw, shift = open_audio_mono_ex(p)
+    assert raw is not None and raw.dtype == np.int16 and shift == 15
     np.testing.assert_array_equal(
         raw.astype(np.float32) * np.float32(2.0**-15), mono
     )
 
 
 def test_mono_ex_float_source_no_raw(tmp_path, rng):
+    """Full-entropy mono float (mantissas span >31 fractional bits): no
+    integer carrier is possible; the loader must say so."""
+    from msv_tpu.io.audio import open_audio_mono_ex
+
+    x = (rng.standard_normal((1, 2000)) * 0.3).astype(np.float32)
+    p = str(tmp_path / "f.wav")
+    write_wav(p, x, 8000, bits=32)
+    mono, sr, raw, shift = open_audio_mono_ex(p)
+    assert raw is None and shift == 0
+    np.testing.assert_array_equal(mono, x[0])
+
+
+def test_mono_ex_float_sum_detected_scaled_int(tmp_path, rng):
+    """Stereo float sums land on a dyadic grid (f32 addition), so the
+    loader may detect an integer carrier — if it does, carrier * 2^-shift
+    must reproduce the f32 sum BIT-exactly."""
     from msv_tpu.io.audio import open_audio_mono_ex
 
     x = (rng.standard_normal((2, 2000)) * 0.3).astype(np.float32)
-    p = str(tmp_path / "f.wav")
+    p = str(tmp_path / "f2.wav")
     write_wav(p, x, 8000, bits=32)
-    mono, sr, raw = open_audio_mono_ex(p)
-    assert raw is None
-    np.testing.assert_allclose(mono, x.sum(axis=0), atol=0)
+    mono, sr, raw, shift = open_audio_mono_ex(p)
+    expect = x[0] + x[1]
+    np.testing.assert_array_equal(mono, expect)
+    if raw is not None:
+        back = raw.astype(np.float32) * np.float32(2.0**-shift)
+        np.testing.assert_array_equal(
+            back.view(np.uint32), expect.view(np.uint32)
+        )
+
+
+def test_detect_scaled_int_cases(rng):
+    """detect_scaled_int: minimal shift, exact carriers, honest rejections."""
+    from msv_tpu.io.audio import detect_scaled_int
+
+    # int16-origin floats -> s=15, int16 carrier
+    k = rng.integers(-32768, 32768, 4000).astype(np.int32)
+    x = (k.astype(np.float32) / np.float32(32768.0)).astype(np.float32)
+    det = detect_scaled_int(x)
+    assert det is not None and det[1] == 15 and det[0].dtype == np.int16
+    np.testing.assert_array_equal(det[0], k)
+
+    # 24-bit-origin floats -> s=23, int32 carrier
+    k24 = rng.integers(-(1 << 23), 1 << 23, 4000)
+    x24 = (k24.astype(np.float32) / np.float32(1 << 23)).astype(np.float32)
+    det = detect_scaled_int(x24)
+    assert det is not None and det[1] == 23 and det[0].dtype == np.int32
+    np.testing.assert_array_equal(det[0], k24)
+
+    # minimal shift: multiples of 0.25 -> s=2
+    xq = (rng.integers(-40, 40, 3000).astype(np.float32) / 4.0).astype(np.float32)
+    det = detect_scaled_int(xq)
+    assert det is not None and det[1] == 2
+
+    # all zeros -> s=0
+    det = detect_scaled_int(np.zeros(100, np.float32))
+    assert det is not None and det[1] == 0 and not det[0].any()
+
+    # full-entropy floats: rejected
+    assert detect_scaled_int(rng.standard_normal(3000).astype(np.float32)) is None
+    # denormals / inf / nan: rejected
+    assert detect_scaled_int(np.array([1e-44], np.float32)) is None
+    assert detect_scaled_int(np.array([np.inf, 1.0], np.float32)) is None
+    assert detect_scaled_int(np.array([np.nan], np.float32)) is None
+
+    # bit-exact reconstruction contract on every accepted case
+    for sig in (x, x24, xq):
+        v, s = detect_scaled_int(sig)
+        back = v.astype(np.float32) * np.float32(2.0**-s)
+        np.testing.assert_array_equal(
+            back.view(np.uint32), sig.view(np.uint32)
+        )
+
+
+def test_wav_24bit_gets_integer_carrier(tmp_path, rng):
+    """24-bit PCM WAV: the mono f32 is k/2^23, detected as a scaled int ->
+    integer wire path with shift 23 (exact)."""
+    import struct as _struct
+
+    from msv_tpu.io.audio import open_audio_mono_ex
+
+    k = rng.integers(-(1 << 23), 1 << 23, 3000)
+    b = np.zeros((3000, 3), np.uint8)
+    ku = (k & 0xFFFFFF).astype(np.uint32)
+    b[:, 0] = ku & 0xFF
+    b[:, 1] = (ku >> 8) & 0xFF
+    b[:, 2] = (ku >> 16) & 0xFF
+    raw24 = b.tobytes()
+    hdr = b"RIFF" + _struct.pack("<I", 36 + len(raw24)) + b"WAVE"
+    hdr += b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 16000, 48000, 3, 24)
+    hdr += b"data" + _struct.pack("<I", len(raw24))
+    p = str(tmp_path / "w24.wav")
+    with open(p, "wb") as f:
+        f.write(hdr + raw24)
+
+    mono, sr, raw, shift = open_audio_mono_ex(p)
+    assert sr == 16000 and raw is not None and shift == 23
+    np.testing.assert_array_equal(raw, k)
+    np.testing.assert_array_equal(
+        raw.astype(np.float32) * np.float32(2.0**-23), mono
+    )

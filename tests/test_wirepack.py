@@ -205,3 +205,114 @@ def test_unpack_jit_family_is_bucketed(rng):
         np.testing.assert_array_equal(y, x)
     # 4 wildly different contents -> at most 16 possible buckets by design
     assert len(shapes) <= 4
+
+
+def test_full_range_int32_roundtrip(rng):
+    """Mod-2^32 delta arithmetic: the FULL int32 range round-trips (host
+    oracle, device, and native packer all agree)."""
+    from msv_tpu.parallel.wirepack import _native_lib
+
+    x = (
+        np.cumsum(rng.integers(-(1 << 28), 1 << 28, 40000)) % (1 << 32)
+    ).astype(np.uint32).view(np.int32)
+    for native in ([False, True] if _native_lib() else [False]):
+        p = pack_int(x, native=native)
+        assert p is not None, f"native={native}"
+        np.testing.assert_array_equal(unpack_np(p), x)
+        np.testing.assert_array_equal(np.asarray(unpack_jax(p)), x)
+
+
+def test_f32_roundtrip_bit_exact(rng):
+    """pack_f32: bit-exact on every IEEE pattern class, host and device."""
+    from msv_tpu.parallel.wirepack import pack_f32
+
+    t = np.arange(48000 * 2) / 48000
+    smooth = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    int16_origin = (
+        np.round(np.clip(9830 * np.sin(2 * np.pi * 220 * t), -32768, 32767))
+        .astype(np.int16).astype(np.float32) / np.float32(32768.0)
+    )
+    weird = smooth.copy()
+    weird[::97] = np.float32(-0.0)
+    weird[1::977] = np.inf
+    weird[2::977] = -np.inf
+    weird[3::977] = np.nan
+    weird[4::977] = np.float32(1e-42)  # denormal
+    for name, sig in [("smooth", smooth), ("i16origin", int16_origin),
+                      ("weird", weird)]:
+        p = pack_f32(sig)
+        if p is None:
+            continue  # raw fallback is always correct
+        y = unpack_np(p)
+        np.testing.assert_array_equal(
+            y.view(np.uint32), sig.view(np.uint32), err_msg=name
+        )
+        yd = np.asarray(unpack_jax(p))
+        np.testing.assert_array_equal(
+            yd.view(np.uint32), sig.view(np.uint32), err_msg=f"{name} dev"
+        )
+    # the int16-origin case must actually compress (9 stripped planes)
+    p = pack_f32(int16_origin)
+    assert p is not None and p.nbytes < 0.8 * int16_origin.nbytes
+
+
+def test_f32_incompressible_falls_back(rng):
+    from msv_tpu.parallel.wirepack import pack_f32
+
+    assert pack_f32(rng.standard_normal(50000).astype(np.float32)) is None
+
+
+def test_streaming_f32_pack_matches_raw(rng):
+    """Float tracks: transfer='pack' (ordered-float codec) must be
+    bitwise-identical to 'raw' through the whole streaming pipeline."""
+    from msv_tpu.config import SpecSetting, derive_stft_params
+    from msv_tpu.ops.dft import windowed_dft_matrices
+    from msv_tpu.ops.mel import calc_mel_fb_default
+    from msv_tpu.ops.windows import default_stft_window
+
+    p = derive_stft_params(8000, SpecSetting())
+    window = default_stft_window(p.win_length, p.n_fft)
+    c, s = windowed_dft_matrices(window, p.n_fft)
+    fb = calc_mel_fb_default(8000, p.n_fft)
+    t = np.arange(8000 * 40) / 8000
+    # int16-origin float: the compressible case
+    wav = (
+        np.round(np.clip(9830 * np.sin(2 * np.pi * 300 * t)
+                         + 200 * rng.standard_normal(len(t)), -32768, 32767))
+        .astype(np.int16).astype(np.float32) / np.float32(32768.0)
+    )
+    kw = dict(chunk_frames=256, seg_chunks=4)
+    db_r, nf_r, lo_r, hi_r = streaming_spec_db(
+        wav, p.win_length, p.hop_length, c, s, fb, transfer="raw", **kw)
+    db_p, nf_p, lo_p, hi_p = streaming_spec_db(
+        wav, p.win_length, p.hop_length, c, s, fb, transfer="pack", **kw)
+    assert nf_r == nf_p and lo_r == lo_p and hi_r == hi_p
+    np.testing.assert_array_equal(np.asarray(db_r), np.asarray(db_p))
+
+
+def test_streaming_scaled_carrier_matches_f32(rng):
+    """int32 carrier with a non-default shift (24-bit-origin) must equal
+    the f32 pipeline bit-for-bit via the traced scale."""
+    from msv_tpu.config import SpecSetting, derive_stft_params
+    from msv_tpu.ops.dft import windowed_dft_matrices
+    from msv_tpu.ops.mel import calc_mel_fb_default
+    from msv_tpu.ops.windows import default_stft_window
+
+    p = derive_stft_params(8000, SpecSetting())
+    window = default_stft_window(p.win_length, p.n_fft)
+    c, s = windowed_dft_matrices(window, p.n_fft)
+    fb = calc_mel_fb_default(8000, p.n_fft)
+    t = np.arange(8000 * 30) / 8000
+    k = np.round(
+        np.clip((1 << 22) * np.sin(2 * np.pi * 250 * t)
+                + 3000 * rng.standard_normal(len(t)),
+                -(1 << 23), (1 << 23) - 1)
+    ).astype(np.int32)
+    f32 = k.astype(np.float32) * np.float32(2.0**-23)
+    kw = dict(chunk_frames=256, seg_chunks=4)
+    db_i, nf_i, lo_i, hi_i = streaming_spec_db(
+        k, p.win_length, p.hop_length, c, s, fb, scale=2.0**-23, **kw)
+    db_f, nf_f, lo_f, hi_f = streaming_spec_db(
+        f32, p.win_length, p.hop_length, c, s, fb, **kw)
+    assert nf_i == nf_f and lo_i == lo_f and hi_i == hi_f
+    np.testing.assert_array_equal(np.asarray(db_i), np.asarray(db_f))
