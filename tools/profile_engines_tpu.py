@@ -66,7 +66,7 @@ def main():
         for i, d in enumerate(segs):
             nv = max(0, min(n_frames - i * seg_frames, seg_frames))
             outs.append(_streaming_core(
-                d, c_d, s_d, w_d, fb_d, jnp.int32(nv),
+                d, c_d, s_d, w_d, fb_d, jnp.int32(nv), jnp.float32(2.0**-15),
                 win=win, hop=hop, n_fft=p.n_fft, chunk_frames=cf,
                 n_chunks=sc, use_mel=True, impl=impl, mode=mode))
         for o in outs:

@@ -84,7 +84,7 @@ def main():
     def core(ds, i):
         nv = max(0, min(n_frames - i * seg_frames, seg_frames))
         return _streaming_core(
-            ds, c_d, s_d, w_d, fb_d, jnp.int32(nv),
+            ds, c_d, s_d, w_d, fb_d, jnp.int32(nv), jnp.float32(2.0**-15),
             win=win, hop=hop, n_fft=win, chunk_frames=cf, n_chunks=sc,
             use_mel=True, impl="dft", mode="parity")
 

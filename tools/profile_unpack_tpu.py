@@ -57,13 +57,14 @@ def main():
         pw = jnp.asarray(p.words)
         bw = jnp.asarray(p.block_w)
         bs = jnp.asarray(p.block_start)
-        hd = jnp.asarray(p.head if p.order else np.zeros(1, np.int32))
+        hd_np = np.zeros(2, np.int32); hd_np[: p.order] = p.head
+        hd = jnp.asarray(hd_np)
         fetch(pw), fetch(bw), fetch(bs), fetch(hd)
         from msv_tpu.parallel.wirepack import unpack_device
 
         t0 = time.perf_counter()
-        u2 = unpack_device(pw, bw, bs, hd, n=p.n, order=p.order,
-                           n_blocks=len(p.block_w))
+        u2 = unpack_device(pw, bw, bs, hd, p.order, jnp.int32(p.shift),
+                           n=p.n, n_blocks=len(p.block_w))
         fetch(u2)
         t_unpack = time.perf_counter() - t0
         print(json.dumps({
