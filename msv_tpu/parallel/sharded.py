@@ -217,17 +217,29 @@ def make_sharded_streaming_fn(mesh, *, win, hop, chunk_frames, chunks_per_dev,
 
 
 def sharded_streaming_spec_db(mesh, wav, win, hop, c, s, mel_fb=None,
-                              chunk_frames: int = 4096):
+                              chunk_frames: int = 4096,
+                              scale: float = 2.0**-15):
     """Host wrapper for the mesh long-file pipeline (1-D "sp" usage of the
     mesh; pass a mesh with dp=1).  Mirrors streaming_spec_db's contract:
-    returns (db sharded device array, n_frames, min_db, max_db)."""
+    returns (db sharded device array, n_frames, min_db, max_db).
+
+    ``scale`` is the integer-carrier unit (io/audio.py
+    open_audio_mono_ex); the mesh kernel's int16 lane bakes 2^-15, so any
+    other carrier is scaled to f32 host-side (bit-identical).
+    """
     import numpy as np
 
     from ..ops.framing import n_frames_for, reflect_pad_center
     from ..utils import round_up_to
 
     n_sp = mesh.shape["sp"]
-    dtype = np.int16 if wav.dtype == np.int16 else np.float32
+    if wav.dtype == np.int16 and scale == 2.0**-15:
+        dtype = np.int16
+    elif wav.dtype in (np.int16, np.int32):
+        wav = wav.astype(np.float32) * np.float32(scale)
+        dtype = np.float32
+    else:
+        dtype = np.float32
     wav = np.ascontiguousarray(wav, dtype=dtype)
     n_frames = n_frames_for(len(wav), win, hop)
     fpd = round_up_to(-(-max(n_frames, 1) // n_sp), chunk_frames)

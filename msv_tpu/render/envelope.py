@@ -127,8 +127,11 @@ class EnvelopeState:
         self.offset = 0  # device-buffer index of the file's sample 0
         self._pooled = None
         import collections
+        import threading
 
         self._col_cache = collections.OrderedDict()
+        # guards the LRU + lazy pyramid under concurrent viewer renders
+        self._cache_lock = threading.Lock()
 
     @property
     def wav_np(self) -> np.ndarray:
@@ -155,14 +158,17 @@ class EnvelopeState:
         self.offset = int(offset)
         self._pooled = None
         import collections
+        import threading
 
         self._col_cache = collections.OrderedDict()
+        self._cache_lock = threading.Lock()
         return self
 
     def pooled(self):
-        if self._pooled is None:
-            self._pooled = _block_minmax(self.dev, self.scale)
-        return self._pooled
+        with self._cache_lock:
+            if self._pooled is None:
+                self._pooled = _block_minmax(self.dev, self.scale)
+            return self._pooled
 
     def col_windows(self, nwidth: int, buf_len: int):
         """Full-width per-column sample windows for one zoom level,
@@ -171,10 +177,11 @@ class EnvelopeState:
         cheap slice of the full-width arrays.  Small LRU: a user bounces
         between a handful of zoom levels."""
         key = (nwidth, buf_len)
-        hit = self._col_cache.get(key)
-        if hit is not None:
-            self._col_cache.move_to_end(key)
-            return hit
+        with self._cache_lock:
+            hit = self._col_cache.get(key)
+            if hit is not None:
+                self._col_cache.move_to_end(key)
+                return hit
         f32 = np.float32
         samples_per_px = f32(self.n) / f32(nwidth)
         i_px = np.arange(nwidth, dtype=np.float32)
@@ -183,9 +190,10 @@ class EnvelopeState:
         ends = rust_round_np((i_px + f32(1.5)) * samples_per_px).astype(np.int64)
         ends = np.minimum(ends, buf_len)
         ends = np.maximum(ends, starts + 1)  # deviation: no empty-window panic
-        self._col_cache[key] = (starts, ends)
-        while len(self._col_cache) > 6:
-            self._col_cache.popitem(last=False)
+        with self._cache_lock:
+            self._col_cache[key] = (starts, ends)
+            while len(self._col_cache) > 6:
+                self._col_cache.popitem(last=False)
         return starts, ends
 
 

@@ -207,6 +207,8 @@ class MultiTrack:
         self._mel_dev: dict[int, object] = {}  # sr -> device mel fb
         self._state: dict[int, _TrackState] = {}
         self._env_states: dict[int, object] = {}  # device wav for envelopes
+        import threading
+
         self.max_db = -np.inf
         self.min_db = np.inf
         self.max_sec = 0.0
@@ -214,6 +216,7 @@ class MultiTrack:
         self.max_sr = 0
         self.timer = StageTimer()
         self._log = get_logger()
+        self._env_lock = threading.Lock()  # lazy envelope-state creation
 
     # ------------------------------------------------------------- caches
 
@@ -648,15 +651,20 @@ class MultiTrack:
         if st is None:
             from ..render.envelope import EnvelopeState
 
-            # int sources skip the f32 materialization (lazy inside the
-            # state for the rare deep-zoom branch)
-            st = EnvelopeState(
-                None if track._wav_int is not None else track.wav,
-                track._wav_int,
-                n=track.n_samples,
-                scale=track.scale,
-            )
-            self._env_states[id] = st
+            # double-checked under a small lock: two concurrent viewer
+            # renders of a fresh track must not both ship the waveform
+            with self._env_lock:
+                st = self._env_states.get(id)
+                if st is None:
+                    # int sources skip the f32 materialization (lazy inside
+                    # the state for the rare deep-zoom branch)
+                    st = EnvelopeState(
+                        None if track._wav_int is not None else track.wav,
+                        track._wav_int,
+                        n=track.n_samples,
+                        scale=track.scale,
+                    )
+                    self._env_states[id] = st
         return st
 
     def get_wav_image(

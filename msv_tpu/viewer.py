@@ -170,9 +170,62 @@ load();
 </script></body></html>"""
 
 
+class _RWLock:
+    """Many concurrent readers OR one writer (writer-preferring).
+
+    Render endpoints only READ session state (JAX dispatch is thread-safe;
+    the lazy per-track caches have their own small locks), so zoom/pan
+    requests for different tracks no longer serialize behind one render —
+    only session mutations (add/remove/set_setting) are exclusive.
+    """
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+        self._writers_waiting = 0
+
+    class _Ctx:
+        def __init__(self, lock, write):
+            self._lock, self._write = lock, write
+
+        def __enter__(self):
+            self._lock._acquire(self._write)
+
+        def __exit__(self, *exc):
+            self._lock._release(self._write)
+
+    def read(self):
+        return self._Ctx(self, False)
+
+    def write(self):
+        return self._Ctx(self, True)
+
+    def _acquire(self, write):
+        with self._cond:
+            if write:
+                self._writers_waiting += 1
+                while self._writer or self._readers:
+                    self._cond.wait()
+                self._writers_waiting -= 1
+                self._writer = True
+            else:
+                while self._writer or self._writers_waiting:
+                    self._cond.wait()
+                self._readers += 1
+
+    def _release(self, write):
+        with self._cond:
+            if write:
+                self._writer = False
+            else:
+                self._readers -= 1
+            self._cond.notify_all()
+
+
 class _Handler(BaseHTTPRequestHandler):
     session = None  # set by serve_viewer
-    lock = None
+    lock = None  # an _RWLock
     add_root = None  # restrict POST /api/add to this directory (None = any)
 
     def log_message(self, *a):  # quiet
@@ -202,7 +255,7 @@ class _Handler(BaseHTTPRequestHandler):
             if url.path == "/" or url.path == "/index.html":
                 self._send(200, "text/html; charset=utf-8", _PAGE.encode())
             elif url.path == "/api/tracks":
-                with self.lock:
+                with self.lock.read():
                     body = json.dumps(
                         {
                             "tracks": [
@@ -222,14 +275,14 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, "application/json", body)
             elif url.path.startswith("/api/spec/"):
                 tid = int(url.path.rsplit("/", 1)[1])
-                with self.lock:
+                with self.lock.read():
                     img = mt.get_spec_image(
                         tid, qf("px_per_sec", 100.0), int(qf("height", 300))
                     )
                 self._send(200, "image/png", self._png(img))
             elif url.path.startswith("/api/wav/"):
                 tid = int(url.path.rsplit("/", 1)[1])
-                with self.lock:
+                with self.lock.read():
                     img = mt.get_wav_image(
                         tid,
                         qf("px_per_sec", 100.0),
@@ -245,7 +298,7 @@ class _Handler(BaseHTTPRequestHandler):
                 import struct as _struct
 
                 tid = int(url.path.rsplit("/", 1)[1])
-                with self.lock:
+                with self.lock.read():
                     track = mt.tracks[tid]
                     raw_int = track._wav_int
                     sr = track.sr
@@ -270,7 +323,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, "audio/wav", hdr + pcm)
             elif url.path.startswith("/api/spec_crop/"):
                 tid = int(url.path.rsplit("/", 1)[1])
-                with self.lock:
+                with self.lock.read():
                     img = mt.get_spec_image_crop(
                         tid,
                         qf("px_per_sec", 100.0),
@@ -281,7 +334,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, "image/png", self._png(img))
             elif url.path.startswith("/api/wav_crop/"):
                 tid = int(url.path.rsplit("/", 1)[1])
-                with self.lock:
+                with self.lock.read():
                     img = mt.get_wav_image_crop(
                         tid,
                         qf("px_per_sec", 100.0),
@@ -316,7 +369,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, "application/json", body)
             elif url.path == "/api/stats":
                 # observability (SURVEY.md §5.e): stage timings + cache sizes
-                with self.lock:
+                with self.lock.read():
                     body = json.dumps(
                         {
                             "stage_timings": mt.timer.summary(),
@@ -333,7 +386,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, "image/png", self._png(img))
             elif url.path.startswith("/api/freq/"):
                 tid = int(url.path.rsplit("/", 1)[1])
-                with self.lock:
+                with self.lock.read():
                     hz = mt.get_frequency_hz(tid, qf("rel", 0.5))
                 self._send(200, "application/json", json.dumps({"hz": hz}).encode())
             else:
@@ -362,7 +415,7 @@ class _Handler(BaseHTTPRequestHandler):
                             f"error: path outside --add-root ({rroot})".encode(),
                         )
                         return
-                with self.lock:
+                with self.lock.write():
                     tid = int(body["id"])
                     changed = mt.add_tracks([tid], [req_path])
                 self._send(
@@ -370,7 +423,7 @@ class _Handler(BaseHTTPRequestHandler):
                     json.dumps({"ok": True, "changed": bool(changed)}).encode(),
                 )
             elif url.path == "/api/remove":
-                with self.lock:
+                with self.lock.write():
                     changed = mt.remove_track(int(body["id"]))
                 self._send(
                     200, "application/json",
@@ -402,7 +455,7 @@ class _Handler(BaseHTTPRequestHandler):
                     1 <= new.win_ms <= 2000
                 ) or not (1 <= new.db_range <= 400):
                     raise ValueError("setting out of range")
-                with self.lock:
+                with self.lock.write():
                     changed = mt.set_setting(new)
                 self._send(
                     200, "application/json",
@@ -430,7 +483,7 @@ def serve_viewer(paths, port: int = 8080, setting=None,
     mt = MultiTrack(setting)
     if paths:
         mt.add_tracks(list(range(len(paths))), list(paths))
-    handler = type("H", (_Handler,), {"session": mt, "lock": threading.Lock(),
+    handler = type("H", (_Handler,), {"session": mt, "lock": _RWLock(),
                                       "add_root": add_root})
     srv = ThreadingHTTPServer((host, port), handler)
     shown = host or "0.0.0.0"

@@ -15,7 +15,7 @@ def viewer_url(tmp_path, rng):
     from http.server import ThreadingHTTPServer
 
     from msv_tpu.session import MultiTrack
-    from msv_tpu.viewer import _Handler
+    from msv_tpu.viewer import _Handler, _RWLock
 
     sr = 8000
     t = np.arange(sr) / sr
@@ -25,7 +25,7 @@ def viewer_url(tmp_path, rng):
 
     mt = MultiTrack()
     mt.add_tracks([0], [p])
-    handler = type("H", (_Handler,), {"session": mt, "lock": threading.Lock()})
+    handler = type("H", (_Handler,), {"session": mt, "lock": _RWLock()})
     srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
     th = threading.Thread(target=srv.serve_forever, daemon=True)
     th.start()
@@ -182,7 +182,7 @@ def test_viewer_add_root_restriction(tmp_path, rng):
     from http.server import ThreadingHTTPServer
 
     from msv_tpu.session import MultiTrack
-    from msv_tpu.viewer import _Handler
+    from msv_tpu.viewer import _Handler, _RWLock
 
     sr = 8000
     t = np.arange(sr // 2) / sr
@@ -196,7 +196,7 @@ def test_viewer_add_root_restriction(tmp_path, rng):
 
     mt = MultiTrack()
     handler = type("H", (_Handler,), {
-        "session": mt, "lock": threading.Lock(), "add_root": str(allowed),
+        "session": mt, "lock": _RWLock(), "add_root": str(allowed),
     })
     srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
     th = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -215,3 +215,48 @@ def test_viewer_add_root_restriction(tmp_path, rng):
         assert ei.value.code == 403
     finally:
         srv.shutdown()
+
+
+def test_viewer_concurrent_renders_and_mutation(viewer_url, tmp_path, rng):
+    """Renders must run concurrently (RW lock readers) and stay correct
+    while a session mutation (writer) interleaves."""
+    import concurrent.futures
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    x = (0.3 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    p2 = str(tmp_path / "c.wav")
+    write_wav(p2, x[None], sr)
+
+    def render(i):
+        code, body = _get(
+            viewer_url + f"/api/spec/0?px_per_sec={40 + i}&height=100"
+        )
+        assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+        code, body = _get(
+            viewer_url + f"/api/wav/0?px_per_sec={40 + i}&height=40"
+        )
+        assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+        return True
+
+    def add():
+        req = urllib.request.Request(
+            viewer_url + "/api/add",
+            data=json.dumps({"id": 7, "path": p2}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status
+
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        renders = [ex.submit(render, i) for i in range(12)]
+        adder = ex.submit(add)
+        assert all(f.result(timeout=60) for f in renders)
+        assert adder.result(timeout=60) == 200
+
+    # post-mutation state is consistent: both tracks render
+    code, body = _get(viewer_url + "/api/tracks")
+    d = json.loads(body)
+    assert {t["id"] for t in d["tracks"]} == {0, 7}
+    code, body = _get(viewer_url + "/api/spec/7?px_per_sec=50&height=100")
+    assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
