@@ -358,13 +358,14 @@ def _data_chunk(data: bytes):
 
 
 def open_wav_mmap(path: str):
-    """Memory-map a mono PCM16 WAV's sample data -> (np.memmap int16, sr).
+    """Memory-map a mono WAV's sample data -> (np.memmap, sr); dtype int16
+    for PCM16, float32 for IEEE-float sources.
 
     The disk-backed loader for files larger than RAM: callers slice
     segments on demand (parallel/streaming.streaming_spec_db_mmap), so
     resident memory stays at one segment regardless of file size.  Raises
-    AudioReadError for anything but mono PCM16 (the general decoder
-    handles those in-memory).
+    AudioReadError for anything but mono PCM16 / float32 (the general
+    decoder handles those in-memory).
     """
     try:
         with open(path, "rb") as f:
@@ -385,19 +386,26 @@ def open_wav_mmap(path: str):
                     if fmt is None:
                         raise AudioReadError(f"{path}: data before fmt")
                     audio_fmt, n_ch, sr, _, _, bits = fmt
-                    if audio_fmt != _WAVE_FORMAT_PCM or bits != 16 or n_ch != 1:
+                    if (audio_fmt == _WAVE_FORMAT_PCM and bits == 16
+                            and n_ch == 1):
+                        dt, isz = "<i2", 2
+                    elif (audio_fmt == _WAVE_FORMAT_IEEE_FLOAT and bits == 32
+                            and n_ch == 1):
+                        dt, isz = "<f4", 4
+                    else:
                         raise AudioReadError(
-                            f"{path}: mmap loader requires mono PCM16 "
-                            f"(got fmt={audio_fmt:#x}, ch={n_ch}, bits={bits})"
+                            f"{path}: mmap loader requires mono PCM16 or "
+                            f"float32 (got fmt={audio_fmt:#x}, ch={n_ch}, "
+                            f"bits={bits})"
                         )
                     offset = f.tell()
                     return (
                         np.memmap(
                             path,
-                            dtype="<i2",
+                            dtype=dt,
                             mode="r",
                             offset=offset,
-                            shape=(size // 2,),
+                            shape=(size // isz,),
                         ),
                         int(sr),
                     )

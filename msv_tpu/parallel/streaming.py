@@ -409,11 +409,12 @@ def streaming_spec_db_mmap(path, win, hop, c, s, mel_fb=None,
                            chunk_frames: int = 4096, seg_chunks: int = 8,
                            transfer: str = "auto"):
     """Disk-streamed long-file spectrogram: segments are sliced straight
-    from a memory-mapped mono-PCM16 WAV, so host resident memory is one
-    segment (~30 MB) regardless of file size — a 10-hour file no longer
-    needs 7 GB of RAM.  Semantics identical to streaming_spec_db
-    (reflect-pad edges handled per segment; parity-tested), including the
-    software-pipelined schedule and wire packing.
+    from a memory-mapped mono WAV (PCM16 or float32), so host resident
+    memory is one segment (~30 MB) regardless of file size — a 10-hour
+    file no longer needs 7 GB of RAM.  Semantics identical to
+    streaming_spec_db (reflect-pad edges handled per segment;
+    parity-tested), including the software-pipelined schedule and wire
+    packing (int16 delta codec / f32 ordered-float codec per segment).
     """
     from ..io.audio import open_wav_mmap
 
@@ -424,9 +425,10 @@ def streaming_spec_db_mmap(path, win, hop, c, s, mel_fb=None,
         raise ValueError(f"{path}: too short for win_length={win}")
     n_frames = n_frames_for(n, win, hop)
     seg_plan = _seg_plan_for(n_frames, chunk_frames, seg_chunks)
+    dtype = np.float32 if mm.dtype == np.float32 else np.int16
 
     def make_seg(a, seg_len):
-        return padded_slice(mm, a, a + seg_len, half, n)
+        return padded_slice(mm, a, a + seg_len, half, n, dtype=dtype)
 
     return _run_segments(
         make_seg, seg_plan, n_frames, win, hop, c, s, mel_fb, None, None,

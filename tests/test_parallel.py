@@ -252,6 +252,30 @@ def test_streaming_mmap_matches_in_memory(setup, rng, tmp_path):
     assert lo2 == lo_i and hi2 == hi_i
 
 
+def test_streaming_mmap_float32_matches_in_memory(setup, rng, tmp_path):
+    """float32 WAVs disk-stream too (mmap dtype <f4), riding the
+    ordered-float wire codec per segment; parity vs in-memory f32."""
+    from msv_tpu.io.audio import write_wav
+    from msv_tpu.parallel.streaming import streaming_spec_db_mmap
+
+    p, window, c, s, mel_fb = setup
+    x = (rng.standard_normal(16000 * 2) * 0.25).astype(np.float32)
+    f = str(tmp_path / "mmf.wav")
+    write_wav(f, x[None], 16000, bits=32)
+
+    db_m, n, lo_m, hi_m = streaming_spec_db_mmap(
+        f, p.win_length, p.hop_length, c, s, mel_fb, chunk_frames=64,
+        seg_chunks=4,
+    )
+    db_i, n2, lo_i, hi_i = streaming_spec_db(
+        x, p.win_length, p.hop_length, c, s, mel_fb, chunk_frames=64,
+        seg_chunks=4,
+    )
+    assert n == n2
+    np.testing.assert_array_equal(np.asarray(db_m)[:n], np.asarray(db_i)[:n])
+    assert lo_m == lo_i and hi_m == hi_i
+
+
 @pytest.mark.parametrize("use_mel", [True, False])
 def test_tensor_parallel_freq_sharding(setup, rng, use_mel):
     """TP over the frequency dimension (psum combine) == single device."""
