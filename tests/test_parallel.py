@@ -37,6 +37,18 @@ def setup():
     return p, window, c, s, mel_fb
 
 
+def _assert_db_close(got, expect, cap=2.5e-3, tight=1e-4):
+    """dB parity assertion with the measured shape of f32 error: ulp-level
+    almost everywhere (99.9% within ``tight``), with rare near-null bins
+    where log10 amplifies cancellation (capped at ``cap`` — still ~200x
+    below one grey quantization step of 120/255 dB)."""
+    d = np.abs(np.asarray(got, np.float64) - np.asarray(expect, np.float64))
+    assert d.max() <= cap, f"max dB diff {d.max():.2e} > {cap}"
+    assert np.quantile(d, 0.999) <= tight, (
+        f"p99.9 dB diff {np.quantile(d, 0.999):.2e} > {tight}"
+    )
+
+
 @pytest.mark.parametrize("n_dp,n_sp", [(1, 8), (2, 4), (4, 2)])
 def test_sharded_matches_single_device(setup, rng, n_dp, n_sp):
     p, window, c, s, mel_fb = setup
@@ -60,7 +72,7 @@ def test_sharded_matches_single_device(setup, rng, n_dp, n_sp):
 
     for b in range(B):
         expect = _reference_db(wavs[b], p, window, mel_fb)
-        np.testing.assert_allclose(db[b, :n_frames], expect, atol=2e-3, rtol=1e-5)
+        _assert_db_close(db[b, :n_frames], expect)
 
     emin = min(
         _reference_db(wavs[b], p, window, mel_fb).min() for b in range(B)
@@ -68,8 +80,8 @@ def test_sharded_matches_single_device(setup, rng, n_dp, n_sp):
     emax = max(
         _reference_db(wavs[b], p, window, mel_fb).max() for b in range(B)
     )
-    assert float(gmax) == pytest.approx(emax, abs=2e-3)
-    assert float(gmin) == pytest.approx(emin, abs=2e-3)
+    assert float(gmax) == pytest.approx(emax, abs=1e-4)
+    assert float(gmin) == pytest.approx(emin, abs=2.5e-3)
 
 
 def test_streaming_matches_oneshot(setup, rng):
@@ -80,9 +92,9 @@ def test_streaming_matches_oneshot(setup, rng):
     )
     expect = _reference_db(wav, p, window, mel_fb)
     assert n_frames == expect.shape[0]
-    np.testing.assert_allclose(np.asarray(db)[:n_frames], expect, atol=2e-3, rtol=1e-5)
-    assert gmax == pytest.approx(expect.max(), abs=2e-3)
-    assert gmin == pytest.approx(expect.min(), abs=2e-3)
+    _assert_db_close(np.asarray(db)[:n_frames], expect)
+    assert gmax == pytest.approx(expect.max(), abs=1e-4)
+    assert gmin == pytest.approx(expect.min(), abs=2.5e-3)
 
 
 def test_streaming_linear_no_mel(setup, rng):
@@ -92,7 +104,7 @@ def test_streaming_linear_no_mel(setup, rng):
         wav, p.win_length, p.hop_length, c, s, None, chunk_frames=32
     )
     expect = _reference_db(wav, p, window, None)
-    np.testing.assert_allclose(np.asarray(db)[:n_frames], expect, atol=2e-3, rtol=1e-5)
+    _assert_db_close(np.asarray(db)[:n_frames], expect)
 
 
 def test_mesh_validation():
@@ -122,7 +134,7 @@ def test_streaming_fft_impl_matches_dft(setup, rng):
     )
     assert n == n2
     np.testing.assert_allclose(
-        np.asarray(db_f)[:n], np.asarray(db_d)[:n], atol=2e-3, rtol=1e-5
+        np.asarray(db_f)[:n], np.asarray(db_d)[:n], atol=1e-4, rtol=1e-5
     )
     assert abs(lo_d - lo_f) < 2e-3 and abs(hi_d - hi_f) < 2e-3
 
@@ -164,7 +176,7 @@ def test_streaming_pallas_impl_matches_dft(setup, rng):
     )
     assert n == n2
     np.testing.assert_allclose(
-        np.asarray(db_p)[:n], np.asarray(db_d)[:n], atol=2e-3, rtol=1e-4
+        np.asarray(db_p)[:n], np.asarray(db_d)[:n], atol=1e-4, rtol=1e-4
     )
     assert abs(lo_d - lo_p) < 2e-3 and abs(hi_d - hi_p) < 2e-3
 
@@ -196,7 +208,7 @@ def test_sharded_streaming_matches_single_device(setup, rng):
     )
     assert n == n2
     np.testing.assert_allclose(
-        np.asarray(db_m)[:n], np.asarray(db_1)[:n], atol=2e-3, rtol=1e-5
+        np.asarray(db_m)[:n], np.asarray(db_1)[:n], atol=1e-4, rtol=1e-5
     )
     assert abs(lo_1 - lo_m) < 2e-3 and abs(hi_1 - hi_m) < 2e-3
 
@@ -291,7 +303,7 @@ def test_tensor_parallel_freq_sharding(setup, rng, use_mel):
     expect = _reference_db(wav, p, window, fb)
     assert db.shape[0] == n == expect.shape[0]
     np.testing.assert_allclose(
-        np.asarray(db)[:, : expect.shape[1]], expect, atol=2e-3, rtol=1e-5
+        np.asarray(db)[:, : expect.shape[1]], expect, atol=1e-4, rtol=1e-5
     )
 
 
@@ -315,10 +327,10 @@ def test_streaming_non_divisible_hop(rng, win, hop):
     expect = np.asarray(amp_to_db(jnp.asarray(spec)))
     assert n_frames == expect.shape[0]
     np.testing.assert_allclose(
-        np.asarray(db)[:n_frames], expect, atol=2e-3, rtol=1e-5
+        np.asarray(db)[:n_frames], expect, atol=1e-4, rtol=1e-5
     )
-    assert gmax == pytest.approx(expect.max(), abs=2e-3)
-    assert gmin == pytest.approx(expect.min(), abs=2e-3)
+    assert gmax == pytest.approx(expect.max(), abs=1e-4)
+    assert gmin == pytest.approx(expect.min(), abs=2.5e-3)
 
 
 def test_session_streams_all_long_tracks(tmp_path, monkeypatch, rng):
