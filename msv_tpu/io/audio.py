@@ -209,28 +209,41 @@ def detect_scaled_int(x: np.ndarray):
     x = np.ascontiguousarray(x, dtype=np.float32)
     if len(x) == 0:
         return None
-    b = x.view(np.uint32)
-    e = ((b >> np.uint32(23)) & np.uint32(0xFF)).astype(np.int32)
-    m = b & np.uint32(0x7FFFFF)
-    nz = (e > 0) | (m > 0)  # +-0.0 needs no shift
-    if not bool(nz.any()):
-        return np.zeros(len(x), np.int16), 0
-    if bool((nz & (e == 0)).any()) or bool((e == 255).any()):
-        return None  # denormals need s up to 149; inf/nan are not integers
-    mm = m | np.uint32(1 << 23)  # implicit leading 1
-    low = mm & (np.uint32(0) - mm)  # lowest set bit (power of two)
-    ctz = np.round(np.log2(low.astype(np.float64))).astype(np.int32)
-    # fractional bits of |x| = 1.m * 2^(e-127):  23 - (e-127) - ctz
-    frac = np.where(nz, 23 - (e - 127) - ctz, 0)
-    s = max(int(frac.max()), 0)
-    if s > 31:
+    # Chunked scan with early exit: an hour-scale mono is ~700 MB, so the
+    # analysis must not materialize whole-array temporaries, and true-float
+    # content (the common rejection) should fail on its FIRST chunk, not
+    # after a full pass.
+    chunk = 1 << 20
+    s = 0
+    amax = 0.0
+    for a in range(0, len(x), chunk):
+        xc = x[a : a + chunk]
+        b = xc.view(np.uint32)
+        e = ((b >> np.uint32(23)) & np.uint32(0xFF)).astype(np.int32)
+        m = b & np.uint32(0x7FFFFF)
+        nz = (e > 0) | (m > 0)  # +-0.0 needs no shift
+        if not bool(nz.any()):
+            continue
+        if bool((nz & (e == 0)).any()) or bool((e == 255).any()):
+            return None  # denormals need s up to 149; inf/nan not integers
+        mm = m | np.uint32(1 << 23)  # implicit leading 1
+        # ctz(mm) = popcount((mm & -mm) - 1)
+        low1 = (mm & (np.uint32(0) - mm)) - np.uint32(1)
+        ctz = np.bitwise_count(low1).astype(np.int32)
+        # fractional bits of |x| = 1.m * 2^(e-127):  23 - (e-127) - ctz
+        frac = np.where(nz, 23 - (e - 127) - ctz, 0)
+        s = max(s, int(frac.max()), 0)
+        if s > 31:
+            return None
+        amax = max(amax, float(np.abs(xc).max()))
+    if amax * float(2.0**s) >= 2.0**31:
         return None
-    if float(np.abs(x).max()) * float(2.0**s) >= 2.0**31:
-        return None
-    v = (x.astype(np.float64) * float(2.0**s)).astype(np.int64)  # exact
-    if s <= 15 and -(1 << 15) <= v.min() and v.max() < (1 << 15):
+    # x * 2^s is f32-EXACT (integral by construction, in range by the
+    # amax check), so the conversion stays in f32 — no f64 temporaries
+    v = (x * np.float32(2.0**s)).astype(np.int32)
+    if s <= 15 and -(1 << 15) <= int(v.min()) and int(v.max()) < (1 << 15):
         return v.astype(np.int16), s
-    return v.astype(np.int32), s
+    return v, s
 
 
 def open_audio_mono_ex(path: str, materialize: bool = True):
