@@ -35,20 +35,32 @@ import numpy as np
 
 
 def realistic_audio(seconds: float, sr: int = 48000) -> np.ndarray:
-    """Speech/music-like mono PCM16: gliding harmonic stack, amplitude
-    envelope (quiet passages), and a broadband noise floor."""
+    """Speech/music-like mono PCM16: vibrato harmonic stack, amplitude
+    envelope (quiet passages), and a broadband noise floor.
+
+    The fundamental's PHASE is the integral of the instantaneous frequency
+    (carried across generation chunks), so f stays a true 140-300 Hz
+    vibrato for the whole file.  The earlier ``sin(2*pi*f0(t)*t)`` form
+    had instantaneous frequency ``f0 + t*df0/dt`` — a chirp whose
+    deviation grows with absolute time and aliases into near-noise at
+    hour scale, which misrepresented both the spectrogram content and the
+    wire-codec ratio of real tonal audio.  The -40 dB noise floor is kept:
+    it, not the tone, sets the honest entropy floor (~10 bits/sample)."""
     rng = np.random.default_rng(42)
     n = int(sr * seconds)
     out = np.empty(n, np.int16)
     CH = sr * 60
+    phase = 0.0
     for a in range(0, n, CH):
         b = min(n, a + CH)
         t = np.arange(a, b, dtype=np.float64) / sr
         f0 = 220.0 + 80.0 * np.sin(2 * np.pi * 0.25 * t)
+        ph = phase + np.cumsum(2 * np.pi * f0 / sr)
+        phase = ph[-1]
         env = 0.15 + 0.5 * (0.5 + 0.5 * np.sin(2 * np.pi * 0.05 * t)) ** 2
-        x = (0.5 * np.sin(2 * np.pi * f0 * t)
-             + 0.25 * np.sin(2 * np.pi * 2 * f0 * t)
-             + 0.12 * np.sin(2 * np.pi * 3 * f0 * t))
+        x = (0.5 * np.sin(ph)
+             + 0.25 * np.sin(2 * ph)
+             + 0.12 * np.sin(3 * ph))
         x = env * x + 0.01 * rng.standard_normal(b - a)
         out[a:b] = np.clip(np.round(x * 23000.0), -32768, 32767)
     return out
@@ -59,8 +71,10 @@ def _make_wav(path: str, seconds: float, sr: int = 48000) -> None:
 
     rng = np.random.default_rng(42)
     t = np.arange(int(sr * seconds)) / sr
+    f0 = 220 + 80 * np.sin(2 * np.pi * 0.25 * t)
+    ph = np.cumsum(2 * np.pi * f0 / sr)  # true vibrato (see realistic_audio)
     x = (
-        0.4 * np.sin(2 * np.pi * (220 + 80 * np.sin(2 * np.pi * 0.25 * t)) * t)
+        0.4 * np.sin(ph)
         + 0.2 * np.sin(2 * np.pi * 880 * t)
         + 0.02 * rng.standard_normal(len(t))
     ).astype(np.float32)
