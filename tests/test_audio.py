@@ -248,6 +248,48 @@ def test_detect_scaled_int_cases(rng):
         )
 
 
+def test_detect_scaled_int_chunk_boundaries(rng):
+    """The chunked scan (1M-sample chunks) must agree with the whole-array
+    semantics when the deciding evidence sits in a LATER chunk."""
+    from msv_tpu.io.audio import detect_scaled_int
+
+    C = 1 << 20
+    # first chunk all zeros, shift evidence only in chunk 2
+    x = np.zeros(C + 4096, np.float32)
+    k = rng.integers(-32768, 32768, 4096).astype(np.int32)
+    x[C:] = k.astype(np.float32) / np.float32(32768.0)
+    det = detect_scaled_int(x)
+    assert det is not None and det[1] == 15
+    np.testing.assert_array_equal(det[0][C:], k)
+    assert not det[0][:C].any()
+
+    # shift grows across chunks (s=2 in chunk 1, s=15 in chunk 2)
+    x2 = np.empty(C + 4096, np.float32)
+    x2[:C] = rng.integers(-40, 40, C).astype(np.float32) / 4.0
+    x2[C:] = k.astype(np.float32) / np.float32(32768.0)
+    det = detect_scaled_int(x2)
+    assert det is not None and det[1] == 15
+    back = det[0].astype(np.float32) * np.float32(2.0 ** -det[1])
+    np.testing.assert_array_equal(back.view(np.uint32), x2.view(np.uint32))
+
+    # rejection evidence only in a later chunk: inf / denormal single
+    # values, and full-entropy float content
+    for bad in (np.inf, 1e-44):
+        x3 = np.zeros(C + 8, np.float32)
+        x3[C + 3] = bad
+        assert detect_scaled_int(x3) is None
+    x3 = np.zeros(C + 3000, np.float32)
+    x3[C:] = rng.standard_normal(3000).astype(np.float32)
+    assert detect_scaled_int(x3) is None
+
+    # int32-range overflow where amax sits in chunk 1 but the max shift
+    # only appears in chunk 2: 2.0 * 2^31 overflows int32 -> reject
+    x4 = np.zeros(C + 4096, np.float32)
+    x4[0] = 2.0
+    x4[C:] = k.astype(np.float32) / np.float32(2.0**31)
+    assert detect_scaled_int(x4) is None
+
+
 def test_wav_24bit_gets_integer_carrier(tmp_path, rng):
     """24-bit PCM WAV: the mono f32 is k/2^23, detected as a scaled int ->
     integer wire path with shift 23 (exact)."""
