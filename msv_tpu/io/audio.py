@@ -215,7 +215,8 @@ def detect_scaled_int(x: np.ndarray):
     # after a full pass.
     chunk = 1 << 20
     s = 0
-    amax = 0.0
+    vmin = 0.0
+    vmax = 0.0
     for a in range(0, len(x), chunk):
         xc = x[a : a + chunk]
         b = xc.view(np.uint32)
@@ -235,14 +236,23 @@ def detect_scaled_int(x: np.ndarray):
         s = max(s, int(frac.max()), 0)
         if s > 31:
             return None
-        amax = max(amax, float(np.abs(xc).max()))
-    if amax * float(2.0**s) >= 2.0**31:
+        vmin = min(vmin, float(xc.min()))
+        vmax = max(vmax, float(xc.max()))
+    if max(vmax, -vmin) * float(2.0**s) >= 2.0**31:
         return None
     # x * 2^s is f32-EXACT (integral by construction, in range by the
-    # amax check), so the conversion stays in f32 — no f64 temporaries
-    v = (x * np.float32(2.0**s)).astype(np.int32)
-    if s <= 15 and -(1 << 15) <= int(v.min()) and int(v.max()) < (1 << 15):
-        return v.astype(np.int16), s
+    # max check); convert chunk-wise into a preallocated output so the
+    # peak transient stays one extra array, not three (hour mono ~700 MB).
+    # int16 range is asymmetric: -2^15 fits, +2^15 does not.
+    narrow = (
+        s <= 15
+        and vmin * float(2.0**s) >= -float(1 << 15)
+        and vmax * float(2.0**s) < float(1 << 15)
+    )
+    v = np.empty(len(x), np.int16 if narrow else np.int32)
+    f = np.float32(2.0**s)
+    for a in range(0, len(x), chunk):
+        v[a : a + chunk] = x[a : a + chunk] * f
     return v, s
 
 

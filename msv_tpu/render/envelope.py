@@ -125,43 +125,51 @@ class EnvelopeState:
         pad = round_up_to(max(self.n, _WAV_BUCKET), _WAV_BUCKET) - self.n
         self.dev = jnp.asarray(np.pad(np.ascontiguousarray(src), (0, pad)))
         self.offset = 0  # device-buffer index of the file's sample 0
-        self._pooled = None
+        self._init_caches()
+
+    def _init_caches(self):
         import collections
         import threading
 
+        self._pooled = None
         self._col_cache = collections.OrderedDict()
-        # guards the LRU + lazy pyramid under concurrent viewer renders
+        # guards the LRU + lazy pyramid + lazy host f32 under concurrent
+        # viewer renders
         self._cache_lock = threading.Lock()
 
     @property
     def wav_np(self) -> np.ndarray:
         if self._wav_np is None:
-            self._wav_np = self._src_int.astype(np.float32) * np.float32(
-                self.scale
-            )
+            with self._cache_lock:
+                if self._wav_np is None:
+                    self._wav_np = self._src_int.astype(
+                        np.float32
+                    ) * np.float32(self.scale)
         return self._wav_np
 
     @classmethod
     def from_device(cls, dev, n: int, offset: int, src_int=None,
-                    scale: float = 2.0**-15):
+                    src_f32=None, scale: float = 2.0**-15):
         """Adopt an already-device-resident buffer (e.g. the streamed,
         reflect-padded waveform from streaming_spec_db(keep_wav=True),
         whose sample 0 sits at ``offset``) — the envelope then costs no
-        second whole-file transfer.  ``src_int`` feeds the lazy host-f32
-        view for the deep-zoom branch."""
+        second whole-file transfer.  ``src_int`` (integer carriers) or
+        ``src_f32`` (true-float sources) feeds the host-f32 view for the
+        deep-zoom upsample branch."""
+        if src_int is None and src_f32 is None:
+            raise ValueError("from_device needs src_int or src_f32")
         self = cls.__new__(cls)
-        self._wav_np = None
+        self._wav_np = (
+            np.ascontiguousarray(src_f32, dtype=np.float32)
+            if src_f32 is not None
+            else None
+        )
         self._src_int = src_int
         self.scale = float(scale)
         self.n = n
         self.dev = dev
         self.offset = int(offset)
-        self._pooled = None
-        import collections
-        import threading
-
-        self._col_cache = collections.OrderedDict()
-        self._cache_lock = threading.Lock()
+        self._init_caches()
         return self
 
     def pooled(self):

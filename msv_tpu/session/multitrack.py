@@ -157,6 +157,9 @@ class AudioTrack:
         self._wav_shift = shift
         self.n_samples = len(raw_int) if raw_int is not None else len(mono)
         self.sr = int(sr)
+        import threading
+
+        self._mono_lock = threading.Lock()  # lazy f32 under viewer readers
         p = derive_stft_params(sr, setting)
         self.win_length = p.win_length
         self.hop_length = p.hop_length
@@ -171,9 +174,11 @@ class AudioTrack:
     def wav(self) -> np.ndarray:
         """f32 mono sum (materialized on first access for int sources)."""
         if self._mono_f32 is None:
-            self._mono_f32 = self._wav_int.astype(np.float32) * np.float32(
-                self.scale
-            )
+            with self._mono_lock:
+                if self._mono_f32 is None:
+                    self._mono_f32 = self._wav_int.astype(
+                        np.float32
+                    ) * np.float32(self.scale)
         return self._mono_f32
 
     @property
@@ -306,7 +311,11 @@ class MultiTrack:
         if id is not None:
             self._env_states[id] = EnvelopeState.from_device(
                 wav_dev, track.n_samples, offset=track.win_length // 2,
-                src_int=track._wav_int, scale=track.scale,
+                src_int=track._wav_int,
+                # true-float sources have no integer carrier; the deep-zoom
+                # branch then reads the (always materialized) f32 mono
+                src_f32=None if track._wav_int is not None else track.wav,
+                scale=track.scale,
             )
         st = _TrackState()
         st.spec_db = db
@@ -429,6 +438,9 @@ class MultiTrack:
                     self.max_sec = track.sec
                     self.id_max_sec = id
                 self._ensure_sr_caches(track.sr, track.win_length, track.n_fft)
+                # re-adding an id replaces the track: drop the lazily-built
+                # envelope buffer or get_wav_image keeps drawing the OLD file
+                self._env_states.pop(id, None)
                 self.tracks[id] = track
         with self.timer.stage("add_tracks.spec"):
             self._compute_specs(list(id_list))

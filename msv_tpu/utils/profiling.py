@@ -9,6 +9,7 @@ timers are the cheap always-on layer.
 """
 
 import logging
+import threading
 import time
 from collections import defaultdict
 from contextlib import contextmanager
@@ -41,6 +42,9 @@ class StageTimer:
 
     def __init__(self):
         self._acc = defaultdict(lambda: [0, 0.0])  # name -> [calls, seconds]
+        # viewer renders run concurrently (reader side of the session RW
+        # lock), so accumulation and the /api/stats snapshot both lock
+        self._lock = threading.Lock()
 
     @contextmanager
     def stage(self, name: str):
@@ -49,12 +53,17 @@ class StageTimer:
             yield
         finally:
             dt = time.perf_counter() - t0
-            a = self._acc[name]
-            a[0] += 1
-            a[1] += dt
+            with self._lock:
+                a = self._acc[name]
+                a[0] += 1
+                a[1] += dt
 
     def summary(self):
-        return {k: {"calls": c, "total_s": s} for k, (c, s) in self._acc.items()}
+        with self._lock:
+            return {
+                k: {"calls": c, "total_s": s} for k, (c, s) in self._acc.items()
+            }
 
     def reset(self):
-        self._acc.clear()
+        with self._lock:
+            self._acc.clear()

@@ -290,6 +290,23 @@ def test_detect_scaled_int_chunk_boundaries(rng):
     assert detect_scaled_int(x4) is None
 
 
+def test_detect_scaled_int_int16_range_is_asymmetric():
+    """Full-scale int16-origin floats: exactly -1.0 (= -32768/2^15) still
+    fits the int16 carrier; +32768-equivalent must widen to int32."""
+    from msv_tpu.io.audio import detect_scaled_int
+
+    x = np.array([-1.0, 0.5, 0.999969482421875], np.float32)  # k/2^15
+    v, s = detect_scaled_int(x)
+    assert s == 15 and v.dtype == np.int16
+    np.testing.assert_array_equal(v, [-32768, 16384, 32767])
+
+    # +1.0 at shift 15 (forced by the 1/2^15 sample) overflows int16
+    x2 = np.array([1.0, 2.0**-15], np.float32)
+    v2, s2 = detect_scaled_int(x2)
+    assert s2 == 15 and v2.dtype == np.int32
+    np.testing.assert_array_equal(v2, [32768, 1])
+
+
 def test_wav_24bit_gets_integer_carrier(tmp_path, rng):
     """24-bit PCM WAV: the mono f32 is k/2^23, detected as a scaled int ->
     integer wire path with shift 23 (exact)."""

@@ -340,3 +340,49 @@ def test_session_random_operation_fuzz(wav_dir, rng):
             assert mt.get_max_db() <= 0.0
             assert mt.get_min_db() >= mt.get_max_db() - 120.0 - 1e-3
             assert mt.max_sr == max(t.sr for t in mt.tracks.values())
+
+
+def test_streamed_float_track_deep_zoom_envelope(tmp_path, monkeypatch):
+    """A streamed TRUE-FLOAT track (no integer carrier) must still render
+    deep-zoom waveform envelopes: the adopted device buffer's host-f32
+    view comes from the track's mono, not a (None) integer source."""
+    from msv_tpu.io.audio import write_wav
+    from msv_tpu.session import multitrack as mtmod
+
+    rng = np.random.default_rng(5)
+    sr = 8000
+    x = (rng.standard_normal(sr) * 0.3).astype(np.float32)  # full entropy
+    path = str(tmp_path / "float.wav")
+    write_wav(path, x[None, :], sr, bits=32)
+
+    monkeypatch.setattr(mtmod, "STREAMING_FRAME_THRESHOLD", 4)
+    mt = MultiTrack()
+    mt.add_tracks([0], [path])
+    assert mt.tracks[0]._wav_int is None  # premise: true-float source
+    # deep zoom: more px than samples -> the upsample branch reads wav_np
+    img = mt.get_wav_image(0, 2 * sr, 60, -1.0, 1.0)
+    assert img.shape == (60, 2 * sr, 4)
+    assert img[:, :, 3].any()
+
+
+def test_replacing_track_id_refreshes_envelope(tmp_path):
+    """Re-adding an id with a different file must not keep serving the old
+    file's cached device waveform in get_wav_image."""
+    from msv_tpu.io.audio import write_wav
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    loud = (0.9 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    quiet = (0.05 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p1 = str(tmp_path / "loud.wav")
+    p2 = str(tmp_path / "quiet.wav")
+    write_wav(p1, loud[None, :], sr)
+    write_wav(p2, quiet[None, :], sr)
+
+    mt = MultiTrack()
+    mt.add_tracks([0], [p1])
+    img_loud = mt.get_wav_image(0, 50.0, 120, -1.0, 1.0)
+    mt.add_tracks([0], [p2])  # replace same id
+    img_quiet = mt.get_wav_image(0, 50.0, 120, -1.0, 1.0)
+    # quiet file -> envelope hugs the centerline; loud fills the height
+    assert (img_quiet[:, :, 3] > 0).sum() < (img_loud[:, :, 3] > 0).sum()
