@@ -7,7 +7,7 @@ numbers (BASELINE.md: its criterion harness is stale and doesn't compile
 at v0), so ``vs_baseline`` is measured against the project's north-star
 target of 50x real-time per chip (BASELINE.json.north_star).
 
-Methodology (round-2 fix): the hour workload runs >= 3 reps and reports
+Methodology (round-2 fix): the hour workload runs 5 reps and reports
 the MEDIAN, with min/max in the extras — the axon tunnel's bandwidth
 varies ~2x between runs, and a single-shot number is whatever the tunnel
 felt like that minute.  Timing ends in a device->host value fetch
@@ -156,7 +156,10 @@ def main():
 
     # -------- primary: north-star hour-scale streaming render ------------
     hour_sec = args.seconds or (60.0 if args.quick else 3600.0)
-    reps = args.reps or (2 if args.quick else 3)
+    # 5 reps: the tunnel's bandwidth swings 2-5x on minute timescales and
+    # occasionally stalls a single transfer for minutes — a 5-rep median
+    # survives one such outlier, a 3-rep median does not
+    reps = args.reps or (2 if args.quick else 5)
     walls, n_frames = bench_streaming_hour(hour_sec, reps)
     wall_med = statistics.median(walls)
     realtime = hour_sec / wall_med

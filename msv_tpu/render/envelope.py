@@ -296,14 +296,11 @@ def _envelope_core(
     pad_bottom = jnp.where(d > 0, (d + 1) // 2, 0)  # ceil(d/2)  (display.rs:101)
     top = jnp.maximum(top - pad_top, 0)
     bottom = jnp.clip(bottom + pad_bottom, None, nheight - 1)
-
-    rows = jnp.arange(nheight, dtype=jnp.int32)[:, None]  # (H, 1)
-    mask = (rows >= top[None, :]) & (rows <= bottom[None, :])  # (H, n_cols)
-    # channel-PLANAR (4, H, W) u8: a trailing dim of 4 would pad to 128
-    # lanes on TPU (32x memory waste — fatal at hour-scale widths); the
-    # host transposes to interleaved RGBA after the copy.
-    color = jnp.asarray(WAVECOLOR, dtype=jnp.uint8)
-    return jnp.where(mask[None, :, :], color[:, None, None], jnp.uint8(0))
+    # the image IS (top, bottom): each column is a solid WAVECOLOR band
+    # (display.rs:98-110), so only 8 bytes/column cross the device->host
+    # wire and the paint runs on the host — nheight x cheaper than
+    # shipping the (4, H, W) pixels over the ~20 MB/s relay
+    return top, bottom
 
 
 def wav_to_image(
@@ -376,7 +373,7 @@ def wav_to_image(
         else:
             bmax, bmin = state.pooled()
 
-    img = _envelope_core(
+    top, bottom = _envelope_core(
         dev,
         bmax,
         bmin,
@@ -390,5 +387,10 @@ def wav_to_image(
         n_cols=n_cols,
         pooled=pooled,
     )
-    planar = np.asarray(img)[:, :, :out_cols]  # (4, H, W)
-    return np.ascontiguousarray(planar.transpose(1, 2, 0))
+    top = np.asarray(top)[:out_cols, None]  # (W, 1)
+    bottom = np.asarray(bottom)[:out_cols, None]
+    rows = np.arange(nheight, dtype=np.int32)[None, :]  # (1, H)
+    mask = (rows >= top) & (rows <= bottom)  # (W, H)
+    img = np.zeros((out_cols, nheight, 4), np.uint8)
+    img[mask] = WAVECOLOR
+    return np.ascontiguousarray(img.transpose(1, 0, 2))
