@@ -334,3 +334,48 @@ def test_wav_24bit_gets_integer_carrier(tmp_path, rng):
     np.testing.assert_array_equal(
         raw.astype(np.float32) * np.float32(2.0**-23), mono
     )
+
+
+def test_wav_decode_cross_validated_against_scipy(tmp_path, rng,
+                                                  reference_sample_paths):
+    """INDEPENDENT oracle for the WAV parser (PARITY.md: the numpy and
+    C++ parsers are both ours): scipy.io.wavfile is a separate codebase.
+    Ours normalizes int PCM by 2^(bits-1) (audio.rs:15-19); scipy returns
+    raw integers (u8 offset-binary for 8-bit), so normalize scipy's view
+    the same way and demand exact equality."""
+    import scipy.io.wavfile as sw
+
+    def scipy_norm(path):
+        sr, data = sw.read(path)
+        if data.dtype == np.uint8:
+            x = (data.astype(np.int16) - 128).astype(np.float32) / 128.0
+        elif data.dtype == np.int16:
+            x = data.astype(np.float32) / 32768.0
+        elif data.dtype == np.int32:
+            x = data.astype(np.float32) / 2147483648.0
+        else:
+            x = data.astype(np.float32)
+        return sr, (x[None, :] if x.ndim == 1 else x.T)
+
+    # every bundled reference sample
+    for p in reference_sample_paths:
+        wav, sr = open_audio_file(p)
+        sr2, expect = scipy_norm(p)
+        assert sr == sr2
+        np.testing.assert_array_equal(wav, expect, err_msg=p)
+
+    # synthetic PCM16 stereo + float32 mono
+    x = np.clip(rng.standard_normal((2, 700)) * 0.5, -0.99, 0.99).astype(
+        np.float32
+    )
+    p16 = str(tmp_path / "s16.wav")
+    write_wav(p16, x, 22050, bits=16)
+    wav, sr = open_audio_file(p16)
+    sr2, expect = scipy_norm(p16)
+    np.testing.assert_array_equal(wav, expect)
+
+    pf = str(tmp_path / "f32.wav")
+    write_wav(pf, x[:1], 8000, bits=32)
+    wav, sr = open_audio_file(pf)
+    sr2, expect = scipy_norm(pf)
+    np.testing.assert_array_equal(wav, expect)
