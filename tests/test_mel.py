@@ -85,3 +85,28 @@ def test_mel_fb_fmin_fmax():
     assert fb[freqs < 290.0].sum() == 0.0
     assert fb[freqs > 6010.0].sum() == 0.0
     assert (fb.sum(axis=0) > 0).all()
+
+
+def test_mel_fb_cross_validated_against_transformers():
+    """INDEPENDENT oracle: transformers.audio_utils.mel_filter_bank
+    (slaney scale + slaney norm) is a separate implementation of the same
+    librosa semantics the reference cites (mel.rs:1).  f64 agreement to
+    ~1e-16 pins our converters, breakpoints, and area norm to a codebase
+    we did not write."""
+    pytest.importorskip("transformers")
+    from transformers.audio_utils import mel_filter_bank
+
+    from msv_tpu.ops.mel import calc_mel_fb
+
+    for sr, n_fft, n_mel in [(24000, 2048, 80), (48000, 2048, 128),
+                             (8000, 512, 40), (44100, 4096, 229)]:
+        ours = np.asarray(
+            calc_mel_fb(sr, n_fft, n_mel, 0.0, None, do_norm="slaney",
+                        dtype=np.float64)
+        )
+        ref = mel_filter_bank(
+            num_frequency_bins=n_fft // 2 + 1, num_mel_filters=n_mel,
+            min_frequency=0.0, max_frequency=sr / 2, sampling_rate=sr,
+            norm="slaney", mel_scale="slaney",
+        )
+        assert np.abs(ours - ref).max() < 1e-14, (sr, n_fft, n_mel)
