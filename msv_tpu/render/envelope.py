@@ -42,6 +42,7 @@ _CHUNK = 512
 _BLOCK = 1024  # pooled-reduction block size
 _DIRECT_LIMIT = 4096  # use direct gather when max window <= this
 _WAV_BUCKET = 1 << 16
+_FORCE_MODE = None  # test hook: "sparse" / "direct" pins the minmax path
 
 
 def _upsample_reference_quirk(wav: np.ndarray, factor: int) -> np.ndarray:
@@ -55,6 +56,69 @@ def _upsample_reference_quirk(wav: np.ndarray, factor: int) -> np.ndarray:
     r = (i % factor).astype(np.float32) / f32(factor)
     b = np.where(j + 1 < n, wav[np.minimum(j + 1, n - 1)], f32(0.0))
     return (b * r + wav[j] * (f32(1.0) - r)).astype(np.float32)
+
+
+def _sparse_window_minmax(wav, starts, ends, k, n_cols):
+    """Sparse-table path: exact per-column (max, min) via two overlapping
+    power-of-two windows (classic RMQ).
+
+    TPU gathers run ~10-30x slower per element than streaming reads, so
+    the direct path's ``n_cols * m`` gather (e.g. 277M elements for a
+    360k-column render of a 30-min track) is the wall — measured 36 s
+    warm.  Here the level-j sliding min/max (``lvl_j[i] = min/max of
+    wav[i : i+2^j]``) is built with j doubling steps of PAIRWISE
+    elementwise min/max — no gathers, pure VPU streaming — and each
+    column then needs only 2 gathers per stat:
+
+        window [s, e) with 2^j <= e-s <= 2^(j+1)
+        max = max(lvl_j_max[s], lvl_j_max[e - 2^j])
+
+    TWO levels (k and k-1) are kept because a render's windows span up to
+    a 4x length range: interior columns are ~3*spp wide but the first and
+    last are clipped to ~1.5*spp (col_windows clamps to the file).  Each
+    column picks its level by length.  The caller guarantees every real
+    column has 2^(k-1) <= len <= 2^(k+1); padded dummy columns read
+    clipped junk that is discarded host-side.
+
+    ``k`` is TRACED (lax.fori_loop with dynamic-slice shifts), so every
+    zoom level shares one compiled program per shape bucket — the same
+    cache discipline as the rest of the codebase (CLAUDE.md).
+    """
+    nbuf = wav.shape[0]
+    neg = jnp.full((nbuf,), -jnp.inf, wav.dtype)
+    pos = jnp.full((nbuf,), jnp.inf, wav.dtype)
+    # double-width carries so traced shifts up to 2^k <= nbuf stay in range
+    mx0 = jnp.concatenate([wav, neg])
+    mn0 = jnp.concatenate([wav, pos])
+
+    def step(j, carry):
+        mx, mn, pmx, pmn = carry
+        save = j == k - 1  # snapshot level k-1 for the short columns
+        pmx = jnp.where(save, mx[:nbuf], pmx)
+        pmn = jnp.where(save, mn[:nbuf], pmn)
+        sh = jnp.int32(1) << j
+        mx_s = jax.lax.dynamic_slice(mx, (sh,), (nbuf,))
+        mn_s = jax.lax.dynamic_slice(mn, (sh,), (nbuf,))
+        mx = mx.at[:nbuf].set(jnp.maximum(mx[:nbuf], mx_s))
+        mn = mn.at[:nbuf].set(jnp.minimum(mn[:nbuf], mn_s))
+        return mx, mn, pmx, pmn
+
+    mx, mn, pmx, pmn = jax.lax.fori_loop(
+        0, k, step, (mx0, mn0, wav, wav)
+    )
+    lvl_max, lvl_min = mx[:nbuf], mn[:nbuf]
+
+    lens = ends - starts
+    short = lens < (jnp.int32(1) << k)  # use level k-1
+    w = jnp.int32(1) << jnp.where(short & (k > 0), k - 1, k)
+    lo = jnp.clip(starts, 0, nbuf - 1)
+    hi = jnp.clip(ends - w, 0, nbuf - 1)
+    sel = short & (k > 0)
+    a_max = jnp.where(sel, pmx[lo], lvl_max[lo])
+    b_max = jnp.where(sel, pmx[hi], lvl_max[hi])
+    a_min = jnp.where(sel, pmn[lo], lvl_min[lo])
+    b_min = jnp.where(sel, pmn[hi], lvl_min[hi])
+    return jnp.maximum(a_max, b_max), jnp.minimum(a_min, b_min)
 
 
 def _chunked_window_minmax(wav, starts, ends, m, n_cols):
@@ -266,16 +330,18 @@ def _pooled_window_minmax(wav, bmax, bmin, starts, ends, mp, n_cols):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("m", "nheight", "n_cols", "pooled")
+    jax.jit, static_argnames=("m", "nheight", "n_cols", "mode")
 )
 def _envelope_core(
-    wav, bmax, bmin, starts, ends, amp_min, amp_max, scale, *, m, nheight,
-    n_cols, pooled
+    wav, bmax, bmin, starts, ends, amp_min, amp_max, scale, k, *, m,
+    nheight, n_cols, mode
 ):
     if wav.dtype in (jnp.int16, jnp.int32):
         wav = wav.astype(jnp.float32) * jnp.float32(scale)
-    if pooled:
+    if mode == "pooled":
         mx, mn = _pooled_window_minmax(wav, bmax, bmin, starts, ends, m, n_cols)
+    elif mode == "sparse":
+        mx, mn = _sparse_window_minmax(wav, starts, ends, k, n_cols)
     else:
         mx, mn = _chunked_window_minmax(wav, starts, ends, m, n_cols)
 
@@ -297,9 +363,14 @@ def _envelope_core(
     top = jnp.maximum(top - pad_top, 0)
     bottom = jnp.clip(bottom + pad_bottom, None, nheight - 1)
     # the image IS (top, bottom): each column is a solid WAVECOLOR band
-    # (display.rs:98-110), so only 8 bytes/column cross the device->host
+    # (display.rs:98-110), so only 4 bytes/column cross the device->host
     # wire and the paint runs on the host — nheight x cheaper than
-    # shipping the (4, H, W) pixels over the ~20 MB/s relay
+    # shipping the (4, H, W) pixels over the ~20 MB/s relay.  The extra
+    # clamps below cannot change the painted mask (rows>=top stays
+    # equivalent for top in [-1, nheight], likewise bottom) but bound the
+    # off-screen values of extreme amp zooms into int16.
+    top = jnp.clip(top, -1, nheight).astype(jnp.int16)
+    bottom = jnp.clip(bottom, -1, nheight).astype(jnp.int16)
     return top, bottom
 
 
@@ -360,13 +431,34 @@ def wav_to_image(
     ends_p[:out_cols] = ends + offset
     ends_p[out_cols:] = 1  # dummy non-empty windows for the padded tail
 
-    max_win = int((ends - starts).max())
-    if max_win <= _DIRECT_LIMIT:
-        pooled = False
-        m = int(round_up_to(max(max_win, 1), 128))
+    lens = ends - starts
+    max_win = int(lens.max())
+    min_win = int(lens.min())
+    # sparse-table eligibility: smallest k with 2^(k+1) >= max_win; the
+    # two kept levels then cover lengths in [2^(k-1), 2^(k+1)] — true for
+    # any single render (interior ~3*spp, clipped edges >= ~1.5*spp)
+    k_sparse = max((max_win - 1).bit_length() - 1, 0)
+    sparse_ok = min_win >= (1 << k_sparse) // 2 and min_win >= 1
+    # cost: direct gathers n_cols*m elements; the sparse build streams
+    # ~4k passes over the buffer and then gathers 8 per column
+    m_direct = int(round_up_to(max(max_win, 1), 128))
+    use_sparse = sparse_ok and (
+        max_win > _DIRECT_LIMIT or n_cols * m_direct > dev.shape[0]
+    )
+    if _FORCE_MODE is not None:  # test hook: pin one path for A/B parity
+        use_sparse = _FORCE_MODE == "sparse" and sparse_ok
+    k = 0
+    if use_sparse:
+        mode = "sparse"
+        m = 8  # unused
+        bmax = bmin = jnp.zeros((8,), jnp.float32)  # unused placeholder
+        k = k_sparse
+    elif max_win <= _DIRECT_LIMIT:
+        mode = "direct"
+        m = m_direct
         bmax = bmin = jnp.zeros((8,), jnp.float32)  # unused placeholder
     else:
-        pooled = True
+        mode = "pooled"
         m = int(round_up_to(max_win // _BLOCK + 2, 8))
         if samples_per_px < 1.0:
             bmax, bmin = _block_minmax(dev)
@@ -382,15 +474,14 @@ def wav_to_image(
         float(amp_min),
         float(amp_max),
         state.scale,
+        jnp.int32(k),
         m=m,
         nheight=int(nheight),
         n_cols=n_cols,
-        pooled=pooled,
+        mode=mode,
     )
-    top = np.asarray(top)[:out_cols, None]  # (W, 1)
-    bottom = np.asarray(bottom)[:out_cols, None]
-    rows = np.arange(nheight, dtype=np.int32)[None, :]  # (1, H)
-    mask = (rows >= top) & (rows <= bottom)  # (W, H)
-    img = np.zeros((out_cols, nheight, 4), np.uint8)
-    img[mask] = WAVECOLOR
-    return np.ascontiguousarray(img.transpose(1, 0, 2))
+    top = np.asarray(top)[None, :out_cols]  # (1, W)
+    bottom = np.asarray(bottom)[None, :out_cols]
+    rows = np.arange(nheight, dtype=np.int16)[:, None]  # (H, 1)
+    mask = ((rows >= top) & (rows <= bottom))[:, :, None]  # (H, W, 1)
+    return np.where(mask, WAVECOLOR[None, None, :], np.uint8(0))

@@ -162,3 +162,43 @@ def test_session_long_track_envelope_reuses_streamed_wav(tmp_path, monkeypatch, 
     assert mt_long._env_states[0].offset > 0
     img_long = mt_long.get_wav_image(0, 50.0, 80, -1.0, 1.0)
     np.testing.assert_array_equal(img_long, img_short)
+
+
+def test_sparse_path_matches_direct(rng, monkeypatch):
+    """The sparse-table (RMQ) window min/max must be pixel-identical to
+    the direct gather path, including the clipped first/last columns
+    (~1.5*spp vs interior ~3*spp — the two-level select) and repeated
+    values (ties)."""
+    from msv_tpu.render import envelope as env
+
+    wav = rng.standard_normal(50000).astype(np.float32)
+    wav[1000:1200] = 0.5  # ties
+    cases = [(700, 90), (123, 40), (2048, 64), (37, 120)]
+    monkeypatch.setattr(env, "_FORCE_MODE", "direct")
+    ref = [
+        env.wav_to_image(wav, nw, nh, (-3.0, 3.0)) for nw, nh in cases
+    ]
+    monkeypatch.setattr(env, "_FORCE_MODE", "sparse")
+    got = [
+        env.wav_to_image(wav, nw, nh, (-3.0, 3.0)) for nw, nh in cases
+    ]
+    for (nw, nh), r, g in zip(cases, ref, got):
+        np.testing.assert_array_equal(g, r, err_msg=f"{nw}x{nh}")
+
+
+def test_extreme_amp_zoom_offscreen_columns(rng):
+    """Amp ranges that push columns far off-screen must clamp cleanly
+    (the wire rides int16 rows): fully-off-screen columns paint nothing,
+    an in-range signal still paints."""
+    from msv_tpu.render import envelope as env
+
+    wav = (rng.standard_normal(20000) * 0.001).astype(np.float32)
+    # signal tiny, amp range huge -> thin centered band (>=3 px rule)
+    img = env.wav_to_image(wav, 200, 100, (-1.0, 1.0))
+    assert (img[:, :, 3] > 0).any()
+    # amp window far above the signal -> everything off-screen below
+    img2 = env.wav_to_image(wav, 200, 100, (5.0, 6.0))
+    assert not (img2[:, :, 3] > 0).any()
+    # amp window far below -> off-screen above
+    img3 = env.wav_to_image(wav, 200, 100, (-6.0, -5.0))
+    assert not (img3[:, :, 3] > 0).any()
