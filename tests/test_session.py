@@ -386,3 +386,60 @@ def test_replacing_track_id_refreshes_envelope(tmp_path):
     img_quiet = mt.get_wav_image(0, 50.0, 120, -1.0, 1.0)
     # quiet file -> envelope hugs the centerline; loud fills the height
     assert (img_quiet[:, :, 3] > 0).sum() < (img_loud[:, :, 3] > 0).sum()
+
+
+def test_session_stateful_fuzz(tmp_path, rng):
+    """Randomized add/replace/remove/set_setting sequences: after every
+    op the session's global dB window, duration, and renders must equal a
+    session built from scratch with the same tracks — the reference's
+    incremental state machine (update_spec_greys lib.rs:193-263, remove
+    bookkeeping lib.rs:265-292) may never drift from recompute-from-zero."""
+    from msv_tpu.config import SpecSetting
+
+    sr_pool = [8000, 16000]
+    paths = []
+    for i in range(4):
+        sr = sr_pool[i % 2]
+        t = np.arange(int(sr * (0.4 + 0.2 * i))) / sr
+        amp = 0.1 + 0.25 * i
+        x = (amp * np.sin(2 * np.pi * (150 + 80 * i) * t)).astype(np.float32)
+        p = str(tmp_path / f"t{i}.wav")
+        write_wav(p, x[None], sr)
+        paths.append(p)
+
+    mt = MultiTrack()
+    live = {}  # id -> path
+    setting = SpecSetting()
+    for step in range(12):
+        op = rng.choice(["add", "remove", "setting"], p=[0.55, 0.3, 0.15])
+        if op == "add":
+            id = int(rng.integers(0, 5))
+            p = paths[int(rng.integers(0, len(paths)))]
+            mt.add_tracks([id], [p])
+            live[id] = p
+        elif op == "remove" and live:
+            id = rng.choice(sorted(live))
+            mt.remove_track(int(id))
+            live.pop(id)
+        elif op == "setting":
+            setting = SpecSetting(
+                win_ms=float(rng.choice([20.0, 40.0])),
+                t_overlap=int(rng.choice([2, 4])),
+            )
+            mt.set_setting(setting)
+
+        # oracle: a fresh session with the same tracks and setting
+        oracle = MultiTrack(setting=setting)
+        if live:
+            ids = sorted(live)
+            oracle.add_tracks(ids, [live[i] for i in ids])
+        assert mt.get_max_db() == pytest.approx(oracle.get_max_db(), abs=1e-4), step
+        assert mt.get_min_db() == pytest.approx(oracle.get_min_db(), abs=1e-4), step
+        assert mt.get_max_sec() == pytest.approx(oracle.get_max_sec()), step
+        for id in sorted(live):
+            a = mt.get_spec_image(id, 50.0, 60)
+            b = oracle.get_spec_image(id, 50.0, 60)
+            np.testing.assert_array_equal(a, b, err_msg=f"step {step} id {id}")
+            aw = mt.get_wav_image(id, 50.0, 40, -1.0, 1.0)
+            bw = oracle.get_wav_image(id, 50.0, 40, -1.0, 1.0)
+            np.testing.assert_array_equal(aw, bw, err_msg=f"step {step} id {id}")
