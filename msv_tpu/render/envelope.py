@@ -109,11 +109,10 @@ def _sparse_window_minmax(wav, starts, ends, k, n_cols):
     lvl_max, lvl_min = mx[:nbuf], mn[:nbuf]
 
     lens = ends - starts
-    short = lens < (jnp.int32(1) << k)  # use level k-1
-    w = jnp.int32(1) << jnp.where(short & (k > 0), k - 1, k)
+    sel = (lens < (jnp.int32(1) << k)) & (k > 0)  # use level k-1
+    w = jnp.int32(1) << jnp.where(sel, k - 1, k)
     lo = jnp.clip(starts, 0, nbuf - 1)
     hi = jnp.clip(ends - w, 0, nbuf - 1)
-    sel = short & (k > 0)
     a_max = jnp.where(sel, pmx[lo], lvl_max[lo])
     b_max = jnp.where(sel, pmx[hi], lvl_max[hi])
     a_min = jnp.where(sel, pmn[lo], lvl_min[lo])
@@ -480,8 +479,9 @@ def wav_to_image(
         n_cols=n_cols,
         mode=mode,
     )
-    top = np.asarray(top)[None, :out_cols]  # (1, W)
-    bottom = np.asarray(bottom)[None, :out_cols]
+    top, bottom = jax.device_get((top, bottom))  # one fetch round trip
+    top = top[None, :out_cols]  # (1, W)
+    bottom = bottom[None, :out_cols]
     rows = np.arange(nheight, dtype=np.int16)[:, None]  # (H, 1)
     mask = ((rows >= top) & (rows <= bottom))[:, :, None]  # (H, W, 1)
-    return np.where(mask, WAVECOLOR[None, None, :], np.uint8(0))
+    return np.where(mask, WAVECOLOR, np.uint8(0))

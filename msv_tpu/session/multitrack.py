@@ -24,6 +24,7 @@ device: a zoom/resize re-render is one kernel relaunch over cached HBM data
 (SURVEY.md §3.2), and renormalization after add/remove is fused into it.
 """
 
+import threading
 from functools import lru_cache as _functools_lru
 
 import numpy as np
@@ -157,8 +158,6 @@ class AudioTrack:
         self._wav_shift = shift
         self.n_samples = len(raw_int) if raw_int is not None else len(mono)
         self.sr = int(sr)
-        import threading
-
         self._mono_lock = threading.Lock()  # lazy f32 under viewer readers
         p = derive_stft_params(sr, setting)
         self.win_length = p.win_length
