@@ -51,6 +51,11 @@ def _parse_wav_numpy(data: bytes, path: str):
         (audio_fmt,) = struct.unpack_from("<H", fmt_body, 24)
     if n_ch == 0:
         raise AudioReadError(f"{path}: zero channels")
+    if n_ch > 64:
+        # hound accepts any u16 here, but a four-digit channel count in a
+        # viewer input is certainly a corrupt fmt chunk (fuzz: one flipped
+        # byte makes 50k channels x 0 samples) — fail loudly instead
+        raise AudioReadError(f"{path}: implausible channel count {n_ch}")
     # defensive truncation: a data chunk whose byte count is not a multiple
     # of the sample size (truncated final sample) must not crash frombuffer
     if bits in (8, 16, 24, 32, 64):
@@ -302,7 +307,7 @@ def open_audio_mono_ex(path: str, materialize: bool = True):
                 head_data = f.read(1 << 18)  # header probe, not a slurp
                 info = _probe_fmt(head_data)
                 if info is not None and info[0] == _WAVE_FORMAT_PCM and (
-                    info[2] == 16 and info[1] >= 1
+                    info[2] == 16 and 1 <= info[1] <= 64
                 ):
                     data = head_data + f.read()
                     n_ch = info[1]

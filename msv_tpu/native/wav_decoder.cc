@@ -109,6 +109,7 @@ int32_t msv_wav_decode(const char* path, float** out, int64_t* n_samples,
     pos = body + size + (size & 1);  // chunks are word-aligned
   }
   if (!payload || n_ch == 0) return 5;
+  if (n_ch > 64) return 5;  // corrupt fmt (matches the python parser bound)
 
   size_t bytes_per = bits / 8;
   if (bytes_per == 0) return 6;

@@ -205,3 +205,30 @@ def test_resize_matches_oracle_adversarial(rng):
         expect = _resize_oracle(img, out_h, out_w)
         np.testing.assert_allclose(got, expect, atol=2e-5,
                                    err_msg=str((in_h, in_w, out_h, out_w)))
+
+
+def test_wav_implausible_channel_count_rejected(tmp_path):
+    """One flipped byte in fmt's n_channels can claim ~51k channels
+    (found by extended fuzz, seed 1028548105 trial 30): both parsers must
+    reject instead of returning a (50945, 0) array."""
+    import struct
+
+    from msv_tpu.io import _native_audio
+    from msv_tpu.utils.errors import AudioReadError
+
+    pcm = np.zeros(500, "<i2").tobytes()
+    body = _fmt_body()
+    bad = body[:2] + struct.pack("<H", 50945) + body[4:]
+    data = _wav([_chunk(b"fmt ", bad), _chunk(b"data", pcm)])
+    p = tmp_path / "manych.wav"
+    p.write_bytes(data)
+    with pytest.raises(AudioReadError):
+        open_audio_file(str(p))
+    # the session loader's PCM16 fast path probed fmt separately and
+    # accepted this file as 50945 channels x 0 samples — must also reject
+    from msv_tpu.io.audio import open_audio_mono_ex
+
+    with pytest.raises(AudioReadError):
+        open_audio_mono_ex(str(p))
+    if _native_audio._load() is not None:
+        assert _native_audio.try_decode(str(p)) is None
