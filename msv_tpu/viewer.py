@@ -227,6 +227,7 @@ class _Handler(BaseHTTPRequestHandler):
     session = None  # set by serve_viewer
     lock = None  # an _RWLock
     add_root = None  # restrict POST /api/add to this directory (None = any)
+    loading = False  # True while the startup loader holds the write lock
 
     def log_message(self, *a):  # quiet
         pass
@@ -254,6 +255,16 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if url.path == "/" or url.path == "/index.html":
                 self._send(200, "text/html; charset=utf-8", _PAGE.encode())
+            elif self.__class__.loading and url.path.startswith("/api/"):
+                # the startup loader holds the write lock for as long as
+                # the cold decode+compile+transfer takes (minutes on a bad
+                # relay window) — answer instead of queueing behind it
+                if url.path == "/api/tracks":
+                    self._send(200, "application/json", json.dumps(
+                        {"tracks": [], "loading": True}).encode())
+                else:
+                    self._send(503, "application/json",
+                               b'{"error": "session loading"}')
             elif url.path == "/api/tracks":
                 with self.lock.read():
                     body = json.dumps(
@@ -481,11 +492,27 @@ def serve_viewer(paths, port: int = 8080, setting=None,
     from .session import MultiTrack
 
     mt = MultiTrack(setting)
-    if paths:
-        mt.add_tracks(list(range(len(paths))), list(paths))
-    handler = type("H", (_Handler,), {"session": mt, "lock": _RWLock(),
+    lock = _RWLock()
+    handler = type("H", (_Handler,), {"session": mt, "lock": lock,
                                       "add_root": add_root})
+    # bind BEFORE the initial decode+compute: a cold first add can take
+    # minutes (remote compile + relay weather), and a silent pre-bind hang
+    # is indistinguishable from a crash.  The API serves immediately;
+    # tracks appear as the loader thread (an ordinary writer) lands them.
     srv = ThreadingHTTPServer((host, port), handler)
     shown = host or "0.0.0.0"
-    print(f"msv_tpu viewer on http://{shown}:{port}  ({len(paths)} tracks)")
+    print(f"msv_tpu viewer on http://{shown}:{port}  "
+          f"(loading {len(paths)} tracks)", flush=True)
+    if paths:
+        handler.loading = True
+
+        def _load():
+            try:
+                with lock.write():
+                    mt.add_tracks(list(range(len(paths))), list(paths))
+            finally:
+                handler.loading = False
+            print(f"{len(paths)} tracks ready", flush=True)
+
+        threading.Thread(target=_load, daemon=True).start()
     srv.serve_forever()

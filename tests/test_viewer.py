@@ -260,3 +260,50 @@ def test_viewer_concurrent_renders_and_mutation(viewer_url, tmp_path, rng):
     assert {t["id"] for t in d["tracks"]} == {0, 7}
     code, body = _get(viewer_url + "/api/spec/7?px_per_sec=50&height=100")
     assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_serve_viewer_async_startup(tmp_path):
+    """serve_viewer binds before the initial load: during loading the API
+    answers (tracks -> loading flag, renders -> 503) instead of queueing
+    behind the loader's write lock; afterwards everything serves."""
+    import json as _json
+    import socket
+    import time
+    import urllib.error
+
+    from msv_tpu.viewer import serve_viewer
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    x = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    write_wav(p, x[None], sr)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    th = threading.Thread(
+        target=serve_viewer, args=([p], port), daemon=True
+    )
+    th.start()
+    base = f"http://127.0.0.1:{port}"
+    deadline = time.time() + 60
+    body = None
+    while time.time() < deadline:
+        try:
+            _, body = _get(base + "/api/tracks")
+            break
+        except (urllib.error.URLError, ConnectionError):
+            time.sleep(0.2)
+    assert body is not None, "server never bound"
+    # eventually the loader finishes and the track serves
+    while time.time() < deadline:
+        d = _json.loads(_get(base + "/api/tracks")[1])
+        if d.get("tracks"):
+            break
+        assert d.get("loading") is True  # pre-ready contract
+        time.sleep(0.2)
+    status, png = _get(
+        base + "/api/wav_crop/0?px_per_sec=50&height=40&start=0.1&end=0.5"
+    )
+    assert status == 200 and png[:8] == b"\x89PNG\r\n\x1a\n"
