@@ -39,6 +39,12 @@ def _build_parser():
     )
     r.add_argument("--no-wav", action="store_true")
     r.add_argument(
+        "--save-db",
+        action="store_true",
+        help="also write the raw dB spectrogram as db_<name>.npy "
+        "(float32 (n_frames, n_bands))",
+    )
+    r.add_argument(
         "--adaptive",
         action="store_true",
         help="adaptive multi-resolution spectrogram (transients from short "
@@ -188,6 +194,13 @@ def _main(argv=None):
             wout = os.path.join(args.outdir, f"wav_{stem}.png")
             write_png(wout, wimg)
             print(f"  {wout}  {wimg.shape[1]}x{wimg.shape[0]}")
+        if args.save_db:
+            import numpy as _np
+
+            db = mt.get_spec_db(i)
+            dout = os.path.join(args.outdir, f"db_{stem}.npy")
+            _np.save(dout, db)
+            print(f"  {dout}  {db.shape[0]}x{db.shape[1]} f32")
     t2 = time.perf_counter()
     print(f"rendered in {t2 - t1:.3f}s")
     return 0

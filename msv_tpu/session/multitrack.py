@@ -574,6 +574,22 @@ class MultiTrack:
 
     # ------------------------------------------------------------ renders
 
+    def get_spec_db(self, id: int) -> np.ndarray:
+        """Raw dB spectrogram -> float32 (n_frames, n_out).
+
+        The computed array behind every render (the reference keeps it in
+        ``specs``, lib.rs:80, but never exports it); n_out is mel bands
+        under FreqScale.MEL, n_fft/2+1 under LINEAR.  Useful for ML / data
+        export — this is the one host fetch of the full device-resident
+        spectrogram.
+        """
+        st = self._state[self._require(id)]
+        return np.asarray(st.spec_db[: st.n_frames])
+
+    def _require(self, id: int) -> int:
+        self._track(id)  # raises TrackNotFoundError for unknown ids
+        return id
+
     def get_spec_image(self, id: int, px_per_sec: float, nheight: int) -> np.ndarray:
         """Colormapped spectrogram image (lib.rs:294-298) -> (h, w, 3) u8.
 

@@ -443,3 +443,19 @@ def test_session_stateful_fuzz(tmp_path, rng):
             aw = mt.get_wav_image(id, 50.0, 40, -1.0, 1.0)
             bw = oracle.get_wav_image(id, 50.0, 40, -1.0, 1.0)
             np.testing.assert_array_equal(aw, bw, err_msg=f"step {step} id {id}")
+
+
+def test_get_spec_db_export(wav_dir):
+    """Public raw-dB accessor: matches the array behind the renders and
+    the documented shape contract."""
+    from msv_tpu.utils.errors import TrackNotFoundError
+
+    mt = MultiTrack()
+    mt.add_tracks([0], [wav_dir[16000]])
+    db = mt.get_spec_db(0)
+    assert db.dtype == np.float32 and db.ndim == 2
+    assert db.shape[0] == mt._state[0].n_frames
+    assert np.isfinite(db).all()
+    assert db.max() <= 0.0 + 200  # dB values, sane magnitude
+    with pytest.raises(TrackNotFoundError):
+        mt.get_spec_db(99)
