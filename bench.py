@@ -157,8 +157,8 @@ def main():
     # -------- primary: north-star hour-scale streaming render ------------
     hour_sec = args.seconds or (60.0 if args.quick else 3600.0)
     # 5 reps: the tunnel's bandwidth swings 2-5x on minute timescales and
-    # occasionally stalls a single transfer for minutes — a 5-rep median
-    # survives one such outlier, a 3-rep median does not
+    # occasionally stalls transfers for minutes — a 5-rep median tolerates
+    # two bad reps (a 3-rep median only one) and samples more weather
     reps = args.reps or (2 if args.quick else 5)
     walls, n_frames = bench_streaming_hour(hour_sec, reps)
     wall_med = statistics.median(walls)

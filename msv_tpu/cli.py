@@ -100,6 +100,10 @@ def _render_adaptive(args, setting):
         out = os.path.join(args.outdir, f"spec_adaptive_{stem}.png")
         write_png(out, np.asarray(img))
         print(f"  {out}  {nwidth}x{args.height}  ({time.perf_counter()-t0:.2f}s)")
+        if args.save_db:
+            dout = os.path.join(args.outdir, f"db_adaptive_{stem}.npy")
+            np.save(dout, db_np[:n])
+            print(f"  {dout}  {n}x{db_np.shape[1]} f32")
     return 0
 
 

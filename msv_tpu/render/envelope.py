@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils import round_up_to
+from ..utils import next_pow2, round_up_to
 from ..utils.rounding import rust_round_np
 from .colormap import WAVECOLOR
 
@@ -58,7 +58,7 @@ def _upsample_reference_quirk(wav: np.ndarray, factor: int) -> np.ndarray:
     return (b * r + wav[j] * (f32(1.0) - r)).astype(np.float32)
 
 
-def _sparse_window_minmax(wav, starts, ends, k, n_cols):
+def _sparse_window_minmax(wav, starts, ends, k, n_cols, pad):
     """Sparse-table path: exact per-column (max, min) via two overlapping
     power-of-two windows (classic RMQ).
 
@@ -85,9 +85,11 @@ def _sparse_window_minmax(wav, starts, ends, k, n_cols):
     cache discipline as the rest of the codebase (CLAUDE.md).
     """
     nbuf = wav.shape[0]
-    neg = jnp.full((nbuf,), -jnp.inf, wav.dtype)
-    pos = jnp.full((nbuf,), jnp.inf, wav.dtype)
-    # double-width carries so traced shifts up to 2^k <= nbuf stay in range
+    # ``pad`` (static, >= max window, power-of-two bucketed by the caller)
+    # bounds every traced shift: 2^(k-1) <= max_win <= pad.  A small tail,
+    # not a doubled buffer — the transient must not scale with the track.
+    neg = jnp.full((pad,), -jnp.inf, wav.dtype)
+    pos = jnp.full((pad,), jnp.inf, wav.dtype)
     mx0 = jnp.concatenate([wav, neg])
     mn0 = jnp.concatenate([wav, pos])
 
@@ -340,7 +342,7 @@ def _envelope_core(
     if mode == "pooled":
         mx, mn = _pooled_window_minmax(wav, bmax, bmin, starts, ends, m, n_cols)
     elif mode == "sparse":
-        mx, mn = _sparse_window_minmax(wav, starts, ends, k, n_cols)
+        mx, mn = _sparse_window_minmax(wav, starts, ends, k, n_cols, pad=m)
     else:
         mx, mn = _chunked_window_minmax(wav, starts, ends, m, n_cols)
 
@@ -441,15 +443,25 @@ def wav_to_image(
     # cost: direct gathers n_cols*m elements; the sparse build streams
     # ~4k passes over the buffer and then gathers 8 per column
     m_direct = int(round_up_to(max(max_win, 1), 128))
-    use_sparse = sparse_ok and (
-        max_win > _DIRECT_LIMIT or n_cols * m_direct > dev.shape[0]
+    # sparse only in the small-window / many-column regime it was built
+    # for (the 360k-col 36-s gather case): its per-render build streams
+    # the WHOLE buffer, so for max_win > _DIRECT_LIMIT the pooled path's
+    # per-track CACHED pyramid stays the cheaper engine (hour-scale
+    # zoom-outs would otherwise rebuild multi-GB levels per pan/zoom)
+    use_sparse = (
+        sparse_ok
+        and max_win <= _DIRECT_LIMIT
+        and n_cols * m_direct > dev.shape[0]
     )
     if _FORCE_MODE is not None:  # test hook: pin one path for A/B parity
-        use_sparse = _FORCE_MODE == "sparse" and sparse_ok
+        use_sparse = (_FORCE_MODE == "sparse" and sparse_ok
+                      and max_win <= _DIRECT_LIMIT)
     k = 0
     if use_sparse:
         mode = "sparse"
-        m = 8  # unused
+        # static build pad >= max window; power-of-two bucketed so zoom
+        # levels share few compiled programs
+        m = int(next_pow2(max(max_win, 128)))
         bmax = bmin = jnp.zeros((8,), jnp.float32)  # unused placeholder
         k = k_sparse
     elif max_win <= _DIRECT_LIMIT:

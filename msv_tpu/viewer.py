@@ -92,6 +92,15 @@ function refresh() {
 
 async function load() {
   const r = await fetch('/api/tracks'); const d = await r.json();
+  if (d.error) {
+    document.getElementById('dbrange').textContent = 'load failed: ' + d.error;
+    return;
+  }
+  if (d.loading) {  // startup loader still holds the session: poll
+    document.getElementById('dbrange').textContent = 'loading tracks…';
+    setTimeout(load, 1500);
+    return;
+  }
   tracks = d.tracks;
   document.getElementById('dbrange').textContent =
     `${d.min_db.toFixed(1)} … ${d.max_db.toFixed(1)} dB`;
@@ -228,6 +237,7 @@ class _Handler(BaseHTTPRequestHandler):
     lock = None  # an _RWLock
     add_root = None  # restrict POST /api/add to this directory (None = any)
     loading = False  # True while the startup loader holds the write lock
+    load_error = None  # set if the startup loader failed
 
     def log_message(self, *a):  # quiet
         pass
@@ -255,13 +265,20 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if url.path == "/" or url.path == "/index.html":
                 self._send(200, "text/html; charset=utf-8", _PAGE.encode())
-            elif self.__class__.loading and url.path.startswith("/api/"):
+            elif (
+                self.__class__.loading
+                and url.path.startswith("/api/")
+                # these never take the session lock; serve them normally
+                and url.path not in ("/api/setting", "/api/colormap",
+                                     "/api/colorbar")
+            ):
                 # the startup loader holds the write lock for as long as
                 # the cold decode+compile+transfer takes (minutes on a bad
                 # relay window) — answer instead of queueing behind it
                 if url.path == "/api/tracks":
                     self._send(200, "application/json", json.dumps(
-                        {"tracks": [], "loading": True}).encode())
+                        {"tracks": [], "loading": True,
+                         "error": self.__class__.load_error}).encode())
                 else:
                     self._send(503, "application/json",
                                b'{"error": "session loading"}')
@@ -410,6 +427,12 @@ class _Handler(BaseHTTPRequestHandler):
         surface, lib.rs:170,265, as HTTP endpoints)."""
         mt = self.session
         url = urllib.parse.urlparse(self.path)
+        if self.__class__.loading:
+            # mutations would queue behind the startup loader's write lock
+            # for minutes with no feedback — refuse instead
+            self._send(503, "application/json",
+                       b'{"error": "session loading"}')
+            return
         try:
             length = int(self.headers.get("Content-Length", 0))
             body = json.loads(self.rfile.read(length) or b"{}")
@@ -503,6 +526,7 @@ def serve_viewer(paths, port: int = 8080, setting=None,
     shown = host or "0.0.0.0"
     print(f"msv_tpu viewer on http://{shown}:{port}  "
           f"(loading {len(paths)} tracks)", flush=True)
+    load_err: list = []
     if paths:
         handler.loading = True
 
@@ -510,9 +534,16 @@ def serve_viewer(paths, port: int = 8080, setting=None,
             try:
                 with lock.write():
                     mt.add_tracks(list(range(len(paths))), list(paths))
-            finally:
+            except Exception as e:  # surface instead of dying silently
+                load_err.append(e)
+                handler.load_error = str(e)
                 handler.loading = False
+                srv.shutdown()  # fail visibly, like the old sync path
+                return
+            handler.loading = False
             print(f"{len(paths)} tracks ready", flush=True)
 
         threading.Thread(target=_load, daemon=True).start()
     srv.serve_forever()
+    if load_err:
+        raise load_err[0]

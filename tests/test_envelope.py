@@ -70,16 +70,17 @@ def test_pooled_path_equals_direct(rng):
     from msv_tpu.render import envelope as env
 
     wav = rng.standard_normal(200_000).astype(np.float32)
-    direct = wav_to_image(wav, 40, 64, (-3.0, 3.0))  # spp = 5000 > limit? no:
-    # spp=5000 -> max window ~3*5000=15000 > _DIRECT_LIMIT so this IS pooled;
-    # force the direct path for comparison instead.
+    # spp=5000 -> max window ~15000 > _DIRECT_LIMIT so this IS pooled
+    pooled = wav_to_image(wav, 40, 64, (-3.0, 3.0))
     old = env._DIRECT_LIMIT
     try:
-        env._DIRECT_LIMIT = 10**9
+        env._FORCE_MODE = "direct"
+        env._DIRECT_LIMIT = 10**9  # direct path accepts the big windows
         forced_direct = wav_to_image(wav, 40, 64, (-3.0, 3.0))
     finally:
+        env._FORCE_MODE = None
         env._DIRECT_LIMIT = old
-    np.testing.assert_array_equal(direct, forced_direct)
+    np.testing.assert_array_equal(pooled, forced_direct)
 
 
 def test_amplitude_range_and_thickness(rng):
