@@ -243,11 +243,16 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def _send(self, code, ctype, body):
-        self.send_response(code)
-        self.send_header("Content-Type", ctype)
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        self.wfile.write(body)
+        try:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        except (BrokenPipeError, ConnectionResetError):
+            # client hung up mid-response (common for superseded renders);
+            # nothing to salvage and nothing worth a traceback
+            self.close_connection = True
 
     def _png(self, arr):
         from .io.png import encode_png
@@ -261,6 +266,14 @@ class _Handler(BaseHTTPRequestHandler):
 
         def qf(name, default):
             return float(q.get(name, [default])[0])
+
+        def qh(name, default, cap=16384):
+            # pixel-dimension params: bound them so a hostile/typo'd query
+            # (height=1e9) cannot allocate gigabytes host-side
+            v = qf(name, default)
+            if not (0 <= v <= cap):
+                raise ValueError(f"{name} out of range [0, {cap}]: {v}")
+            return int(v)
 
         try:
             if url.path == "/" or url.path == "/index.html":
@@ -305,7 +318,7 @@ class _Handler(BaseHTTPRequestHandler):
                 tid = int(url.path.rsplit("/", 1)[1])
                 with self.lock.read():
                     img = mt.get_spec_image(
-                        tid, qf("px_per_sec", 100.0), int(qf("height", 300))
+                        tid, qf("px_per_sec", 100.0), qh("height", 300)
                     )
                 self._send(200, "image/png", self._png(img))
             elif url.path.startswith("/api/wav/"):
@@ -314,7 +327,7 @@ class _Handler(BaseHTTPRequestHandler):
                     img = mt.get_wav_image(
                         tid,
                         qf("px_per_sec", 100.0),
-                        int(qf("height", 80)),
+                        qh("height", 80),
                         qf("amp_min", -1.0),
                         qf("amp_max", 1.0),
                     )
@@ -355,7 +368,7 @@ class _Handler(BaseHTTPRequestHandler):
                     img = mt.get_spec_image_crop(
                         tid,
                         qf("px_per_sec", 100.0),
-                        int(qf("height", 300)),
+                        qh("height", 300),
                         qf("start", 0.0),
                         qf("end", 10.0),
                     )
@@ -366,7 +379,7 @@ class _Handler(BaseHTTPRequestHandler):
                     img = mt.get_wav_image_crop(
                         tid,
                         qf("px_per_sec", 100.0),
-                        int(qf("height", 80)),
+                        qh("height", 80),
                         qf("amp_min", -1.0),
                         qf("amp_max", 1.0),
                         qf("start", 0.0),
@@ -410,7 +423,7 @@ class _Handler(BaseHTTPRequestHandler):
             elif url.path == "/api/colorbar":
                 from .render.colormap import colorbar
 
-                img = colorbar(int(qf("width", 24)), int(qf("height", 300)))
+                img = colorbar(qh("width", 24), qh("height", 300))
                 self._send(200, "image/png", self._png(img))
             elif url.path.startswith("/api/freq/"):
                 tid = int(url.path.rsplit("/", 1)[1])
