@@ -44,6 +44,10 @@ def _build_parser():
         help="also write the raw dB spectrogram as db_<name>.npy "
         "(float32 (n_frames, n_bands))",
     )
+    r.add_argument("--start", type=float, default=None,
+                   help="render only [start, end) seconds (viewport crop; "
+                   "essential for hour-scale files)")
+    r.add_argument("--end", type=float, default=None)
     r.add_argument(
         "--adaptive",
         action="store_true",
@@ -187,14 +191,28 @@ def _main(argv=None):
     t1 = time.perf_counter()
     print(f"loaded {len(args.files)} tracks in {t1 - t0:.3f}s "
           f"(db range [{mt.get_min_db():.1f}, {mt.get_max_db():.1f}])")
+    crop = args.start is not None or args.end is not None
     for i, f in enumerate(args.files):
         stem = os.path.splitext(os.path.basename(f))[0]
-        img = mt.get_spec_image(i, args.px_per_sec, args.height)
+        if crop:
+            s0 = args.start or 0.0
+            s1 = args.end if args.end is not None else mt.get_sec(i)
+            img = mt.get_spec_image_crop(i, args.px_per_sec, args.height,
+                                         s0, s1)
+        else:
+            img = mt.get_spec_image(i, args.px_per_sec, args.height)
         out = os.path.join(args.outdir, f"spec_{stem}.png")
         write_png(out, img)
         print(f"  {out}  {img.shape[1]}x{img.shape[0]}")
         if not args.no_wav:
-            wimg = mt.get_wav_image(i, args.px_per_sec, args.wav_height, -1.0, 1.0)
+            if crop:
+                wimg = mt.get_wav_image_crop(
+                    i, args.px_per_sec, args.wav_height, -1.0, 1.0, s0, s1
+                )
+            else:
+                wimg = mt.get_wav_image(
+                    i, args.px_per_sec, args.wav_height, -1.0, 1.0
+                )
             wout = os.path.join(args.outdir, f"wav_{stem}.png")
             write_png(wout, wimg)
             print(f"  {wout}  {wimg.shape[1]}x{wimg.shape[0]}")

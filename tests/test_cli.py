@@ -54,3 +54,22 @@ def test_info(wav_path, capsys):
 def test_missing_file_error(tmp_path, capsys):
     assert main(["render", str(tmp_path / "no.wav"), "-o", str(tmp_path)]) == 1
     assert "error:" in capsys.readouterr().err
+
+
+def test_render_time_crop(wav_path, tmp_path, capsys):
+    """--start/--end renders a viewport crop, pixel-identical to slicing
+    the full-width render."""
+    from PIL import Image
+
+    full = str(tmp_path / "full")
+    crop = str(tmp_path / "crop")
+    assert main(["render", wav_path, "-o", full, "--px-per-sec", "80"]) == 0
+    assert main(["render", wav_path, "-o", crop, "--px-per-sec", "80",
+                 "--start", "0.25", "--end", "0.75"]) == 0
+    f = np.asarray(Image.open(os.path.join(full, "spec_tone.png")))
+    c = np.asarray(Image.open(os.path.join(crop, "spec_tone.png")))
+    c0, c1 = int(80 * 0.25), int(80 * 0.75)
+    np.testing.assert_array_equal(c, f[:, c0:c1])
+    fw = np.asarray(Image.open(os.path.join(full, "wav_tone.png")))
+    cw = np.asarray(Image.open(os.path.join(crop, "wav_tone.png")))
+    np.testing.assert_array_equal(cw, fw[:, c0:c1])
