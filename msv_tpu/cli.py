@@ -199,6 +199,10 @@ def _main(argv=None):
             s1 = args.end if args.end is not None else mt.get_sec(i)
             img = mt.get_spec_image_crop(i, args.px_per_sec, args.height,
                                          s0, s1)
+            if img.shape[1] == 0:
+                print(f"  {f}: window [{s0}, {s1}) s is outside the "
+                      f"{mt.get_sec(i):.2f} s track — nothing to render")
+                continue
         else:
             img = mt.get_spec_image(i, args.px_per_sec, args.height)
         out = os.path.join(args.outdir, f"spec_{stem}.png")

@@ -73,3 +73,13 @@ def test_render_time_crop(wav_path, tmp_path, capsys):
     fw = np.asarray(Image.open(os.path.join(full, "wav_tone.png")))
     cw = np.asarray(Image.open(os.path.join(crop, "wav_tone.png")))
     np.testing.assert_array_equal(cw, fw[:, c0:c1])
+
+
+def test_render_time_crop_out_of_range(wav_path, tmp_path, capsys):
+    """A window past the end of the track renders nothing (and writes no
+    invalid zero-width PNG) instead of failing."""
+    out = str(tmp_path / "oob")
+    assert main(["render", wav_path, "-o", out, "--start", "100",
+                 "--end", "200"]) == 0
+    assert not os.path.exists(os.path.join(out, "spec_tone.png"))
+    assert "nothing to render" in capsys.readouterr().out
