@@ -406,6 +406,12 @@ def test_session_stateful_fuzz(tmp_path, rng):
         p = str(tmp_path / f"t{i}.wav")
         write_wav(p, x[None], sr)
         paths.append(p)
+    import os as _os
+
+    flac = _os.path.join(_os.path.dirname(__file__), "fixtures",
+                         "sine440_8k.flac")
+    if _os.path.exists(flac):
+        paths.append(flac)
 
     mt = MultiTrack()
     live = {}  # id -> path
@@ -422,9 +428,13 @@ def test_session_stateful_fuzz(tmp_path, rng):
             mt.remove_track(int(id))
             live.pop(id)
         elif op == "setting":
+            from msv_tpu import FreqScale as _FS
+
             setting = SpecSetting(
                 win_ms=float(rng.choice([20.0, 40.0])),
                 t_overlap=int(rng.choice([2, 4])),
+                freq_scale=_FS.MEL if rng.random() < 0.5 else _FS.LINEAR,
+                db_range=float(rng.choice([60.0, 120.0])),
             )
             mt.set_setting(setting)
 
