@@ -137,3 +137,34 @@ def render_rgb(spec_db, max_db, min_db, wv, wh_or_weights, *, height, banded):
     y = jnp.clip(y, 0.0, 1.0)
     # planar (3, H, W) u8 — dense TPU tiling; the session transposes on host
     return grey_to_rgb_planar(y)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "banded", "bits"),
+)
+def render_grey_q(spec_db, max_db, min_db, wv, wh_or_weights, *, height,
+                  banded, bits):
+    """Same resize pipeline as :func:`render_rgb`, but the device output is
+    the resized grey QUANTIZED to ``bits`` (u8/u16) instead of colormapped
+    RGB — 1/3 (u8) or 2/3 (u16) of the wire bytes; the host paints via the
+    matching LUT (`render.colormap.paint_grey_wire`).  The interactive
+    zoom wall is the image fetch over the relay, not compute (VERDICT r2
+    #1), so the wire format IS the latency knob.
+
+    Quantization is round-half-away on [0, 1] grey (values are >= 0, so
+    floor(x+0.5) is exact); the deviation from the reference's f32-grey
+    colormap (display.rs:56-61) is bounded and pinned in tests.
+    """
+    grey = spec_to_grey(spec_db, max_db, min_db, height=height)  # (H, W_b)
+    prec = jax.lax.Precision.HIGHEST
+    x = jnp.clip(jnp.dot(wv, grey, precision=prec), 0.0, 1.0)
+    if banded:
+        left, wb = wh_or_weights
+        y = _apply_banded_cols(x, left, wb)
+    else:
+        y = jnp.dot(x, wh_or_weights.T, precision=prec)
+    y = jnp.clip(y, 0.0, 1.0)
+    scale = jnp.float32((1 << bits) - 1)
+    q = jnp.floor(y * scale + 0.5)
+    return q.astype(jnp.uint8 if bits == 8 else jnp.uint16)

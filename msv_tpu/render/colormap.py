@@ -10,6 +10,8 @@ quantization quirks:
 """
 
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,6 +47,32 @@ def colorbar(width: int = 50, height: int = 500) -> np.ndarray:
     grey = np.linspace(1.0, 0.0, height, dtype=np.float32)[:, None]
     rgb = np.asarray(grey_to_rgb_array(jnp.asarray(grey)))  # (height, 1, 3)
     return np.repeat(rgb, width, axis=1)
+
+
+@functools.lru_cache(maxsize=4)
+def _host_lut(bits: int) -> np.ndarray:
+    """(2^bits, 3) u8 LUT: LUT[q] == the reference colormap evaluated at
+    grey q/(2^bits - 1), in the same f32 arithmetic as the device path
+    (display.rs:24-42).  Used to paint quantized-grey wire images host-side
+    so the device->host fetch ships 1-2 bytes/px instead of 3."""
+    f32 = np.float32
+    levels = 1 << bits
+    g = (np.arange(levels, dtype=np.float32) / f32(levels - 1)).astype(np.float32)
+    stops = COLORMAP.astype(np.float32)
+    n = stops.shape[0]
+    position = g * f32(n)
+    index = np.floor(position).astype(np.int64)
+    last = index >= n - 1
+    i0 = np.clip(index, 0, n - 2)
+    ratio = (position - i0.astype(np.float32))[:, None].astype(np.float32)
+    lerped = ratio * stops[i0 + 1] + (f32(1.0) - ratio) * stops[i0]
+    rgb = np.where(last[:, None], stops[n - 1], lerped)
+    return np.floor(rgb + f32(0.5)).astype(np.uint8)
+
+
+def paint_grey_wire(q: np.ndarray, bits: int) -> np.ndarray:
+    """Quantized grey wire image (u8/u16, any shape) -> u8 RGB (shape+(3,))."""
+    return _host_lut(bits)[q]
 
 
 @jax.jit

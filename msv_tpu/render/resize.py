@@ -72,8 +72,47 @@ def resize_weights(in_size: int, out_size: int):
     valid = i < right[:, None]
     x = (i.astype(np.float32) - center[:, None]) / sratio
     w = np.where(valid, _lanczos3_kernel_f32(x), f32(0.0))
-    # image-rs normalizes by the (pre-normalization) window sum.
-    w = (w / w.sum(axis=1, dtype=np.float32, keepdims=True)).astype(np.float32)
+    # image-rs normalizes by the (pre-normalization) window sum, accumulated
+    # SEQUENTIALLY in f32 (`sum += w` in *_sample).  cumsum reproduces that
+    # order; unlike np.sum's pairwise grouping it is also independent of the
+    # row padding width, which makes resize_weights_range bit-identical to
+    # the corresponding rows here (trailing +0.0 terms are exact no-ops).
+    norm = np.cumsum(w, axis=1, dtype=np.float32)[:, -1:]
+    w = (w / norm).astype(np.float32)
+    w = np.where(valid, w, f32(0.0))
+    return left.astype(np.int32), w
+
+
+def resize_weights_range(in_size: int, out_size: int, c0: int, c1: int):
+    """Banded weights for output columns [c0, c1) ONLY — the same rows
+    ``resize_weights(in_size, out_size)`` would produce (zero-pad width
+    aside), built in O((c1-c0) * band) instead of O(out_size * band).
+
+    This keeps viewport crop renders O(viewport) when the full logical
+    width is enormous (hour-scale tracks at deep zoom: full widths in the
+    1e6..1e9 column range must never be materialized host-side).
+    """
+    f32 = np.float32
+    ratio = f32(in_size) / f32(out_size)
+    sratio = max(ratio, f32(1.0))
+    src_support = f32(SUPPORT) * sratio
+
+    # same value stream as resize_weights' arange(out_size)[c0:c1] — exact
+    # f32 ints below 2^24 and identically rounded above
+    o = np.arange(c0, c1, dtype=np.int64).astype(np.float32)
+    inputx = (o + f32(0.5)) * ratio
+    left = np.clip(np.floor(inputx - src_support).astype(np.int64), 0, in_size - 1)
+    right = np.clip(np.ceil(inputx + src_support).astype(np.int64), left + 1, in_size)
+    center = inputx - f32(0.5)
+
+    m_max = int((right - left).max())
+    i = left[:, None] + np.arange(m_max)[None, :]
+    valid = i < right[:, None]
+    x = (i.astype(np.float32) - center[:, None]) / sratio
+    w = np.where(valid, _lanczos3_kernel_f32(x), f32(0.0))
+    # sequential f32 sum — see the note in resize_weights
+    norm = np.cumsum(w, axis=1, dtype=np.float32)[:, -1:]
+    w = (w / norm).astype(np.float32)
     w = np.where(valid, w, f32(0.0))
     return left.astype(np.int32), w
 

@@ -29,15 +29,21 @@ from functools import lru_cache as _functools_lru
 
 import numpy as np
 
-from ..config import FreqScale, SpecSetting, derive_stft_params
-from ..kernels.pipeline import render_rgb, spec_pipeline
+from ..config import FreqScale, SpecSetting, derive_stft_params, get_image_wire
+from ..kernels.pipeline import render_grey_q, render_rgb, spec_pipeline
+from ..render.colormap import paint_grey_wire
 from ..ops.framing import n_frames_for, reflect_pad_center
 from ..ops.mel import calc_mel_fb_default, hz_to_mel, mel_to_hz
 from ..ops.dft import windowed_dft_matrices
 from ..ops.windows import default_stft_window
 from ..render.envelope import wav_to_image
 from ..render.grey import grey_height
-from ..render.resize import DENSE_LIMIT, resize_weights, resize_weights_dense
+from ..render.resize import (
+    DENSE_LIMIT,
+    resize_weights,
+    resize_weights_dense,
+    resize_weights_range,
+)
 from ..utils import round_up_to
 from ..utils.errors import TrackNotFoundError
 from ..utils.profiling import StageTimer, get_logger
@@ -45,6 +51,27 @@ from ..utils.rounding import trunc_int
 
 FRAME_BUCKET = 256
 OUT_BUCKET = 128
+# Render-size guards (no reference analogue — the Rust core would happily
+# try a 36-billion-column Vec and die; documented in docs/PARITY.md).
+# Full-width renders allocate O(width) weight/index arrays host-side, so
+# both the one-shot width and a crop's viewport width are bounded; deep
+# zooms past the cap go through the crop APIs, which stay O(viewport) for
+# ANY full logical width.
+MAX_RENDER_COLS = 1 << 22  # 4.2M columns (hour @ ~1165 px/s full-width)
+MAX_RENDER_ROWS = 1 << 16
+
+
+def _check_render_dims(ncols: int, nheight: int, what: str) -> None:
+    if ncols > MAX_RENDER_COLS:
+        raise ValueError(
+            f"{what}: {ncols} output columns exceeds MAX_RENDER_COLS "
+            f"({MAX_RENDER_COLS}); render a viewport via the *_crop APIs"
+        )
+    if nheight > MAX_RENDER_ROWS:
+        raise ValueError(
+            f"{what}: height {nheight} exceeds MAX_RENDER_ROWS "
+            f"({MAX_RENDER_ROWS})"
+        )
 # Tracks longer than this many frames go through the segmented streaming
 # engine (parallel/streaming.py): the one-shot pipeline would materialize
 # the full (n_frames, n_freq) rfft intermediates in HBM (~GBs at hour
@@ -106,15 +133,17 @@ def _dev_horizontal_weights_crop(
 ):
     """Banded horizontal weights restricted to output columns [c0, c1) of
     the full-width resize — a crop render is then pixel-identical to
-    slicing the full image (viewport rendering for hour-scale tracks)."""
+    slicing the full image (viewport rendering for hour-scale tracks).
+    Built O(viewport), never O(full_width): deep-zoom full widths reach
+    1e6..1e9 columns and must not be materialized host-side."""
     import jax.numpy as jnp
 
-    left, wb = resize_weights(w_valid, full_width)
+    left, wb = resize_weights_range(w_valid, full_width, c0, c1)
     ncols = c1 - c0
     left_p = np.zeros(out_w_b, dtype=np.int32)
     wb_p = np.zeros((out_w_b, wb.shape[1]), dtype=np.float32)
-    left_p[:ncols] = left[c0:c1]
-    wb_p[:ncols] = wb[c0:c1]
+    left_p[:ncols] = left
+    wb_p[:ncols] = wb
     return jnp.asarray(left_p), jnp.asarray(wb_p)
 
 
@@ -590,20 +619,62 @@ class MultiTrack:
         self._track(id)  # raises TrackNotFoundError for unknown ids
         return id
 
-    def get_spec_image(self, id: int, px_per_sec: float, nheight: int) -> np.ndarray:
+    def _run_render(self, st, wv, wh, *, height, banded, nheight, ncols, wire):
+        """Shared device render + host finalize for the image getters.
+
+        wire="rgb": reference-exact device colormap (display.rs:56-61),
+        3 bytes/px shipped.  "grey8"/"grey16": ship quantized grey (1/3 or
+        2/3 of the bytes — the zoom latency IS the fetch) and paint RGB on
+        the host via the matching LUT.
+        """
+        jnp = self._jnp
+        if wire == "rgb":
+            img = render_rgb(
+                st.spec_db,
+                jnp.float32(self.max_db),
+                jnp.float32(self.min_db),
+                wv,
+                wh,
+                height=height,
+                banded=banded,
+            )
+            # device output is channel-planar (3, H, W); interleave on host
+            planar = np.asarray(img)[:, :nheight, :ncols]
+            return np.ascontiguousarray(planar.transpose(1, 2, 0))
+        if wire not in ("grey8", "grey16"):
+            raise ValueError(f"unknown image wire format: {wire!r}")
+        bits = {"grey8": 8, "grey16": 16}[wire]
+        q = render_grey_q(
+            st.spec_db,
+            jnp.float32(self.max_db),
+            jnp.float32(self.min_db),
+            wv,
+            wh,
+            height=height,
+            banded=banded,
+            bits=bits,
+        )
+        return paint_grey_wire(np.asarray(q)[:nheight, :ncols], bits)
+
+    def get_spec_image(
+        self, id: int, px_per_sec: float, nheight: int, wire: str | None = None
+    ) -> np.ndarray:
         """Colormapped spectrogram image (lib.rs:294-298) -> (h, w, 3) u8.
 
         Width = trunc(px_per_sec * len / sr) like the reference's `as u32`
         (lib.rs:296).  Use ``.tobytes()`` for the reference's raw-Vec<u8>
-        form.
+        form.  ``wire`` overrides the session-wide image wire format
+        (config.set_image_wire): "rgb" is reference-exact; the default
+        "grey8" ships 3x fewer bytes with a <=1-step documented deviation
+        (docs/PARITY.md).
         """
         track = self._track(id)
         st = self._state[id]
-        jnp = self._jnp
         f32 = np.float32
         nwidth = trunc_int(f32(px_per_sec) * f32(track.n_samples) / f32(track.sr))
         if nwidth == 0 or nheight == 0:
             return np.zeros((nheight, nwidth, 3), dtype=np.uint8)
+        _check_render_dims(nwidth, nheight, "get_spec_image")
 
         height = grey_height(st.n_out, self._up_ratio(track.sr))
         out_h_b = round_up_to(nheight, OUT_BUCKET)
@@ -615,18 +686,10 @@ class MultiTrack:
         )
 
         with self.timer.stage("get_spec_image.render"):
-            img = render_rgb(
-                st.spec_db,
-                jnp.float32(self.max_db),
-                jnp.float32(self.min_db),
-                wv,
-                wh,
-                height=height,
-                banded=banded,
+            return self._run_render(
+                st, wv, wh, height=height, banded=banded, nheight=nheight,
+                ncols=nwidth, wire=wire or get_image_wire(),
             )
-        # device output is channel-planar (3, H, W); interleave on host
-        planar = np.asarray(img)[:, :nheight, :nwidth]
-        return np.ascontiguousarray(planar.transpose(1, 2, 0))
 
     def get_spec_image_crop(
         self,
@@ -635,6 +698,7 @@ class MultiTrack:
         nheight: int,
         start_sec: float,
         end_sec: float,
+        wire: str | None = None,
     ) -> np.ndarray:
         """Viewport render: pixel-identical to
         ``get_spec_image(...)[:, c0:c1]`` where c0/c1 are the columns
@@ -646,7 +710,6 @@ class MultiTrack:
         """
         track = self._track(id)
         st = self._state[id]
-        jnp = self._jnp
         f32 = np.float32
         full_w = trunc_int(f32(px_per_sec) * f32(track.n_samples) / f32(track.sr))
         c0 = max(0, trunc_int(f32(px_per_sec) * f32(start_sec)))
@@ -654,6 +717,7 @@ class MultiTrack:
         if c1 <= c0 or nheight == 0:
             return np.zeros((nheight, 0, 3), dtype=np.uint8)
         ncols = c1 - c0
+        _check_render_dims(ncols, nheight, "get_spec_image_crop")
 
         height = grey_height(st.n_out, self._up_ratio(track.sr))
         out_h_b = round_up_to(nheight, OUT_BUCKET)
@@ -661,17 +725,10 @@ class MultiTrack:
         wv = _dev_vertical_weights(height, nheight, out_h_b)
         wh = _dev_horizontal_weights_crop(st.n_frames, full_w, c0, c1, out_w_b)
         with self.timer.stage("get_spec_image.render"):
-            img = render_rgb(
-                st.spec_db,
-                jnp.float32(self.max_db),
-                jnp.float32(self.min_db),
-                wv,
-                wh,
-                height=height,
-                banded=True,
+            return self._run_render(
+                st, wv, wh, height=height, banded=True, nheight=nheight,
+                ncols=ncols, wire=wire or get_image_wire(),
             )
-        planar = np.asarray(img)[:, :nheight, :ncols]
-        return np.ascontiguousarray(planar.transpose(1, 2, 0))
 
     def _env_state_for(self, id: int, track):
         st = self._env_states.get(id)
@@ -701,6 +758,7 @@ class MultiTrack:
         track = self._track(id)
         f32 = np.float32
         nwidth = trunc_int(f32(px_per_sec) * f32(track.n_samples) / f32(track.sr))
+        _check_render_dims(nwidth, nheight, "get_wav_image")
         st = self._env_state_for(id, track)
         with self.timer.stage("get_wav_image.render"):
             return wav_to_image(
@@ -724,6 +782,8 @@ class MultiTrack:
         nwidth = trunc_int(f32(px_per_sec) * f32(track.n_samples) / f32(track.sr))
         c0 = trunc_int(f32(px_per_sec) * f32(start_sec))
         c1 = trunc_int(f32(px_per_sec) * f32(end_sec))
+        _check_render_dims(max(min(c1, nwidth) - max(c0, 0), 0), nheight,
+                           "get_wav_image_crop")
         st = self._env_state_for(id, track)
         with self.timer.stage("get_wav_image.render"):
             return wav_to_image(

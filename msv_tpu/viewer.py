@@ -264,16 +264,26 @@ class _Handler(BaseHTTPRequestHandler):
         url = urllib.parse.urlparse(self.path)
         q = urllib.parse.parse_qs(url.query)
 
-        def qf(name, default):
-            return float(q.get(name, [default])[0])
+        def qf(name, default, lo=-1e9, hi=1e9):
+            # every numeric query param is range-checked: hostile/typo'd
+            # values (px_per_sec=1e7 on an hour track derives ~36-billion-
+            # column arrays; NaN poisons device math) must fail the request,
+            # not the server (ADVICE r2)
+            v = float(q.get(name, [default])[0])
+            if not (lo <= v <= hi):  # NaN fails this too
+                raise ValueError(f"{name} out of range [{lo}, {hi}]: {v}")
+            return v
 
         def qh(name, default, cap=16384):
             # pixel-dimension params: bound them so a hostile/typo'd query
             # (height=1e9) cannot allocate gigabytes host-side
-            v = qf(name, default)
-            if not (0 <= v <= cap):
-                raise ValueError(f"{name} out of range [0, {cap}]: {v}")
-            return int(v)
+            return int(qf(name, default, 0, cap))
+
+        def qpps():
+            # the crop endpoints stay O(viewport) at any zoom, but the
+            # full-width endpoints allocate O(px_per_sec * sec); the
+            # session additionally hard-caps derived widths
+            return qf("px_per_sec", 100.0, 0.0, 1e6)
 
         try:
             if url.path == "/" or url.path == "/index.html":
@@ -318,7 +328,7 @@ class _Handler(BaseHTTPRequestHandler):
                 tid = int(url.path.rsplit("/", 1)[1])
                 with self.lock.read():
                     img = mt.get_spec_image(
-                        tid, qf("px_per_sec", 100.0), qh("height", 300)
+                        tid, qpps(), qh("height", 300)
                     )
                 self._send(200, "image/png", self._png(img))
             elif url.path.startswith("/api/wav/"):
@@ -326,10 +336,10 @@ class _Handler(BaseHTTPRequestHandler):
                 with self.lock.read():
                     img = mt.get_wav_image(
                         tid,
-                        qf("px_per_sec", 100.0),
+                        qpps(),
                         qh("height", 80),
-                        qf("amp_min", -1.0),
-                        qf("amp_max", 1.0),
+                        qf("amp_min", -1.0, -1e6, 1e6),
+                        qf("amp_max", 1.0, -1e6, 1e6),
                     )
                 self._send(200, "image/png", self._png(img))
             elif url.path.startswith("/api/audio/"):
@@ -367,10 +377,10 @@ class _Handler(BaseHTTPRequestHandler):
                 with self.lock.read():
                     img = mt.get_spec_image_crop(
                         tid,
-                        qf("px_per_sec", 100.0),
+                        qpps(),
                         qh("height", 300),
-                        qf("start", 0.0),
-                        qf("end", 10.0),
+                        qf("start", 0.0, 0.0, 1e7),
+                        qf("end", 10.0, 0.0, 1e7),
                     )
                 self._send(200, "image/png", self._png(img))
             elif url.path.startswith("/api/wav_crop/"):
@@ -378,12 +388,12 @@ class _Handler(BaseHTTPRequestHandler):
                 with self.lock.read():
                     img = mt.get_wav_image_crop(
                         tid,
-                        qf("px_per_sec", 100.0),
+                        qpps(),
                         qh("height", 80),
-                        qf("amp_min", -1.0),
-                        qf("amp_max", 1.0),
-                        qf("start", 0.0),
-                        qf("end", 10.0),
+                        qf("amp_min", -1.0, -1e6, 1e6),
+                        qf("amp_max", 1.0, -1e6, 1e6),
+                        qf("start", 0.0, 0.0, 1e7),
+                        qf("end", 10.0, 0.0, 1e7),
                     )
                 self._send(200, "image/png", self._png(img))
             elif url.path == "/api/colormap":
@@ -428,7 +438,7 @@ class _Handler(BaseHTTPRequestHandler):
             elif url.path.startswith("/api/freq/"):
                 tid = int(url.path.rsplit("/", 1)[1])
                 with self.lock.read():
-                    hz = mt.get_frequency_hz(tid, qf("rel", 0.5))
+                    hz = mt.get_frequency_hz(tid, qf("rel", 0.5, -10.0, 10.0))
                 self._send(200, "application/json", json.dumps({"hz": hz}).encode())
             else:
                 self._send(404, "text/plain", b"not found")

@@ -203,3 +203,54 @@ def test_extreme_amp_zoom_offscreen_columns(rng):
     # amp window far below -> off-screen above
     img3 = env.wav_to_image(wav, 200, 100, (-6.0, -5.0))
     assert not (img3[:, :, 3] > 0).any()
+
+
+def test_deep_zoom_crop_viewport_local(rng):
+    """Deep-zoom (spp < 1) viewport crops must be pixel-identical to
+    slicing the full-buffer render AND must not materialize the full
+    host f32 for integer carriers (VERDICT r2 #3)."""
+    wav_i = (rng.standard_normal(5000) * 8000).astype(np.int16)
+    st_full = EnvelopeState(None, wav_i, n=5000)
+    st_crop = EnvelopeState(None, wav_i, n=5000)
+    nwidth = 20000  # spp = 0.25, upsample factor 4
+    full = wav_to_image(None, nwidth, 60, (-1.0, 1.0), state=st_full)
+    for c0, c1 in [(0, 300), (7000, 7450), (19500, 20000), (123, 124)]:
+        crop = wav_to_image(
+            None, nwidth, 60, (-1.0, 1.0), state=st_crop, col_range=(c0, c1)
+        )
+        np.testing.assert_array_equal(crop, full[:, c0:c1], err_msg=str(c0))
+    # the viewport path read only integer slices — no full f32 build
+    assert st_crop._wav_np is None
+    assert st_full._wav_np is not None  # the full path does materialize
+
+
+def test_col_windows_range_above_cache_limit(rng, monkeypatch):
+    """Past _COLW_FULL_LIMIT the per-viewport window build must agree
+    with the cached full-width arrays exactly."""
+    from msv_tpu.render import envelope as env
+
+    wav = rng.standard_normal(3000).astype(np.float32)
+    st = EnvelopeState(wav)
+    nwidth = 4096
+    full_s, full_e = st.col_windows(nwidth, st.n)
+    monkeypatch.setattr(env, "_COLW_FULL_LIMIT", 16)
+    for c0, c1 in [(0, 100), (1000, 1033), (4000, 4096)]:
+        s, e = st.col_windows_range(nwidth, st.n, c0, c1)
+        np.testing.assert_array_equal(s, full_s[c0:c1])
+        np.testing.assert_array_equal(e, full_e[c0:c1])
+
+
+def test_envelope_tall_image_no_int16_wrap(rng):
+    """nheight past 32767 must paint correctly (int32 row wire;
+    ADVICE r2: int16 wrapped the arange and clip bound)."""
+    wav = rng.standard_normal(2000).astype(np.float32) * 0.5
+    # amp range chosen well beyond the signal so every column's band is a
+    # narrow mid-image stripe — int16 wrap produced garbage rows instead
+    img = wav_to_image(wav, 8, 40000, (-8.0, 8.0))
+    assert img.shape == (40000, 8, 4)
+    cols = img[:, :, 3] > 0
+    assert cols.any(axis=0).all()
+    first, last = np.argmax(cols, axis=0), 39999 - np.argmax(cols[::-1], axis=0)
+    assert ((last - first) >= 2).all()
+    # bands sit in the middle quarter (signal is ~|x| <= 2 of +-8 amps)
+    assert first.min() > 14000 and last.max() < 26000

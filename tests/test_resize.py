@@ -146,3 +146,23 @@ def test_resize_cross_validated_against_pil(rng):
         np.testing.assert_allclose(
             ours, pil, atol=2e-5, err_msg=str((in_h, in_w, out_h, out_w))
         )
+
+
+def test_resize_weights_range_matches_full():
+    """resize_weights_range must reproduce exactly the rows of the full
+    build (zero-pad width aside) — crop renders are then pixel-identical
+    to full-render slices by construction."""
+    from msv_tpu.render.resize import resize_weights, resize_weights_range
+
+    for in_size, out in [(377, 1201), (1000, 250), (64, 64), (513, 2)]:
+        left, w = resize_weights(in_size, out)
+        for c0, c1 in [(0, out), (out // 3, min(out // 3 + 37, out)),
+                       (max(out - 2, 0), out)]:
+            if c1 <= c0:
+                continue
+            l2, w2 = resize_weights_range(in_size, out, c0, c1)
+            np.testing.assert_array_equal(l2, left[c0:c1])
+            m = min(w.shape[1], w2.shape[1])
+            np.testing.assert_array_equal(w2[:, :m], w[c0:c1, :m])
+            assert not w2[:, m:].any()
+            assert not w[c0:c1, m:].any()

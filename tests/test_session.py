@@ -158,12 +158,12 @@ def test_pallas_engine_matches_xla(wav_dir):
 
     mt_x = MultiTrack()
     mt_x.add_tracks([0], [wav_dir[16000]])
-    img_x = mt_x.get_spec_image(0, 80.0, 160)
+    img_x = mt_x.get_spec_image(0, 80.0, 160, wire="rgb")
     set_engine("pallas")
     try:
         mt_p = MultiTrack()
         mt_p.add_tracks([0], [wav_dir[16000]])
-        img_p = mt_p.get_spec_image(0, 80.0, 160)
+        img_p = mt_p.get_spec_image(0, 80.0, 160, wire="rgb")
     finally:
         set_engine("auto")
     # k-tile accumulation order differs -> ~0.005 dB scalar wiggle, far
@@ -469,3 +469,67 @@ def test_get_spec_db_export(wav_dir):
     assert db.max() <= 0.0 + 200  # dB values, sane magnitude
     with pytest.raises(TrackNotFoundError):
         mt.get_spec_db(99)
+
+
+def test_image_wire_formats(wav_dir):
+    """Grey-wire downlink (docs/PARITY.md deviation 4): the default grey8
+    path must equal the reference colormap evaluated at the quantized
+    grey (LUT reconstruction is exact), stay within the documented bound
+    of the exact rgb path, and keep crop==full-slice parity."""
+    import jax.numpy as jnp
+
+    from msv_tpu.config import get_image_wire
+    from msv_tpu.render.colormap import _host_lut, grey_to_rgb_array
+
+    assert get_image_wire() == "grey8"  # the documented default
+
+    # the host LUT IS the device colormap at the quantized grid points
+    for bits in (8, 16):
+        levels = 1 << bits
+        qs = np.arange(levels, dtype=np.uint32)
+        if bits == 16:
+            qs = qs[:: 37]  # sparse sweep keeps the check fast
+        grey = (qs.astype(np.float32) / np.float32(levels - 1)).astype(np.float32)
+        dev = np.asarray(grey_to_rgb_array(jnp.asarray(grey)))
+        np.testing.assert_array_equal(_host_lut(bits)[qs], dev)
+
+    mt = MultiTrack()
+    mt.add_tracks([0], [wav_dir[16000]])
+    exact = mt.get_spec_image(0, 100.0, 200, wire="rgb").astype(np.int32)
+    g8 = mt.get_spec_image(0, 100.0, 200, wire="grey8").astype(np.int32)
+    g16 = mt.get_spec_image(0, 100.0, 200, wire="grey16").astype(np.int32)
+    assert np.abs(g8 - exact).max() <= 3  # measured bound (PARITY.md)
+    assert np.abs(g16 - exact).max() <= 1
+    # default == grey8
+    np.testing.assert_array_equal(
+        mt.get_spec_image(0, 100.0, 200), g8.astype(np.uint8)
+    )
+    # crop parity holds per wire format
+    for wire in ("rgb", "grey8", "grey16"):
+        full = mt.get_spec_image(0, 200.0, 160, wire=wire)
+        crop = mt.get_spec_image_crop(0, 200.0, 160, 0.1, 0.35, wire=wire)
+        c0, c1 = int(200 * 0.1), int(200 * 0.35)
+        np.testing.assert_array_equal(crop, full[:, c0:c1], err_msg=wire)
+    with pytest.raises(ValueError):
+        mt.get_spec_image(0, 100.0, 200, wire="grey4")
+
+
+def test_render_size_caps(wav_dir):
+    """Full-width renders past MAX_RENDER_COLS/ROWS raise instead of
+    allocating (docs/PARITY.md deviation 2); the crop APIs keep working
+    at the same zoom level because they are O(viewport)."""
+    mt = MultiTrack()
+    mt.add_tracks([0], [wav_dir[16000]])  # 0.5 s track
+    with pytest.raises(ValueError):
+        mt.get_spec_image(0, 1e7, 100)  # 5M derived columns
+    with pytest.raises(ValueError):
+        mt.get_wav_image(0, 1e7, 80, -1.0, 1.0)
+    with pytest.raises(ValueError):
+        mt.get_spec_image(0, 100.0, 1 << 17)
+    with pytest.raises(ValueError):
+        mt.get_wav_image_crop(0, 1e8, 80, -1.0, 1.0, 0.0, 0.5)  # huge viewport
+    # same px_per_sec through the viewport APIs: fine
+    img = mt.get_spec_image_crop(0, 1e7, 100, 0.2, 0.2001)
+    assert img.shape[0] == 100 and 900 <= img.shape[1] <= 1100
+    wimg = mt.get_wav_image_crop(0, 1e7, 80, -1.0, 1.0, 0.2, 0.2001)
+    assert wimg.shape[0] == 80 and 900 <= wimg.shape[1] <= 1100

@@ -307,3 +307,25 @@ def test_serve_viewer_async_startup(tmp_path):
         base + "/api/wav_crop/0?px_per_sec=50&height=40&start=0.1&end=0.5"
     )
     assert status == 200 and png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_viewer_param_bounds(viewer_url):
+    """Hostile/typo'd numeric query params must fail the request (500),
+    not allocate or poison the session (ADVICE r2)."""
+    import urllib.error
+
+    bad = [
+        "/api/spec/0?px_per_sec=10000000&height=100",  # > 1e6 cap
+        "/api/spec/0?px_per_sec=nan&height=100",
+        "/api/spec_crop/0?px_per_sec=50&height=100&start=-5&end=1",
+        "/api/spec_crop/0?px_per_sec=50&height=100&start=0&end=1e9",
+        "/api/wav/0?px_per_sec=50&height=40&amp_min=-inf&amp_max=1",
+        "/api/wav/0?px_per_sec=50&height=-1",
+    ]
+    for path in bad:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(viewer_url + path)
+        assert e.value.code == 500, path
+    # sane values still render
+    code, body = _get(viewer_url + "/api/spec/0?px_per_sec=50&height=100")
+    assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"

@@ -36,7 +36,13 @@ def main():
     mt.add_tracks(list(range(len(paths))), paths)
     print("GOLDEN_SPEC = {")
     for i, n in enumerate(NAMES):
-        img = mt.get_spec_image(i, 100.0, 500)
+        img = mt.get_spec_image(i, 100.0, 500)  # default wire (grey8 LUT)
+        d = hashlib.sha256(np.ascontiguousarray(img).tobytes()).hexdigest()[:16]
+        print(f'    "{n}": "{d}",')
+    print("}")
+    print("GOLDEN_SPEC_RGB = {")
+    for i, n in enumerate(NAMES):
+        img = mt.get_spec_image(i, 100.0, 500, wire="rgb")  # reference-exact
         d = hashlib.sha256(np.ascontiguousarray(img).tobytes()).hexdigest()[:16]
         print(f'    "{n}": "{d}",')
     print("}")
