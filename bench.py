@@ -82,24 +82,53 @@ def _make_wav(path: str, seconds: float, sr: int = 48000) -> None:
     write_wav(path, stereo, sr)
 
 
-def bench_session(path: str, seconds: float, px_per_sec: float, height: int):
-    """Full pipeline: decode -> STFT -> mel -> dB -> grey -> resize -> RGB."""
+def bench_session(path: str, seconds: float, px_per_sec: float, height: int,
+                  render_reps: int = 3):
+    """Full pipeline: decode -> STFT -> mel -> dB -> grey -> resize -> image.
+
+    Renders ship the default grey8 wire (config.get_image_wire) — the
+    format the viewer and CLI use.  Two zoom figures:
+
+    * zoom_render_s — what the viewer shows after a zoom change: the
+      VISIBLE viewport (1200 px) re-rendered at the new zoom via the crop
+      API (its two-stage fetch paints this first; the margin prefetch is
+      async and off the latency path).
+    * zoom_full_render_s — the full-width image at the new zoom (the
+      reference's get_spec_image re-render, benches/bench.rs:47-60).
+
+    Render timings are medians of ``render_reps`` calls: the relay's
+    bandwidth swings minute to minute and a single call is weather.
+    """
     from msv_tpu import MultiTrack
 
     t0 = time.perf_counter()
     mt = MultiTrack()
     mt.add_tracks([0], [path])
     t1 = time.perf_counter()
-    img = mt.get_spec_image(0, px_per_sec, height)
-    t2 = time.perf_counter()
-    # interactive zoom re-render (cached spec, kernel relaunch only)
-    img2 = mt.get_spec_image(0, px_per_sec * 0.8, height)
-    t3 = time.perf_counter()
+
+    def med(fn):
+        outs, walls = [], []
+        for _ in range(render_reps):
+            ta = time.perf_counter()
+            outs.append(fn())
+            walls.append(time.perf_counter() - ta)
+        return outs[0], statistics.median(walls)
+
+    img, first_s = med(lambda: mt.get_spec_image(0, px_per_sec, height))
+    zpps = px_per_sec * 0.8
+    view_px = 1200
+    mid = seconds / 2.0
+    half_sec = view_px / zpps / 2.0
+    imgv, zoom_s = med(lambda: mt.get_spec_image_crop(
+        0, zpps, height, mid - half_sec, mid + half_sec))
+    img2, zoom_full_s = med(lambda: mt.get_spec_image(0, zpps, height))
     return {
         "add_track_s": t1 - t0,
-        "first_render_s": t2 - t1,
-        "zoom_render_s": t3 - t2,
+        "first_render_s": first_s,
+        "zoom_render_s": zoom_s,
+        "zoom_full_render_s": zoom_full_s,
         "img_shape": list(img.shape),
+        "imgv_shape": list(imgv.shape),
         "img2_shape": list(img2.shape),
     }
 
@@ -191,6 +220,8 @@ def main():
         "session_add_track_s": round(r["add_track_s"], 4),
         "session_first_render_s": round(r["first_render_s"], 4),
         "session_zoom_render_s": round(r["zoom_render_s"], 4),
+        "session_zoom_full_render_s": round(r["zoom_full_render_s"], 4),
+        "session_render_reps": 3,
     }
     print(json.dumps(result))
 

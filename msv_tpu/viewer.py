@@ -63,25 +63,39 @@ function viewParams() {
   };
 }
 
+// Two-stage fetch: the VISIBLE region renders first (small image, fastest
+// possible perceived latency on a slow link), then one screen of margin on
+// each side is prefetched and swapped in for smooth panning.
 function fetchView(t, force) {
   const box = document.getElementById('box' + t.id);
   const totalPx = Math.trunc(pps * t.sec);
   const viewPx = box.clientWidth || 1200;
-  let c0 = Math.max(0, Math.trunc(box.scrollLeft - viewPx));
-  let c1 = Math.min(totalPx, Math.trunc(box.scrollLeft + 2 * viewPx));
+  const vis0 = Math.max(0, Math.trunc(box.scrollLeft));
+  const vis1 = Math.min(totalPx, Math.trunc(box.scrollLeft + viewPx));
+  const c0 = Math.max(0, vis0 - viewPx);
+  const c1 = Math.min(totalPx, vis1 + viewPx);
   const st = state[t.id] || {};
-  if (!force && st.c0 !== undefined && c0 >= st.c0 && c1 <= st.c1) return;
+  if (!force && st.c0 !== undefined && vis0 >= st.c0 && vis1 <= st.c1) return;
   state[t.id] = {c0, c1};
-  const s0 = c0 / pps, s1 = c1 / pps;
   const {amp, showWav} = viewParams();
+  const specUrl = (a, b) =>
+    `/api/spec_crop/${t.id}?px_per_sec=${pps}&height=${H}&start=${a / pps}&end=${b / pps}`;
+  const wavUrl = (a, b) =>
+    `/api/wav_crop/${t.id}?px_per_sec=${pps}&height=${WH}&amp_min=${-amp}&amp_max=${amp}&start=${a / pps}&end=${b / pps}`;
   const spec = document.getElementById('spec' + t.id);
-  spec.src = `/api/spec_crop/${t.id}?px_per_sec=${pps}&height=${H}&start=${s0}&end=${s1}`;
-  spec.style.left = c0 + 'px';
+  spec.onload = () => {  // stage 2: widen to the margin window
+    spec.onload = null;
+    spec.src = specUrl(c0, c1); spec.style.left = c0 + 'px';
+  };
+  spec.src = specUrl(vis0, vis1); spec.style.left = vis0 + 'px';
   const wimg = document.getElementById('wav' + t.id);
   wimg.style.display = showWav ? 'block' : 'none';
   if (showWav) {
-    wimg.src = `/api/wav_crop/${t.id}?px_per_sec=${pps}&height=${WH}&amp_min=${-amp}&amp_max=${amp}&start=${s0}&end=${s1}`;
-    wimg.style.left = c0 + 'px';
+    wimg.onload = () => {
+      wimg.onload = null;
+      wimg.src = wavUrl(c0, c1); wimg.style.left = c0 + 'px';
+    };
+    wimg.src = wavUrl(vis0, vis1); wimg.style.left = vis0 + 'px';
   }
   document.getElementById('spacer' + t.id).style.width = totalPx + 'px';
 }
