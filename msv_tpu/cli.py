@@ -44,6 +44,14 @@ def _build_parser():
         help="also write the raw dB spectrogram as db_<name>.npy "
         "(float32 (n_frames, n_bands))",
     )
+    r.add_argument(
+        "--db-wire",
+        choices=["q16", "q12", "q10", "q8", "f32"],
+        default=None,
+        help="device->host format for --save-db: packed fixed-point "
+        "(q10 default, ~0.06 dB max error, 3.5-5x fewer wire bytes) or "
+        "bit-exact raw f32",
+    )
     r.add_argument("--start", type=float, default=None,
                    help="render only [start, end) seconds (viewport crop; "
                    "essential for hour-scale files)")
@@ -223,7 +231,7 @@ def _main(argv=None):
         if args.save_db:
             import numpy as _np
 
-            db = mt.get_spec_db(i)
+            db = mt.get_spec_db(i, wire=args.db_wire)
             dout = os.path.join(args.outdir, f"db_{stem}.npy")
             _np.save(dout, db)
             print(f"  {dout}  {db.shape[0]}x{db.shape[1]} f32")

@@ -163,3 +163,30 @@ def set_image_wire(wire: str) -> None:
 
 def get_image_wire() -> str:
     return _IMAGE_WIRE
+
+
+# dB-export downlink format for get_spec_db / render --save-db.
+#   "q10" (default): device-packed fixed-point on the track's dB window —
+#       max error 0.5*range/(2^10-1) (~0.06 dB on a 120 dB window, an
+#       order of magnitude under one grey step of 0.47 dB), typically
+#       3.5-5x fewer wire bytes than raw f32 after the per-block delta
+#       bitpack (parallel/wirepack.py downlink codec).  dB values of
+#       noise-floor bins fluctuate several dB frame to frame, so finer
+#       grids mostly encode that noise: measured ratios on realistic
+#       content are ~3.5x (q10), ~2.9x (q12), ~2.1x (q16).
+#   "q12"/"q16": finer grids (~0.015/0.0009 dB max error) at fewer saved
+#       bytes.  "q8": coarser (~0.24 dB, half a grey step) for the
+#       tightest wire.
+#   "f32": bit-exact raw fetch (the round-2 behavior).
+_DB_WIRE = "q10"
+
+
+def set_db_wire(wire: str) -> None:
+    global _DB_WIRE
+    if wire not in ("f32", "q16", "q12", "q10", "q8"):
+        raise ValueError(f"unknown dB wire format: {wire!r}")
+    _DB_WIRE = wire
+
+
+def get_db_wire() -> str:
+    return _DB_WIRE

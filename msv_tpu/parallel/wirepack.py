@@ -529,3 +529,234 @@ def unpack_jax(p: PackedPCM):
         n_blocks=len(p.block_w),
         out_dtype=p.out_dtype,
     )
+
+
+# ---------------------------------------------------------------------------
+# Downlink codec: device-packed spectrogram export (the wirepack in reverse).
+#
+# get_spec_db at hour scale fetches (n_frames, n_out) f32 — ~0.5 GB over the
+# ~20 MB/s relay.  The reference keeps this array in RAM (`specs`, lib.rs:80)
+# and never pays a wire; we pack it ON DEVICE and unpack host-side:
+#
+#   device: quantize dB to a b-bit grid on [lo, hi] -> per-mel-row deltas
+#           along frames (first frame absolute) -> zigzag -> per-1024-block
+#           bit width -> dense little-endian bitstream (lax.scan, word-
+#           aligned dynamic_update_slice; no gathers)
+#   host:   numpy field extraction (the unpack_np pattern) -> un-zigzag ->
+#           row cumsum -> dequantize
+#
+# The quantized-domain round trip is BIT-exact (tested); the only loss is
+# the b-bit grid itself: |db' - db| <= 0.5 * (hi - lo) / (2^b - 1), i.e.
+# ~0.0009 dB for b=16 on a 120 dB window — orders of magnitude below one
+# grey step (0.47 dB).  b <= 16 keeps every zigzag delta < 2^17 so widths
+# fit the same machinery as the uplink.
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    __import__("jax").jit, static_argnames=("bits",)
+)
+def pack_spec_device(db, lo, hi, *, bits):
+    """(F, n_out) f32 dB -> (words, widths, nwords_used).
+
+    ``words`` is a worst-case-sized u32 buffer whose used prefix holds the
+    packed stream; ``widths`` the per-block bit widths; ``nwords_used``
+    the exact used word count (fetch only that prefix).  ``lo``/``hi``
+    (traced f32 scalars) define the quantization window.
+
+    Layout note: a lax.scan emits per-block staging rows and ONE scatter
+    compacts them to their cumulative word offsets.  (A first cut carried
+    the output buffer through the scan with dynamic_update_slice writes —
+    XLA copied the multi-MB carry every step: 180 s for a 10-minute
+    spectrogram.  Scan-outputs + scatter runs the same workload in ~0.2 s.)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    f, n_out = db.shape
+    qmax = (1 << bits) - 1
+    rng = hi - lo
+    scale = jnp.where(rng > 0, qmax / rng, 1.0).astype(jnp.float32)
+    q = jnp.clip(
+        jnp.round((db - lo) * scale), 0, qmax
+    ).astype(jnp.int32)
+    qt = q.T  # (n_out, F): deltas run along frames within each output row
+    d = jnp.concatenate([qt[:, :1], qt[:, 1:] - qt[:, :-1]], axis=1)
+    z = _zigzag_jnp(d.reshape(-1))  # uint32, < 2^(bits+1)
+    n_vals = n_out * f
+    n_blocks = -(-n_vals // BLOCK)
+    z = jnp.pad(z, (0, n_blocks * BLOCK - n_vals))
+    zb = z.reshape(n_blocks, BLOCK)
+    zmax = zb.max(axis=1)
+    pow2 = jnp.uint32(1) << jnp.arange(bits + 1, dtype=jnp.uint32)
+    widths = (zmax[:, None] >= pow2[None, :]).sum(axis=1).astype(jnp.int32)
+    words_per_block = widths * (BLOCK // 32)
+    start_word = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(words_per_block)[:-1]]
+    )
+    nwords_used = jnp.sum(words_per_block)
+
+    row_words = BLOCK * (bits + 1) // 32  # staging row = widest block
+    bitpos = jnp.arange(32, dtype=jnp.uint32)
+    word_pow2 = jnp.uint32(1) << bitpos
+
+    def encode_w(w):
+        def enc(zrow):
+            if w == 0:
+                return jnp.zeros((row_words,), jnp.uint32)
+            bits_m = ((zrow[:, None] >> bitpos[None, :w]) & jnp.uint32(1))
+            wr = bits_m.reshape(BLOCK * w // 32, 32)
+            row = (wr * word_pow2[None, :]).sum(axis=1, dtype=jnp.uint32)
+            return jnp.pad(row, (0, row_words - row.shape[0]))
+
+        return enc
+
+    branches = [encode_w(w) for w in range(bits + 2)]
+
+    def step(_, blk):
+        zrow, w = blk
+        return None, jax.lax.switch(jnp.clip(w, 0, bits + 1), branches, zrow)
+
+    _, rows = jax.lax.scan(step, None, (zb, widths))
+    wcap = n_blocks * row_words
+    j = jnp.arange(row_words, dtype=jnp.int32)[None, :]
+    valid = j < words_per_block[:, None]
+    # staging tails all land on the dropped sentinel slot wcap
+    idx = jnp.where(valid, start_word[:, None] + j, wcap)
+    out = (
+        jnp.zeros(wcap + 1, jnp.uint32)
+        .at[idx.reshape(-1)]
+        .set(rows.reshape(-1))
+    )
+    return out[:wcap], widths, nwords_used
+
+
+def _zigzag_jnp(d):
+    import jax.numpy as jnp
+
+    du = d.astype(jnp.uint32)
+    return (du << jnp.uint32(1)) ^ (jnp.uint32(0) - (du >> jnp.uint32(31)))
+
+
+@functools.lru_cache(maxsize=64)
+def _prefix_slicer(size: int):
+    import jax
+
+    return jax.jit(
+        lambda w: jax.lax.dynamic_slice(w, (0,), (size,))
+    )
+
+
+def fetch_packed_prefix(words, nwords_used: int):
+    """Fetch only the used prefix of the device words buffer, rounded up
+    to 1/16-of-capacity granularity so the slice-program family stays
+    bounded (the fetch size, not the buffer size, is what the wire pays)."""
+    cap = words.shape[0]
+    gran = max(1024, cap // 16)
+    size = min(-(-max(nwords_used, 1) // gran) * gran, cap)
+    return np.asarray(_prefix_slicer(size)(words))
+
+
+def _unpack_spec_native(words, widths, n_frames, n_out, f_pad, lo, scale):
+    """C single-pass decode+cumsum+dequant (native/spec_unpack.cc).
+
+    The numpy path makes ~10 memory passes with large temporaries; this
+    VM's host memory bandwidth swings 30x between windows (measured), so
+    byte traffic is the budget — the C pass touches packed-in + q + out
+    once each.  Returns None when the native lib isn't built.
+    """
+    import ctypes as c
+
+    lib = _native_lib()
+    if lib is None or not hasattr(lib, "msv_spec_unpack"):
+        return None
+    if not getattr(_unpack_spec_native, "_typed", False):
+        lib.msv_spec_unpack.argtypes = [
+            c.POINTER(c.c_uint32), c.POINTER(c.c_int32), c.c_int64,
+            c.c_int64, c.c_int64, c.c_int64, c.c_float, c.c_float,
+            c.POINTER(c.c_float),
+        ]
+        lib.msv_spec_unpack.restype = c.c_int32
+        _unpack_spec_native._typed = True
+    # the bit walker reads an unaligned u64 at the final field: guarantee
+    # 8 spare bytes past the used stream
+    wpad = np.pad(np.ascontiguousarray(words), (0, 2))
+    widths = np.ascontiguousarray(widths, dtype=np.int32)
+    out = np.empty((n_frames, n_out), np.float32)
+    rc = lib.msv_spec_unpack(
+        wpad.ctypes.data_as(c.POINTER(c.c_uint32)),
+        widths.ctypes.data_as(c.POINTER(c.c_int32)),
+        len(widths), n_out, f_pad, n_frames,
+        c.c_float(lo), c.c_float(scale),
+        out.ctypes.data_as(c.POINTER(c.c_float)),
+    )
+    return out if rc == 0 else None
+
+
+def unpack_spec_np(words, widths, n_frames: int, n_out: int, f_pad: int,
+                   lo: float, hi: float, bits: int,
+                   native: bool | None = None) -> np.ndarray:
+    """Host unpack+dequantize -> (n_frames, n_out) f32 dB.
+
+    ``words`` may be the (bucket-padded) used prefix; fields are addressed
+    via the width cumsum so trailing padding is inert.  Uses the C
+    single-pass decoder when built (identical output bit-for-bit; the
+    numpy path below is the oracle/fallback); ``native=False`` forces
+    numpy.  Width-grouped strided shift extraction keeps the numpy path
+    ahead of the per-field gather form.
+    """
+    import math
+
+    qmax_f = (1 << bits) - 1
+    rngv0 = np.float32(hi) - np.float32(lo)
+    scale0 = np.float32(qmax_f) / rngv0 if rngv0 > 0 else np.float32(1.0)
+    if native is not False:
+        out = _unpack_spec_native(
+            words, widths, n_frames, n_out, f_pad, float(np.float32(lo)),
+            float(scale0),
+        )
+        if out is not None:
+            return out
+        if native is True:
+            raise RuntimeError("native spec unpack requested but unavailable")
+
+    nb = len(widths)
+    wpb = widths.astype(np.int64) * (BLOCK // 32)
+    start_word = np.zeros(nb, np.int64)
+    np.cumsum(wpb[:-1], out=start_word[1:])
+    words = np.ascontiguousarray(words)
+    z = np.zeros((nb, BLOCK), np.uint32)
+    for wv in np.unique(widths):
+        w = int(wv)
+        if w == 0:
+            continue  # z rows stay 0
+        sel = np.nonzero(widths == wv)[0]
+        nwords_b = BLOCK * w // 32
+        payload = words[start_word[sel, None] + np.arange(nwords_b)[None, :]]
+        # strided field extraction (the _pack_rows inverse): fields whose
+        # index is congruent mod g share a bit phase and a uniform word
+        # stride, so each of the <=32 phases is <=2 shifts + a mask on a
+        # strided view — ~4 u32 ops/field, no 8x bit expansion
+        g = 32 // math.gcd(w, 32)
+        stride = w * g // 32
+        ngroups = BLOCK // g
+        mask = np.uint32((1 << w) - 1)
+        out = np.empty((len(sel), BLOCK), np.uint32)
+        for p in range(g):
+            bitoff = (p * w) % 32
+            w0 = (p * w) // 32
+            fld = payload[:, w0::stride][:, :ngroups] >> np.uint32(bitoff)
+            if bitoff + w > 32:  # field straddles into the next word
+                nxt = payload[:, w0 + 1 :: stride][:, :ngroups]
+                fld = fld | (nxt << np.uint32(32 - bitoff))
+            out[:, p::g] = fld & mask
+        z[sel] = out
+    z = z.reshape(-1)
+    d = ((z >> np.uint32(1)).astype(np.int32)
+         ^ -(z & np.uint32(1)).astype(np.int32))
+    d = d[: n_out * f_pad].reshape(n_out, f_pad)
+    q = np.cumsum(d, axis=1, dtype=np.int32)
+    qmax = (1 << bits) - 1
+    rngv = np.float32(hi) - np.float32(lo)
+    scale = np.float32(qmax) / rngv if rngv > 0 else np.float32(1.0)
+    db = (q[:, :n_frames].T.astype(np.float32) / scale) + np.float32(lo)
+    return np.ascontiguousarray(db)

@@ -79,6 +79,53 @@ def _upsample_quirk_range(state, factor: int, s0: int, e1: int) -> np.ndarray:
     return (b * r + wav[jj] * (f32(1.0) - r)).astype(np.float32)
 
 
+def _sparse_query(lvl_max, lvl_min, pmx, pmn, starts, ends, k):
+    """The 8-gather sparse-table lookup over prebuilt levels (level k in
+    lvl_*, level k-1 in pm*)."""
+    nbuf = pmx.shape[0]
+    lens = ends - starts
+    sel = (lens < (jnp.int32(1) << k)) & (k > 0)  # use level k-1
+    w = jnp.int32(1) << jnp.where(sel, k - 1, k)
+    lo = jnp.clip(starts, 0, nbuf - 1)
+    hi = jnp.clip(ends - w, 0, nbuf - 1)
+    a_max = jnp.where(sel, pmx[lo], lvl_max[lo])
+    b_max = jnp.where(sel, pmx[hi], lvl_max[hi])
+    a_min = jnp.where(sel, pmn[lo], lvl_min[lo])
+    b_min = jnp.where(sel, pmn[hi], lvl_min[hi])
+    return jnp.maximum(a_max, b_max), jnp.minimum(a_min, b_min)
+
+
+@functools.partial(jax.jit, static_argnames=("pad",))
+def _build_sparse_levels(wav, scale, k, *, pad):
+    """Build the two sparse-table levels (k and k-1) for ``wav`` — the
+    doubling min/max passes of :func:`_sparse_window_minmax`, split out so
+    EnvelopeState can cache the result per (k, pad): the build streams the
+    whole buffer ~2k times, while a cached re-render needs only the 8
+    gathers per column (docs/STATUS.md r2 known gap)."""
+    if wav.dtype in (jnp.int16, jnp.int32):
+        wav = wav.astype(jnp.float32) * jnp.float32(scale)
+    nbuf = wav.shape[0]
+    neg = jnp.full((pad,), -jnp.inf, wav.dtype)
+    pos = jnp.full((pad,), jnp.inf, wav.dtype)
+    mx0 = jnp.concatenate([wav, neg])
+    mn0 = jnp.concatenate([wav, pos])
+
+    def step(j, carry):
+        mx, mn, pmx, pmn = carry
+        save = j == k - 1
+        pmx = jnp.where(save, mx[:nbuf], pmx)
+        pmn = jnp.where(save, mn[:nbuf], pmn)
+        sh = jnp.int32(1) << j
+        mx_s = jax.lax.dynamic_slice(mx, (sh,), (nbuf,))
+        mn_s = jax.lax.dynamic_slice(mn, (sh,), (nbuf,))
+        mx = mx.at[:nbuf].set(jnp.maximum(mx[:nbuf], mx_s))
+        mn = mn.at[:nbuf].set(jnp.minimum(mn[:nbuf], mn_s))
+        return mx, mn, pmx, pmn
+
+    mx, mn, pmx, pmn = jax.lax.fori_loop(0, k, step, (mx0, mn0, wav, wav))
+    return mx[:nbuf], mn[:nbuf], pmx, pmn
+
+
 def _sparse_window_minmax(wav, starts, ends, k, n_cols, pad):
     """Sparse-table path: exact per-column (max, min) via two overlapping
     power-of-two windows (classic RMQ).
@@ -129,18 +176,7 @@ def _sparse_window_minmax(wav, starts, ends, k, n_cols, pad):
     mx, mn, pmx, pmn = jax.lax.fori_loop(
         0, k, step, (mx0, mn0, wav, wav)
     )
-    lvl_max, lvl_min = mx[:nbuf], mn[:nbuf]
-
-    lens = ends - starts
-    sel = (lens < (jnp.int32(1) << k)) & (k > 0)  # use level k-1
-    w = jnp.int32(1) << jnp.where(sel, k - 1, k)
-    lo = jnp.clip(starts, 0, nbuf - 1)
-    hi = jnp.clip(ends - w, 0, nbuf - 1)
-    a_max = jnp.where(sel, pmx[lo], lvl_max[lo])
-    b_max = jnp.where(sel, pmx[hi], lvl_max[hi])
-    a_min = jnp.where(sel, pmn[lo], lvl_min[lo])
-    b_min = jnp.where(sel, pmn[hi], lvl_min[hi])
-    return jnp.maximum(a_max, b_max), jnp.minimum(a_min, b_min)
+    return _sparse_query(mx[:nbuf], mn[:nbuf], pmx, pmn, starts, ends, k)
 
 
 def _chunked_window_minmax(wav, starts, ends, m, n_cols):
@@ -219,7 +255,9 @@ class EnvelopeState:
 
         self._pooled = None
         self._col_cache = collections.OrderedDict()
-        # guards the LRU + lazy pyramid + lazy host f32 under concurrent
+        self._sparse_cache = collections.OrderedDict()  # (k, pad) -> levels
+        self._dev_col_cache = collections.OrderedDict()  # key -> dev arrays
+        # guards the LRUs + lazy pyramid + lazy host f32 under concurrent
         # viewer renders
         self._cache_lock = threading.Lock()
 
@@ -263,6 +301,45 @@ class EnvelopeState:
             if self._pooled is None:
                 self._pooled = _block_minmax(self.dev, self.scale)
             return self._pooled
+
+    def sparse_levels(self, k: int, pad: int):
+        """Device-cached sparse-table levels for this track's buffer
+        (VERDICT r2 #5: the per-render build streamed the whole buffer
+        ~2k times; re-renders now pay only the 8 gathers per column).
+        Returns (bmax (2, nbuf), bmin (2, nbuf)) stacks of (level-k,
+        level-(k-1)) max/min tables.  LRU of 2: a user bounces between a
+        couple of zoom levels, and each level set costs 16 bytes/sample."""
+        key = (int(k), int(pad))
+        with self._cache_lock:
+            hit = self._sparse_cache.get(key)
+            if hit is not None:
+                self._sparse_cache.move_to_end(key)
+                return hit
+        lmax, lmin, pmx, pmn = _build_sparse_levels(
+            self.dev, jnp.float32(self.scale), jnp.int32(k), pad=int(pad)
+        )
+        packed = (jnp.stack([lmax, pmx]), jnp.stack([lmin, pmn]))
+        with self._cache_lock:
+            self._sparse_cache[key] = packed
+            while len(self._sparse_cache) > 2:
+                self._sparse_cache.popitem(last=False)
+        return packed
+
+    def dev_cols(self, key, starts_p, ends_p):
+        """Device-resident column-window arrays, cached per render
+        geometry: a same-zoom re-render (e.g. an amp change) then uploads
+        only scalars instead of the 8-bytes-per-column index arrays."""
+        with self._cache_lock:
+            hit = self._dev_col_cache.get(key)
+            if hit is not None:
+                self._dev_col_cache.move_to_end(key)
+                return hit
+        dev_pair = (jnp.asarray(starts_p), jnp.asarray(ends_p))
+        with self._cache_lock:
+            self._dev_col_cache[key] = dev_pair
+            while len(self._dev_col_cache) > 8:
+                self._dev_col_cache.popitem(last=False)
+        return dev_pair
 
     def _windows_for(self, i_px: np.ndarray, nwidth: int, buf_len: int):
         """±1.5·spp column windows (display.rs:92-97 semantics) for the
@@ -387,14 +464,23 @@ def _envelope_core(
     wav, bmax, bmin, starts, ends, amp_min, amp_max, scale, k, *, m,
     nheight, n_cols, mode
 ):
-    if wav.dtype in (jnp.int16, jnp.int32):
-        wav = wav.astype(jnp.float32) * jnp.float32(scale)
-    if mode == "pooled":
-        mx, mn = _pooled_window_minmax(wav, bmax, bmin, starts, ends, m, n_cols)
-    elif mode == "sparse":
-        mx, mn = _sparse_window_minmax(wav, starts, ends, k, n_cols, pad=m)
+    if mode == "sparse_pre":
+        # prebuilt levels ride in through the bmax/bmin slots as (2, nbuf)
+        # stacks; the waveform itself is never touched
+        mx, mn = _sparse_query(
+            bmax[0], bmin[0], bmax[1], bmin[1], starts, ends, k
+        )
     else:
-        mx, mn = _chunked_window_minmax(wav, starts, ends, m, n_cols)
+        if wav.dtype in (jnp.int16, jnp.int32):
+            wav = wav.astype(jnp.float32) * jnp.float32(scale)
+        if mode == "pooled":
+            mx, mn = _pooled_window_minmax(
+                wav, bmax, bmin, starts, ends, m, n_cols
+            )
+        elif mode == "sparse":
+            mx, mn = _sparse_window_minmax(wav, starts, ends, k, n_cols, pad=m)
+        else:
+            mx, mn = _chunked_window_minmax(wav, starts, ends, m, n_cols)
 
     # amp -> row: rust_round((amp_max - x) * nheight / range) as isize.
     # The f32 association must be ((amp_max - x) * nheight) / range exactly
@@ -520,12 +606,17 @@ def wav_to_image(
                       and max_win <= _DIRECT_LIMIT)
     k = 0
     if use_sparse:
-        mode = "sparse"
         # static build pad >= max window; power-of-two bucketed so zoom
         # levels share few compiled programs
         m = int(next_pow2(max(max_win, 128)))
-        bmax = bmin = jnp.zeros((8,), jnp.float32)  # unused placeholder
         k = k_sparse
+        if state is not None and dev is state.dev:
+            # per-track device-cached levels: re-renders skip the build
+            mode = "sparse_pre"
+            bmax, bmin = state.sparse_levels(k_sparse, m)
+        else:
+            mode = "sparse"
+            bmax = bmin = jnp.zeros((8,), jnp.float32)  # unused placeholder
     elif max_win <= _DIRECT_LIMIT:
         mode = "direct"
         m = m_direct
@@ -538,12 +629,19 @@ def wav_to_image(
         else:
             bmax, bmin = state.pooled()
 
+    if dev is state.dev:
+        # device col-window cache: an amp-only re-render uploads scalars,
+        # not the 8-bytes-per-column index arrays
+        col_key = (nwidth, buf_len, c0, c1, offset, n_cols)
+        starts_d, ends_d = state.dev_cols(col_key, starts_p, ends_p)
+    else:
+        starts_d, ends_d = jnp.asarray(starts_p), jnp.asarray(ends_p)
     top, bottom = _envelope_core(
         dev,
         bmax,
         bmin,
-        jnp.asarray(starts_p),
-        jnp.asarray(ends_p),
+        starts_d,
+        ends_d,
         float(amp_min),
         float(amp_max),
         state.scale,

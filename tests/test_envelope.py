@@ -254,3 +254,34 @@ def test_envelope_tall_image_no_int16_wrap(rng):
     assert ((last - first) >= 2).all()
     # bands sit in the middle quarter (signal is ~|x| <= 2 of +-8 amps)
     assert first.min() > 14000 and last.max() < 26000
+
+
+def test_sparse_cached_levels_match_uncached(rng, monkeypatch):
+    """The per-state cached-level sparse path (sparse_pre) must be
+    pixel-identical to the build-per-render sparse path and to direct."""
+    from msv_tpu.render import envelope as env
+
+    wav = (rng.standard_normal(50000) * 8000).astype(np.int16)
+    wav[2000:2200] = 31000  # a spike + ties
+    cases = [(700, 90), (123, 40), (2048, 64)]
+    monkeypatch.setattr(env, "_FORCE_MODE", "direct")
+    st_a = EnvelopeState(None, wav, n=len(wav))
+    ref = [env.wav_to_image(None, nw, nh, (-1.2, 1.2), state=st_a)
+           for nw, nh in cases]
+    monkeypatch.setattr(env, "_FORCE_MODE", "sparse")
+    st_b = EnvelopeState(None, wav, n=len(wav))
+    got1 = [env.wav_to_image(None, nw, nh, (-1.2, 1.2), state=st_b)
+            for nw, nh in cases]
+    # with a state, the sparse route uses cached levels (sparse_pre);
+    # render twice so the second pass hits the cache
+    assert len(st_b._sparse_cache) > 0
+    got2 = [env.wav_to_image(None, nw, nh, (-1.2, 1.2), state=st_b)
+            for nw, nh in cases]
+    # amp-only change reuses the cached device col windows
+    got3 = env.wav_to_image(None, cases[0][0], cases[0][1], (-2.0, 2.0),
+                            state=st_b)
+    assert len(st_b._dev_col_cache) > 0
+    for (nw, nh), r, g1, g2 in zip(cases, ref, got1, got2):
+        np.testing.assert_array_equal(g1, r, err_msg=f"{nw}x{nh}")
+        np.testing.assert_array_equal(g2, r, err_msg=f"{nw}x{nh} cached")
+    assert got3.shape == ref[0].shape

@@ -533,3 +533,25 @@ def test_render_size_caps(wav_dir):
     assert img.shape[0] == 100 and 900 <= img.shape[1] <= 1100
     wimg = mt.get_wav_image_crop(0, 1e7, 80, -1.0, 1.0, 0.2, 0.2001)
     assert wimg.shape[0] == 80 and 900 <= wimg.shape[1] <= 1100
+
+
+def test_get_spec_db_wire_formats(wav_dir):
+    """Packed dB export (default q16) must stay within its documented
+    quantization bound of the bit-exact f32 fetch."""
+    from msv_tpu.config import get_db_wire
+
+    assert get_db_wire() == "q10"
+    mt = MultiTrack()
+    mt.add_tracks([0], [wav_dir[16000]])
+    exact = mt.get_spec_db(0, wire="f32")
+    st = mt._state[0]
+    rng_db = st.smax - st.smin
+    for wire, bits in [("q16", 16), ("q12", 12), ("q10", 10), ("q8", 8)]:
+        got = mt.get_spec_db(0, wire=wire)
+        assert got.shape == exact.shape and got.dtype == np.float32
+        bound = 0.5 * rng_db / ((1 << bits) - 1) + 1e-4
+        assert np.abs(got - exact).max() <= bound, wire
+    # default == q16
+    np.testing.assert_array_equal(mt.get_spec_db(0), mt.get_spec_db(0, wire="q10"))
+    with pytest.raises(ValueError):
+        mt.get_spec_db(0, wire="q7")

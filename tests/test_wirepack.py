@@ -316,3 +316,133 @@ def test_streaming_scaled_carrier_matches_f32(rng):
         f32, p.win_length, p.hop_length, c, s, fb, **kw)
     assert nf_i == nf_f and lo_i == lo_f and hi_i == hi_f
     np.testing.assert_array_equal(np.asarray(db_i), np.asarray(db_f))
+
+
+# ---------------------------------------------------------------- downlink
+
+
+def _spec_like(rng, f=1200, n_out=96):
+    """Realistic dB spectrogram: smooth tonal ridges + noise floor."""
+    t = np.arange(f)[:, None] / 100.0
+    m = np.arange(n_out)[None, :] / n_out
+    db = (
+        -90.0
+        + 40.0 * np.exp(-((m - 0.3 - 0.1 * np.sin(t)) ** 2) / 0.002)
+        + 25.0 * np.exp(-((m - 0.7) ** 2) / 0.01) * (0.5 + 0.5 * np.sin(2 * t))
+        + 3.0 * rng.standard_normal((f, n_out))
+    )
+    return np.clip(db, -120.0, 0.0).astype(np.float32)
+
+
+@pytest.mark.parametrize("bits", [16, 12, 10, 8])
+def test_pack_spec_downlink_roundtrip(rng, bits):
+    """Device pack -> host unpack must land within the documented grid
+    error of the original, deterministically."""
+    import jax.numpy as jnp
+
+    from msv_tpu.parallel.wirepack import (
+        fetch_packed_prefix,
+        pack_spec_device,
+        unpack_spec_np,
+    )
+
+    db = _spec_like(rng)
+    f, n_out = db.shape
+    lo, hi = float(db.min()), float(db.max())
+    words, widths, nused = pack_spec_device(
+        jnp.asarray(db), jnp.float32(lo), jnp.float32(hi), bits=bits
+    )
+    wp = fetch_packed_prefix(words, int(np.asarray(nused)))
+    out = unpack_spec_np(wp, np.asarray(widths), f, n_out, f, lo, hi, bits)
+    assert out.shape == db.shape and out.dtype == np.float32
+    bound = 0.5 * (hi - lo) / ((1 << bits) - 1) + 1e-4
+    assert np.abs(out - db).max() <= bound
+    # deterministic
+    words2, widths2, nused2 = pack_spec_device(
+        jnp.asarray(db), jnp.float32(lo), jnp.float32(hi), bits=bits
+    )
+    out2 = unpack_spec_np(
+        fetch_packed_prefix(words2, int(np.asarray(nused2))),
+        np.asarray(widths2), f, n_out, f, lo, hi, bits,
+    )
+    np.testing.assert_array_equal(out, out2)
+    # the packed stream must actually compress a realistic spectrogram
+    packed_bytes = int(np.asarray(nused)) * 4 + np.asarray(widths).nbytes
+    assert packed_bytes < db.nbytes / 2.0
+
+
+def test_pack_spec_downlink_padded_frames(rng):
+    """Bucketed frame padding (garbage rows past n_frames) must not leak
+    into the unpacked result."""
+    import jax.numpy as jnp
+
+    from msv_tpu.parallel.wirepack import (
+        fetch_packed_prefix,
+        pack_spec_device,
+        unpack_spec_np,
+    )
+
+    db = _spec_like(rng, f=700)
+    f_pad = 768
+    full = np.full((f_pad, db.shape[1]), -360.0, np.float32)
+    full[:700] = db
+    lo, hi = float(db.min()), float(db.max())
+    words, widths, nused = pack_spec_device(
+        jnp.asarray(full), jnp.float32(lo), jnp.float32(hi), bits=16
+    )
+    out = unpack_spec_np(
+        fetch_packed_prefix(words, int(np.asarray(nused))),
+        np.asarray(widths), 700, db.shape[1], f_pad, lo, hi, 16,
+    )
+    assert out.shape == db.shape
+    assert np.abs(out - db).max() <= 0.5 * (hi - lo) / 65535 + 1e-4
+
+
+def test_pack_spec_downlink_degenerate_range():
+    """Constant spectrogram (lo == hi) must not divide by zero."""
+    import jax.numpy as jnp
+
+    from msv_tpu.parallel.wirepack import (
+        fetch_packed_prefix,
+        pack_spec_device,
+        unpack_spec_np,
+    )
+
+    db = np.full((256, 32), -50.0, np.float32)
+    words, widths, nused = pack_spec_device(
+        jnp.asarray(db), jnp.float32(-50.0), jnp.float32(-50.0), bits=16
+    )
+    out = unpack_spec_np(
+        fetch_packed_prefix(words, int(np.asarray(nused))),
+        np.asarray(widths), 256, 32, 256, -50.0, -50.0, 16,
+    )
+    np.testing.assert_array_equal(out, db)
+
+
+def test_spec_unpack_native_matches_numpy(rng):
+    """The C single-pass unpack must reproduce the numpy oracle
+    bit-for-bit (decode, cumsum, dequant — including f32 division)."""
+    import jax.numpy as jnp
+
+    from msv_tpu.parallel.wirepack import (
+        _native_lib,
+        fetch_packed_prefix,
+        pack_spec_device,
+        unpack_spec_np,
+    )
+
+    if _native_lib() is None:
+        pytest.skip("native lib not built")
+    for bits, f, n_out, n_frames in [(10, 1280, 96, 1200), (16, 512, 33, 500)]:
+        db = _spec_like(rng, f=f, n_out=n_out)
+        lo, hi = float(db.min()), float(db.max())
+        words, widths, nused = pack_spec_device(
+            jnp.asarray(db), jnp.float32(lo), jnp.float32(hi), bits=bits
+        )
+        wp = fetch_packed_prefix(words, int(np.asarray(nused)))
+        wh = np.asarray(widths)
+        a = unpack_spec_np(wp, wh, n_frames, n_out, f, lo, hi, bits,
+                           native=True)
+        b = unpack_spec_np(wp, wh, n_frames, n_out, f, lo, hi, bits,
+                           native=False)
+        np.testing.assert_array_equal(a, b, err_msg=f"bits={bits}")
