@@ -83,7 +83,7 @@ def main():
         m.add_tracks([0], [p48_1s])
 
     emit("get_mel_spectrogram_1s_48k", _timeit(run_mel),
-         reference="bench.rs:62-77")
+         reference="bench.rs:62-77", reps=3)
 
     # ---- reference bench 2: "draw spectrogram" (bench.rs:79-95) ----------
     # cached grey -> Lanczos3 resize -> colormap at 100 px/s x 500 px.
@@ -97,21 +97,22 @@ def main():
         img = mt.get_spec_image(0, 100.0, 500)
 
     emit("draw_spectrogram_100pxs_500px", _timeit(run_draw),
-         reference="bench.rs:79-95", audio_seconds=sec)
+         reference="bench.rs:79-95", audio_seconds=sec, reps=3)
 
     # ---- reference bench 3: "add track" x6 (bench.rs:32-45) --------------
     def run_add6():
         m = MultiTrack()
         m.add_tracks(list(range(6)), [p48_1s] * 6)
 
-    emit("add_track_x6", _timeit(run_add6), reference="bench.rs:32-45")
+    emit("add_track_x6", _timeit(run_add6), reference="bench.rs:32-45",
+         reps=3)
 
     # ---- reference bench 4: "multitrack get spec image" (bench.rs:47-60) -
     def run_get():
         mt.get_spec_image(0, 100.0, 500)
 
     emit("multitrack_get_spec_image", _timeit(run_get),
-         reference="bench.rs:47-60")
+         reference="bench.rs:47-60", reps=3)
 
     # ---- BASELINE.json configs ------------------------------------------
     # (1) single-file Hann STFT -> dB -> colormap at fixed params
@@ -125,10 +126,10 @@ def main():
 
     def run_cfg1():
         mag, n = stft_magnitude(wav16, 2048, 512, 2048)
-        mag.block_until_ready()
+        float(np.asarray(mag.ravel()[0]))  # value fetch = honest sync
 
     emit("cfg1_stft_16k_nfft2048_hop512", _timeit(run_cfg1),
-         reference="BASELINE.json configs[0]")
+         reference="BASELINE.json configs[0]", reps=3)
 
     # (2) all sample rates batched
     paths = []
@@ -142,7 +143,7 @@ def main():
         m.add_tracks(list(range(len(paths))), paths)
 
     emit("cfg2_all_rates_batched", _timeit(run_cfg2),
-         reference="BASELINE.json configs[1]")
+         reference="BASELINE.json configs[1]", reps=3)
 
     # (3) 128-band mel path on 48k
     from msv_tpu.ops.mel import calc_mel_fb
@@ -158,10 +159,10 @@ def main():
         db, n, lo, hi = streaming_spec_db(
             wav48, p.win_length, p.hop_length, c, s, fb128, chunk_frames=1024
         )
-        db.block_until_ready()
+        float(np.asarray(db.ravel()[0]))  # value fetch = honest sync
 
     emit("cfg3_mel128_48k", _timeit(run_cfg3),
-         reference="BASELINE.json configs[2]", audio_seconds=sec)
+         reference="BASELINE.json configs[2]", audio_seconds=sec, reps=3)
 
     # (4) multi-track zoom/crop re-render via kernel relaunch
     def run_cfg4():
@@ -169,7 +170,37 @@ def main():
             mt.get_spec_image(0, pps, 500)
 
     emit("cfg4_zoom_rerender_x3", _timeit(run_cfg4),
-         reference="BASELINE.json configs[3]")
+         reference="BASELINE.json configs[3]", reps=3)
+
+    # (4b) ML frontend: batched log-mel features, fused-kernel default vs
+    # the XLA oracle path (VERDICT r2 #7: the one compute-bound,
+    # fast-tolerant surface where pallas-fast should win by default)
+    from msv_tpu.config import set_engine
+    from msv_tpu.features import log_mel_spectrogram
+
+    feat_wav = np.ascontiguousarray(
+        (wav48[: 48000 * 4] if len(wav48) >= 48000 * 4 else wav48)
+    )
+    feat_batch = np.stack([feat_wav] * 4)
+
+    def run_features_default():  # pallas on TPU, XLA elsewhere
+        out = log_mel_spectrogram(feat_batch, 48000, n_mel=128,
+                                  win_ms=40.0, hop_ms=10.0)
+        float(np.asarray(out.ravel()[0]))
+
+    def run_features_xla():
+        set_engine("xla")
+        try:
+            out = log_mel_spectrogram(feat_batch, 48000, n_mel=128,
+                                      win_ms=40.0, hop_ms=10.0)
+            float(np.asarray(out.ravel()[0]))
+        finally:
+            set_engine("auto")
+
+    emit("features_logmel_b4_4s_default", _timeit(run_features_default),
+         reference="lib.rs:449-458 hot loop (ML frontend)", reps=3)
+    emit("features_logmel_b4_4s_xla", _timeit(run_features_xla),
+         reference="XLA oracle path", reps=3)
 
     # (5) streaming long-file mode
     if not args.skip_hour:
@@ -184,12 +215,15 @@ def main():
                 long_wav, p.win_length, p.hop_length, c, s, fb,
                 chunk_frames=4096,
             )
-            db.block_until_ready()
+            float(np.asarray(db.ravel()[0]))  # value fetch = honest sync
 
-        w = _timeit(run_cfg5, reps=1)
+        # same methodology as bench.py (median of reps, value-fetch sync):
+        # the old single-rep figure was one tunnel-weather sample and sat
+        # 2-3x under the driver metric (VERDICT r2 #6)
+        w = _timeit(run_cfg5)
         emit("cfg5_streaming_long_file", w,
              reference="BASELINE.json configs[4]",
-             audio_seconds=hour_sec,
+             audio_seconds=hour_sec, reps=3,
              realtime_factor=round(hour_sec / w, 1))
 
 

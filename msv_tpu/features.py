@@ -13,6 +13,15 @@ Conventions differ from the viewer session on purpose:
   * mel norm defaults to 'slaney' (librosa-compatible) instead of the
     viewer's 'sum';
   * optional ``top_db`` floor relative to the batch max, librosa-style.
+  * precision defaults to 'fast' (bf16 MXU passes, ~0.04 dB error — noise
+    at feature scale), unlike the session's 'parity' default; pass
+    precision='parity' for bit-faithful dB.
+
+Engine: on TPU (or with the engine forced to 'pallas') amp-dB mel features
+run through the fused Pallas kernel (kernels/spectrogram_pallas.py) — the
+one measured compute-bound surface where its +39% over the XLA pipeline
+lands by default (docs/ARCHITECTURE.md).  The XLA path remains the oracle
+and serves every other configuration; set_engine('xla') forces it.
 """
 
 import functools
@@ -21,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import get_precision_mode
 from .ops.decibel import amp_to_db
 from .ops.dft import windowed_dft_matrices
 from .ops.framing import n_frames_for, reflect_pad_center
@@ -75,6 +83,7 @@ def log_mel_spectrogram(
     mel_norm="slaney",
     log: str = "amp_db",
     top_db: float | None = None,
+    precision: str | None = None,
 ):
     """Batched log-mel features: (T,) or (B, T) -> (B?, n_frames, n_mel).
 
@@ -82,6 +91,7 @@ def log_mel_spectrogram(
     the exact frame count.  ``log``: 'amp_db' (20·log10 with the exact
     reference floor), 'power_db', or 'ln' (natural log of magnitude).
     ``top_db`` clamps at (max - top_db) like librosa's power_to_db.
+    ``precision``: 'fast' (default — bf16 MXU, ~0.04 dB) or 'parity'.
     """
     wav = np.asarray(wav, dtype=np.float32)
     squeeze = wav.ndim == 1
@@ -110,18 +120,57 @@ def log_mel_spectrogram(
             for w in wav
         ]
     )
-    out = _features_core(
-        jnp.asarray(padded),
-        jnp.asarray(c),
-        jnp.asarray(s),
-        jnp.asarray(fb),
-        jnp.int32(n_frames),
-        win=win_length,
-        hop=hop_length,
-        n_frames=n_pad,
-        log=log,
-        mode=get_precision_mode(),
-    )[:, :n_frames, :]
+    mode = precision or "fast"
+    if mode not in ("fast", "parity"):
+        raise ValueError(f"unknown precision: {mode!r}")
+
+    from .config import get_engine
+
+    engine = get_engine()
+    use_pallas = (
+        log == "amp_db"
+        and win_length % hop_length == 0
+        and engine != "xla"
+        and (engine == "pallas" or jax.default_backend() == "tpu")
+    )
+    if use_pallas:
+        from .kernels.spectrogram_pallas import (
+            mel_spectrogram_pallas,
+            prepare_matrices,
+            prepare_wav2d,
+        )
+
+        c3, s3, fb3, _ = prepare_matrices(c, s, fb, win_length)
+        c3d, s3d, fb3d = jnp.asarray(c3), jnp.asarray(s3), jnp.asarray(fb3)
+        interpret = jax.default_backend() != "tpu"
+        outs = [
+            mel_spectrogram_pallas(
+                jnp.asarray(prepare_wav2d(w, win_length, hop_length, n_pad)),
+                c3d,
+                s3d,
+                fb3d,
+                win=win_length,
+                hop=hop_length,
+                n_frames=n_pad,
+                interpret=interpret,
+                mode=mode,
+            )[:, :n_mel]
+            for w in padded
+        ]
+        out = jnp.stack(outs)[:, :n_frames, :]
+    else:
+        out = _features_core(
+            jnp.asarray(padded),
+            jnp.asarray(c),
+            jnp.asarray(s),
+            jnp.asarray(fb),
+            jnp.int32(n_frames),
+            win=win_length,
+            hop=hop_length,
+            n_frames=n_pad,
+            log=log,
+            mode=mode,
+        )[:, :n_frames, :]
     if top_db is not None:
         out = jnp.maximum(out, jnp.max(out) - top_db)
     return out[0] if squeeze else out

@@ -55,7 +55,8 @@ def _kernel(wav_ref, c_ref, s_ref, fb_ref, out_ref,
     from jax.experimental.pallas import tpu as pltpu
 
     i = pl.program_id(0)
-    n_chunk_rows = chunk.shape[0]  # TILE_F + t_overlap - 1, rounded up to 8
+    n_chunk_rows = chunk.shape[0]  # tile_f + t_overlap - 1, rounded up to 8
+    tile_f = frames.shape[0]
     win_p = frames.shape[1]
 
     # semaphore layout: [c0, c1, s0, s1, fb0, fb1, wav]
@@ -73,16 +74,16 @@ def _kernel(wav_ref, c_ref, s_ref, fb_ref, out_ref,
     # Mosaic DMA alignment: copies must be (8k sublanes, 128m lanes), hence
     # the lane-padded (N_rows, hop_p) waveform layout from prepare_operands.
     wav_dma = pltpu.make_async_copy(
-        wav_ref.at[pl.ds(i * TILE_F, n_chunk_rows), :], chunk,
+        wav_ref.at[pl.ds(i * tile_f, n_chunk_rows), :], chunk,
         sems.at[6],
     )
     wav_dma.start()
     start_k(0, 0)
     wav_dma.wait()
     if win_p > win:
-        frames[:, win:win_p] = jnp.zeros((TILE_F, win_p - win), jnp.float32)
+        frames[:, win:win_p] = jnp.zeros((tile_f, win_p - win), jnp.float32)
     for t in range(t_overlap):
-        sl = chunk[t : t + TILE_F, :hop]
+        sl = chunk[t : t + tile_f, :hop]
         if chunk.dtype == jnp.int16:
             # PCM16 transfer format: exact 2^-15 scale during assembly
             sl = sl.astype(jnp.float32) * jnp.float32(2.0**-15)
@@ -127,17 +128,24 @@ def _kernel(wav_ref, c_ref, s_ref, fb_ref, out_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("win", "hop", "n_frames", "interpret", "mode"),
+    static_argnames=("win", "hop", "n_frames", "interpret", "mode",
+                     "tile_f"),
 )
 def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
-                           interpret=False, mode=None):
+                           interpret=False, mode=None, tile_f=TILE_F):
     """Fused mel dB spectrogram.
 
     wav2d: (n_frames + t_overlap - 1, hop) f32 — padded signal, reshaped.
     c3d, s3d: (nk, win, TILE_K) pre-tiled windowed-DFT matrices.
     fb3d: (nk, TILE_K, n_mel_p) pre-tiled mel filterbank (n_mel_p % 128 == 0).
-    Returns (n_frames, n_mel_p) f32 dB.  Requires n_frames % TILE_F == 0.
+    Returns (n_frames, n_mel_p) f32 dB.  Requires n_frames % tile_f == 0.
     Use ``prepare_operands`` to build the tiled operands.
+
+    ``tile_f`` (frames per grid step) is the DMA-amortization knob: the
+    C/S/fb tiles are re-streamed from HBM for every frame tile (they are
+    too big to persist in VMEM across the grid), so doubling tile_f halves
+    the dominant HBM traffic — bounded by VMEM (~16 MB: the double
+    buffers are fixed ~9 MB, frames+acc scale with tile_f).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -145,16 +153,16 @@ def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
     t_overlap = win // hop
     if win % hop:
         raise ValueError("pallas kernel requires win % hop == 0")
-    if n_frames % TILE_F:
-        raise ValueError(f"n_frames must be a multiple of {TILE_F}")
+    if n_frames % tile_f:
+        raise ValueError(f"n_frames must be a multiple of {tile_f}")
     n_k_tiles = c3d.shape[0]
     win_p = c3d.shape[1]
     hop_p = wav2d.shape[1]
     n_mel_p = fb3d.shape[2]
-    n_f_tiles = n_frames // TILE_F
+    n_f_tiles = n_frames // tile_f
     # i16 tiles are (16, 128); f32 tiles are (8, 128) — round DMA rows up
     row_align = 16 if wav2d.dtype == jnp.int16 else 8
-    n_chunk_rows = round_up_to(TILE_F + t_overlap - 1, row_align)
+    n_chunk_rows = round_up_to(tile_f + t_overlap - 1, row_align)
 
     from ..config import get_precision_mode, precision_for
 
@@ -174,13 +182,13 @@ def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
             pl.BlockSpec(memory_space=pl.ANY),  # s3d
             pl.BlockSpec(memory_space=pl.ANY),  # fb3d
         ],
-        out_specs=pl.BlockSpec((TILE_F, n_mel_p), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile_f, n_mel_p), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_frames, n_mel_p), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((n_chunk_rows, hop_p), wav2d.dtype),  # chunk
-            pltpu.VMEM((TILE_F, win_p), jnp.float32),  # frames
-            pltpu.VMEM((TILE_F, n_mel_p), jnp.float32),  # accumulator
+            pltpu.VMEM((tile_f, win_p), jnp.float32),  # frames
+            pltpu.VMEM((tile_f, n_mel_p), jnp.float32),  # accumulator
             pltpu.VMEM((2, win_p, TILE_K), c3d.dtype),  # C double buffer
             pltpu.VMEM((2, win_p, TILE_K), s3d.dtype),  # S double buffer
             pltpu.VMEM((2, TILE_K, n_mel_p), fb3d.dtype),  # fb double buffer

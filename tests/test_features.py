@@ -60,3 +60,40 @@ def test_mel_norm_modes(rng):
     a = np.asarray(log_mel_spectrogram(wav, 8000, n_mel=32, mel_norm="slaney"))
     b = np.asarray(log_mel_spectrogram(wav, 8000, n_mel=32, mel_norm="sum"))
     assert not np.allclose(a, b)  # genuinely different normalizations
+
+
+def test_pallas_engine_features_match_xla(rng):
+    """The fused-kernel features route (TPU default for amp_db +
+    win%hop==0) must agree with the XLA oracle path."""
+    from msv_tpu.config import set_engine
+
+    sr = 8000
+    wav = (rng.standard_normal((2, sr)) * 0.4).astype(np.float32)
+    kw = dict(n_mel=64, win_ms=40.0, hop_ms=10.0)  # win=320=4*hop
+    ref = log_mel_spectrogram(wav, sr, **kw)
+    set_engine("pallas")  # forces the fused route (interpret mode on CPU)
+    try:
+        got = log_mel_spectrogram(wav, sr, **kw)
+    finally:
+        set_engine("auto")
+    assert got.shape == ref.shape
+    d = np.abs(np.asarray(got, np.float64) - np.asarray(ref, np.float64))
+    # k-tile accumulation order differs; far below feature noise
+    assert d.max() < 0.02, d.max()
+    # parity precision also supported through the kernel
+    set_engine("pallas")
+    try:
+        got_p = log_mel_spectrogram(wav, sr, precision="parity", **kw)
+    finally:
+        set_engine("auto")
+    dp = np.abs(np.asarray(got_p, np.float64)
+                - np.asarray(log_mel_spectrogram(wav, sr,
+                                                 precision="parity", **kw),
+                             np.float64))
+    assert dp.max() < 0.02
+
+
+def test_features_precision_arg_validated(rng):
+    wav = (rng.standard_normal(4000) * 0.3).astype(np.float32)
+    with pytest.raises(ValueError):
+        log_mel_spectrogram(wav, 8000, precision="double")

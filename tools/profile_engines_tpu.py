@@ -43,6 +43,26 @@ def main():
 
     mono = realistic_audio(seconds)
     n_frames = n_frames_for(len(mono), win, hop)
+
+    # ---- FLOPs / MFU model (VERDICT r2 #8) -------------------------------
+    # Useful work per frame: two (win x n_freq) windowed-DFT GEMVs, the
+    # magnitude, and the (n_freq x n_mel) mel GEMV.  Padding flops are NOT
+    # counted (standard MFU).  Peak assumed 197 TFLOP/s bf16 on one v5e
+    # chip; parity mode runs multi-pass f32 on the same MXU, so its MFU is
+    # reported against the same bf16 peak (honest "fraction of the chip").
+    n_freq = p.n_fft // 2 + 1
+    n_mel = fb.shape[1]
+    flops_frame = 4 * win * n_freq + 2 * n_freq * n_mel + 4 * n_freq
+    peak_bf16 = 197e12
+
+    def mfu_fields(med):
+        fps = n_frames / med
+        tf = fps * flops_frame
+        return {
+            "frames_per_s": round(fps),
+            "tflops": round(tf / 1e12, 2),
+            "mfu_vs_bf16_peak_pct": round(100.0 * tf / peak_bf16, 2),
+        }
     seg_frames = cf * sc
     n_segs = -(-n_frames // seg_frames)
     padded = reflect_pad_center(mono, win)
@@ -86,16 +106,19 @@ def main():
         print(json.dumps({"name": f"{impl}_{mode}", "warm_s": round(warm, 2),
                           "median_s": round(med, 3),
                           "all": [round(t, 3) for t in times],
-                          "frames_per_s": round(n_frames / med)}), flush=True)
+                          **mfu_fields(med)}), flush=True)
 
     # pallas engine (fused kernel over frame tiles)
     from msv_tpu.kernels.spectrogram_pallas import (
         mel_spectrogram_pallas, prepare_matrices, prepare_wav2d,
     )
 
-    for mode in ("parity", "fast"):
-        c3, s3, fb3, n_mel = prepare_matrices(np.asarray(c), np.asarray(s),
-                                              np.asarray(fb), win)
+    # tile_f sweep: the C/S/fb tiles re-stream from HBM per frame tile, so
+    # doubling tile_f halves the dominant DMA traffic (VMEM-bounded)
+    for mode, tile_f in (("parity", 128), ("fast", 128), ("fast", 256),
+                         ("fast", 512), ("parity", 256)):
+        c3, s3, fb3, n_mel_k = prepare_matrices(np.asarray(c), np.asarray(s),
+                                                np.asarray(fb), win)
         if mode == "fast":
             import ml_dtypes
 
@@ -106,6 +129,8 @@ def main():
         wav2ds = [jax.device_put(prepare_wav2d(
             padded[i * seg_frames * hop : i * seg_frames * hop + seg_len],
             win, hop, seg_frames)) for i in range(n_segs)]
+        if seg_frames % tile_f:
+            continue
         for d in wav2ds:
             fetch(d)
 
@@ -114,7 +139,8 @@ def main():
             for d in wav2ds:
                 outs.append(mel_spectrogram_pallas(
                     d, c3_d, s3_d, fb3_d, win=win, hop=hop,
-                    n_frames=seg_frames, interpret=False, mode=mode))
+                    n_frames=seg_frames, interpret=False, mode=mode,
+                    tile_f=tile_f))
             for o in outs:
                 fetch(o)
 
@@ -127,10 +153,19 @@ def main():
             run_pallas()
             times.append(time.perf_counter() - t0)
         med = sorted(times)[1]
-        print(json.dumps({"name": f"pallas_{mode}", "warm_s": round(warm, 2),
+        # DMA roof: matrix bytes per frame tile / tile_f frames, at the
+        # ~819 GB/s v5e HBM bandwidth
+        bpe = 2 if mode == "fast" else 4
+        nk = c3.shape[0]
+        mat_bytes = nk * (2 * c3.shape[1] * 256 + 256 * fb3.shape[2]) * bpe
+        dma_roof_fps = 819e9 / (mat_bytes / tile_f)
+        print(json.dumps({"name": f"pallas_{mode}_tf{tile_f}",
+                          "warm_s": round(warm, 2),
                           "median_s": round(med, 3),
                           "all": [round(t, 3) for t in times],
-                          "frames_per_s": round(n_frames / med)}), flush=True)
+                          **mfu_fields(med),
+                          "dma_roof_frames_per_s": round(dma_roof_fps),
+                          }), flush=True)
 
 
 if __name__ == "__main__":
