@@ -3,13 +3,21 @@
 // device half and `unpack_spec_np` for the numpy oracle this must match
 // bit-for-bit in the quantized domain).
 //
-// The stream is b-bit quantized dB values, per-row deltas along frames
-// (first frame of each output row absolute), zigzag, packed per
-// 1024-value block at that block's max zigzag width.  This pass decodes,
-// un-deltas, dequantizes and writes the final (n_frames, n_out) f32 in
-// one streaming walk + one cache-blocked transpose — the host core's
-// memory bandwidth fluctuates wildly on this VM (CLAUDE.md), so byte
-// traffic, not arithmetic, is the budget.
+// The stream is b-bit quantized dB values (b <= 16), per-row deltas along
+// frames (first frame of each output row absolute), zigzag, packed per
+// 1024-value block at that block's max zigzag width.
+//
+// Two entry points so the Python side can PIPELINE the relay fetch with
+// decoding (the fetch is network wait; decode is CPU — overlapping them
+// costs nothing even on this single-core host):
+//   msv_spec_decode_blocks  — decode blocks [b0, b1) into a u16 quantized
+//                             scratch, carrying (col, acc) across calls
+//   msv_spec_dequant_transpose — blocked transpose + f32 dequant
+// plus msv_spec_unpack, the one-shot wrapper.
+//
+// Scratch is uint16 (quantized values are <= 2^16-1 by construction):
+// the host memory bandwidth fluctuates 30x between windows on this VM
+// (CLAUDE.md), so byte traffic, not arithmetic, is the budget.
 
 #include <cstdint>
 #include <cstring>
@@ -30,58 +38,95 @@ static inline uint64_t load_u64(const uint8_t* p) {
 
 extern "C" {
 
-// words: packed u32 stream (little-endian), widths[nb] per-block bit
-// widths, out: (n_frames, n_out) f32 row-major.  Returns 0 on success.
-int32_t msv_spec_unpack(const uint32_t* words, const int32_t* widths,
-                        int64_t nb, int64_t n_out, int64_t f_pad,
-                        int64_t n_frames, float lo, float scale,
-                        float* out) {
-  if (nb * (int64_t)kBlock < n_out * f_pad) return 1;
-  // pass 1: decode+cumsum into a (n_out, f_pad) i32 scratch, sequential
-  int32_t* q = (int32_t*)std::malloc((size_t)(n_out * f_pad) * 4);
-  if (!q) return 2;
+// Decode blocks [b0, b1) of the packed stream into q (uint16, flat
+// (n_out, f_pad) row-major).  ``words`` points at the FULL stream base
+// (caller guarantees bytes for these blocks plus 8 spare are present).
+// ``start_word`` is the per-block word offset (prefix sum of widths*32).
+// carry[0] = col within the current output row, carry[1] = running acc;
+// both must be 0 before block 0 and preserved between consecutive calls.
+int32_t msv_spec_decode_blocks(const uint32_t* words, const int32_t* widths,
+                               const int64_t* start_word, int64_t b0,
+                               int64_t b1, int64_t n_vals, int64_t f_pad,
+                               int64_t* carry, uint16_t* q) {
   const uint8_t* bytes = (const uint8_t*)words;
-  int64_t bit_base = 0;  // blocks are word-aligned; fields bit-addressed
-  int64_t idx = 0;       // flat index into (n_out, f_pad)
-  const int64_t n_vals = n_out * f_pad;
-  int32_t acc = 0;
-  for (int64_t b = 0; b < nb; ++b) {
+  int64_t col = carry[0];
+  int32_t acc = (int32_t)carry[1];
+  int64_t idx = b0 * (int64_t)kBlock;
+  for (int64_t b = b0; b < b1; ++b) {
     const int w = widths[b];
     const uint64_t mask = (w == 0) ? 0 : ((~0ULL) >> (64 - w));
-    for (int j = 0; j < kBlock; ++j) {
+    const int64_t bit_base = start_word[b] * 32;
+    for (int j = 0; j < kBlock; ++j, ++idx) {
       uint32_t z = 0;
       if (w) {
         const int64_t pos = bit_base + (int64_t)j * w;
         z = (uint32_t)((load_u64(bytes + (pos >> 3)) >> (pos & 7)) & mask);
       }
+      if (idx >= n_vals) continue;
       // un-zigzag (mod-2^32 safe), then the running row cumsum
       const int32_t d = (int32_t)((z >> 1) ^ (~(z & 1) + 1));
-      if (idx < n_vals) {
-        if (idx % f_pad == 0) acc = 0;  // first frame of a row is absolute
-        acc += d;
-        q[idx] = acc;
+      if (col == f_pad) {  // first frame of a row is absolute
+        col = 0;
+        acc = 0;
       }
-      ++idx;
+      if (col == 0) acc = 0;
+      acc += d;
+      q[idx] = (uint16_t)acc;
+      ++col;
     }
-    bit_base += (int64_t)kBlock * w;
   }
-  // pass 2: blocked transpose + dequant (n_out, f_pad) -> (n_frames, n_out).
-  // f32 DIVISION by scale, not multiply-by-reciprocal: the numpy oracle
-  // divides, and the bit-exact-vs-oracle contract includes the dequant.
+  carry[0] = col;
+  carry[1] = acc;
+  return 0;
+}
+
+// Blocked transpose + dequant: q (n_out, f_pad) u16 -> out (n_frames,
+// n_out) f32.  f32 DIVISION by scale, not multiply-by-reciprocal: the
+// numpy oracle divides, and the bit-exact-vs-oracle contract includes
+// the dequant (built with -ffp-contract=off for the same reason).
+int32_t msv_spec_dequant_transpose(const uint16_t* q, int64_t n_out,
+                                   int64_t f_pad, int64_t n_frames,
+                                   float lo, float scale, float* out) {
   constexpr int64_t T = 64;
   for (int64_t r0 = 0; r0 < n_out; r0 += T) {
     const int64_t r1 = (r0 + T < n_out) ? r0 + T : n_out;
     for (int64_t c0 = 0; c0 < n_frames; c0 += T) {
       const int64_t c1 = (c0 + T < n_frames) ? c0 + T : n_frames;
       for (int64_t r = r0; r < r1; ++r) {
-        const int32_t* qr = q + r * f_pad;
+        const uint16_t* qr = q + r * f_pad;
         for (int64_t c = c0; c < c1; ++c) {
-          out[c * n_out + r] = (float)qr[c] / scale + lo;
+          out[c * n_out + r] = (float)(int32_t)qr[c] / scale + lo;
         }
       }
     }
   }
+  return 0;
+}
+
+// One-shot wrapper (non-pipelined path / oracle comparisons).
+int32_t msv_spec_unpack(const uint32_t* words, const int32_t* widths,
+                        int64_t nb, int64_t n_out, int64_t f_pad,
+                        int64_t n_frames, float lo, float scale,
+                        float* out) {
+  const int64_t n_vals = n_out * f_pad;
+  if (nb * (int64_t)kBlock < n_vals) return 1;
+  uint16_t* q = (uint16_t*)std::malloc((size_t)n_vals * 2);
+  int64_t* sw = (int64_t*)std::malloc((size_t)nb * 8);
+  if (!q || !sw) {
+    std::free(q);
+    std::free(sw);
+    return 2;
+  }
+  int64_t acc = 0;
+  for (int64_t b = 0; b < nb; ++b) {
+    sw[b] = acc;
+    acc += (int64_t)widths[b] * (kBlock / 32);
+  }
+  int64_t carry[2] = {f_pad, 0};  // col=f_pad => reset at the first field
+  msv_spec_decode_blocks(words, widths, sw, 0, nb, n_vals, f_pad, carry, q);
+  msv_spec_dequant_transpose(q, n_out, f_pad, n_frames, lo, scale, out);
   std::free(q);
+  std::free(sw);
   return 0;
 }
 

@@ -646,6 +646,16 @@ def _prefix_slicer(size: int):
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _range_slicer(size: int):
+    import jax
+
+    # start is TRACED: every chunk of one size shares a program
+    return jax.jit(
+        lambda w, s: jax.lax.dynamic_slice(w, (s,), (size,))
+    )
+
+
 def fetch_packed_prefix(words, nwords_used: int):
     """Fetch only the used prefix of the device words buffer, rounded up
     to 1/16-of-capacity granularity so the slice-program family stays
@@ -760,3 +770,113 @@ def unpack_spec_np(words, widths, n_frames: int, n_out: int, f_pad: int,
     scale = np.float32(qmax) / rngv if rngv > 0 else np.float32(1.0)
     db = (q[:, :n_frames].T.astype(np.float32) / scale) + np.float32(lo)
     return np.ascontiguousarray(db)
+
+
+def fetch_unpack_spec_stream(words, widths, nwords_used: int, n_frames: int,
+                             n_out: int, f_pad: int, lo: float, hi: float,
+                             bits: int, nchunks: int = 4) -> np.ndarray:
+    """Pipelined fetch + decode of a device-packed spectrogram.
+
+    The used word prefix is fetched in ``nchunks`` equal bucketed slices;
+    while slice k+1 is in flight over the relay (network WAIT, not CPU),
+    a worker thread runs the C block decoder over every block whose words
+    have landed — so the wall is ~max(fetch, decode) instead of their sum.
+    Identical output to :func:`unpack_spec_np` (the carry-chained decoder
+    is the same code the one-shot wrapper runs).
+
+    Falls back to the non-pipelined numpy path when the native lib is
+    absent.
+    """
+    import ctypes as c
+    import threading
+
+    import jax.numpy as jnp
+
+    lib = _native_lib()
+    if lib is None or not hasattr(lib, "msv_spec_decode_blocks"):
+        wp = fetch_packed_prefix(words, nwords_used)
+        return unpack_spec_np(wp, widths, n_frames, n_out, f_pad, lo, hi,
+                              bits, native=False)
+    if not getattr(fetch_unpack_spec_stream, "_typed", False):
+        lib.msv_spec_decode_blocks.argtypes = [
+            c.POINTER(c.c_uint32), c.POINTER(c.c_int32),
+            c.POINTER(c.c_int64), c.c_int64, c.c_int64, c.c_int64,
+            c.c_int64, c.POINTER(c.c_int64), c.POINTER(c.c_uint16),
+        ]
+        lib.msv_spec_decode_blocks.restype = c.c_int32
+        lib.msv_spec_dequant_transpose.argtypes = [
+            c.POINTER(c.c_uint16), c.c_int64, c.c_int64, c.c_int64,
+            c.c_float, c.c_float, c.POINTER(c.c_float),
+        ]
+        lib.msv_spec_dequant_transpose.restype = c.c_int32
+        fetch_unpack_spec_stream._typed = True
+
+    widths = np.ascontiguousarray(widths, dtype=np.int32)
+    nb = len(widths)
+    wpb = widths.astype(np.int64) * (BLOCK // 32)
+    start_word = np.zeros(nb, np.int64)
+    np.cumsum(wpb[:-1], out=start_word[1:])
+    end_words = start_word + wpb
+
+    cap = words.shape[0]
+    used = max(int(nwords_used), 1)
+    # coarse buckets (1/32 of the static capacity) keep the slicer-program
+    # family small; ceil() guarantees the chunks cover the used prefix
+    gran = max(4096, cap // 32)
+    size = min(-(-(-(-used // nchunks)) // gran) * gran, cap)
+
+    n_vals = n_out * f_pad
+    q = np.empty(n_vals, np.uint16)
+    buf = np.zeros(nchunks * size + 2, np.uint32)  # +2: spare u64 read room
+    carry = np.zeros(2, np.int64)
+    state = {"b_done": 0, "thread": None}
+
+    qp = q.ctypes.data_as(c.POINTER(c.c_uint16))
+    bufp = buf.ctypes.data_as(c.POINTER(c.c_uint32))
+    wip = widths.ctypes.data_as(c.POINTER(c.c_int32))
+    swp = start_word.ctypes.data_as(c.POINTER(c.c_int64))
+    cp = carry.ctypes.data_as(c.POINTER(c.c_int64))
+
+    def decode_upto(b_ready):
+        b0 = state["b_done"]
+        if b_ready <= b0:
+            return
+        lib.msv_spec_decode_blocks(bufp, wip, swp, b0, b_ready, n_vals,
+                                   f_pad, cp, qp)
+        state["b_done"] = b_ready
+
+    sl = _range_slicer(size)
+    for k in range(nchunks):
+        start = k * size
+        if start >= used:
+            break
+        # dynamic_slice clamps out-of-range starts; request the clamped
+        # start explicitly and shift the copy so words land at their true
+        # stream offsets
+        a0 = min(start, max(cap - size, 0))
+        chunk = np.asarray(sl(words, jnp.int32(a0)))
+        off = start - a0
+        n_copy = min(size - off, used - start)
+        buf[start : start + n_copy] = chunk[off : off + n_copy]
+        avail = start + n_copy
+        b_ready = int(np.searchsorted(end_words, avail - 2, side="right"))
+        t = state["thread"]
+        if t is not None:
+            t.join()
+        t = threading.Thread(target=decode_upto, args=(b_ready,))
+        t.start()
+        state["thread"] = t
+    t = state["thread"]
+    if t is not None:
+        t.join()
+    decode_upto(nb)  # tail blocks (buffer is fully resident + zero spare)
+
+    out = np.empty((n_frames, n_out), np.float32)
+    qmax = (1 << bits) - 1
+    rngv = np.float32(hi) - np.float32(lo)
+    scale = np.float32(qmax) / rngv if rngv > 0 else np.float32(1.0)
+    lib.msv_spec_dequant_transpose(
+        qp, n_out, f_pad, n_frames, c.c_float(float(np.float32(lo))),
+        c.c_float(float(scale)), out.ctypes.data_as(c.POINTER(c.c_float)),
+    )
+    return out

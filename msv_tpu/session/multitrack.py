@@ -629,9 +629,8 @@ class MultiTrack:
             raise ValueError(f"unknown dB wire format: {wire!r}")
         bits = int(wire[1:])
         from ..parallel.wirepack import (
-            fetch_packed_prefix,
+            fetch_unpack_spec_stream,
             pack_spec_device,
-            unpack_spec_np,
         )
 
         jnp = self._jnp
@@ -641,10 +640,12 @@ class MultiTrack:
                 st.spec_db, jnp.float32(lo), jnp.float32(hi), bits=bits
             )
             wh = np.asarray(widths)  # small; also syncs the pack
-            wp = fetch_packed_prefix(words, int(np.asarray(nused)))
-        with self.timer.stage("get_spec_db.unpack"):
-            return unpack_spec_np(
-                wp, wh, st.n_frames, st.n_out, st.n_frames_pad, lo, hi, bits
+            nuv = int(np.asarray(nused))
+        with self.timer.stage("get_spec_db.fetch_unpack"):
+            # pipelined: chunked prefix fetches overlap the C block decode
+            return fetch_unpack_spec_stream(
+                words, wh, nuv, st.n_frames, st.n_out, st.n_frames_pad,
+                lo, hi, bits,
             )
 
     def _require(self, id: int) -> int:

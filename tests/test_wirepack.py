@@ -446,3 +446,37 @@ def test_spec_unpack_native_matches_numpy(rng):
         b = unpack_spec_np(wp, wh, n_frames, n_out, f, lo, hi, bits,
                            native=False)
         np.testing.assert_array_equal(a, b, err_msg=f"bits={bits}")
+
+
+@pytest.mark.parametrize("nchunks", [1, 2, 4, 7])
+def test_spec_stream_unpack_matches_oracle(rng, nchunks):
+    """The pipelined chunked-fetch decoder must equal the one-shot numpy
+    oracle bit-for-bit for any chunking (blocks straddle chunk seams)."""
+    import jax.numpy as jnp
+
+    from msv_tpu.parallel.wirepack import (
+        _native_lib,
+        fetch_packed_prefix,
+        fetch_unpack_spec_stream,
+        pack_spec_device,
+        unpack_spec_np,
+    )
+
+    if _native_lib() is None:
+        pytest.skip("native lib not built")
+    db = _spec_like(rng, f=1536, n_out=97)
+    f, n_out = db.shape
+    lo, hi = float(db.min()), float(db.max())
+    words, widths, nused = pack_spec_device(
+        jnp.asarray(db), jnp.float32(lo), jnp.float32(hi), bits=10
+    )
+    wh = np.asarray(widths)
+    nuv = int(np.asarray(nused))
+    expect = unpack_spec_np(
+        fetch_packed_prefix(words, nuv), wh, 1500, n_out, f, lo, hi, 10,
+        native=False,
+    )
+    got = fetch_unpack_spec_stream(
+        words, wh, nuv, 1500, n_out, f, lo, hi, 10, nchunks=nchunks
+    )
+    np.testing.assert_array_equal(got, expect)
