@@ -13,9 +13,10 @@ Conventions differ from the viewer session on purpose:
   * mel norm defaults to 'slaney' (librosa-compatible) instead of the
     viewer's 'sum';
   * optional ``top_db`` floor relative to the batch max, librosa-style.
-  * precision defaults to 'fast' (bf16 MXU passes, ~0.04 dB error — noise
-    at feature scale), unlike the session's 'parity' default; pass
-    precision='parity' for bit-faithful dB.
+  * precision defaults to 'fast' (bf16 operands on the MXU — bounded
+    under one grey step, measured <=0.22 dB on white noise, ~0.01 dB on
+    tonal content; noise at feature scale), unlike the session's 'parity'
+    default; pass precision='parity' for bit-faithful dB.
 
 Engine: on TPU (or with the engine forced to 'pallas') amp-dB mel features
 run through the fused Pallas kernel (kernels/spectrogram_pallas.py) — the
@@ -91,9 +92,19 @@ def log_mel_spectrogram(
     the exact frame count.  ``log``: 'amp_db' (20·log10 with the exact
     reference floor), 'power_db', or 'ln' (natural log of magnitude).
     ``top_db`` clamps at (max - top_db) like librosa's power_to_db.
-    ``precision``: 'fast' (default — bf16 MXU, ~0.04 dB) or 'parity'.
+    ``precision``: 'fast' (default — bf16 operands, <=0.22 dB measured)
+    or 'parity' (f32 HIGHEST).
+
+    ``wav`` may be a DEVICE-resident jax array: padding and frame layout
+    then run on device with no host round-trip — the right form inside a
+    data pipeline, and the regime where the fused kernel's throughput win
+    is visible (host inputs are transfer-bound either way).
     """
-    wav = np.asarray(wav, dtype=np.float32)
+    is_dev = isinstance(wav, jax.Array)
+    if is_dev:
+        wav = jnp.asarray(wav, jnp.float32)
+    else:
+        wav = np.asarray(wav, dtype=np.float32)
     squeeze = wav.ndim == 1
     if squeeze:
         wav = wav[None]
@@ -108,18 +119,6 @@ def log_mel_spectrogram(
     c, s = windowed_dft_matrices(window, n_fft)
     fb = calc_mel_fb(sr, n_fft, n_mel, fmin, fmax, mel_norm, np.float32)
 
-    n_frames = n_frames_for(wav.shape[1], win_length, hop_length)
-    n_pad = round_up_to(max(n_frames, 1), 128)
-    need = (n_pad - 1) * hop_length + win_length
-    padded = np.stack(
-        [
-            np.pad(
-                reflect_pad_center(w, win_length),
-                (0, max(0, need - (wav.shape[1] + 2 * (win_length // 2)))),
-            )[:need]
-            for w in wav
-        ]
-    )
     mode = precision or "fast"
     if mode not in ("fast", "parity"):
         raise ValueError(f"unknown precision: {mode!r}")
@@ -133,6 +132,35 @@ def log_mel_spectrogram(
         and engine != "xla"
         and (engine == "pallas" or jax.default_backend() == "tpu")
     )
+
+    n_frames = n_frames_for(wav.shape[1], win_length, hop_length)
+    # 512-frame buckets on the fused route let the kernel's auto tile_f
+    # take the largest VMEM-fitting frame tile
+    n_pad = round_up_to(max(n_frames, 1), 512 if use_pallas else 128)
+    need = (n_pad - 1) * hop_length + win_length
+    half = win_length // 2
+    if is_dev:
+        # device-side centered reflect pad, same short-signal contract as
+        # the host reflect_pad_center (lib.rs:412-433: panics below half+1)
+        if wav.shape[1] < half + 1:
+            raise ValueError(
+                f"signal too short for win_length={win_length}: "
+                f"need at least {half + 1} samples, got {wav.shape[1]}"
+            )
+        padded = jnp.pad(wav, ((0, 0), (half, half)), mode="reflect")
+        padded = jnp.pad(
+            padded, ((0, 0), (0, max(0, need - padded.shape[1])))
+        )[:, :need]
+    else:
+        padded = np.stack(
+            [
+                np.pad(
+                    reflect_pad_center(w, win_length),
+                    (0, max(0, need - (wav.shape[1] + 2 * half))),
+                )[:need]
+                for w in wav
+            ]
+        )
     if use_pallas:
         from .kernels.spectrogram_pallas import (
             mel_spectrogram_pallas,
@@ -142,10 +170,31 @@ def log_mel_spectrogram(
 
         c3, s3, fb3, _ = prepare_matrices(c, s, fb, win_length)
         c3d, s3d, fb3d = jnp.asarray(c3), jnp.asarray(s3), jnp.asarray(fb3)
+        if mode == "fast":
+            # bf16 operands: half the kernel's dominant HBM traffic (the
+            # C/S/fb re-streaming) and the auto tile_f can then take the
+            # 512-frame tile — measured +27% frames/s over tf128 on v5e
+            c3d = c3d.astype(jnp.bfloat16)
+            s3d = s3d.astype(jnp.bfloat16)
+            fb3d = fb3d.astype(jnp.bfloat16)
         interpret = jax.default_backend() != "tpu"
+
+        def _wav2d(w):
+            if is_dev:  # device layout prep: no host round-trip
+                t_ov = win_length // hop_length
+                hop_p = round_up_to(hop_length, 128)
+                n_rows = round_up_to(n_pad + t_ov - 1 + 16, 16)
+                x = jnp.pad(
+                    w, (0, max(0, n_rows * hop_length - w.shape[0]))
+                )[: n_rows * hop_length].reshape(n_rows, hop_length)
+                return jnp.pad(x, ((0, 0), (0, hop_p - hop_length)))
+            return jnp.asarray(
+                prepare_wav2d(w, win_length, hop_length, n_pad)
+            )
+
         outs = [
             mel_spectrogram_pallas(
-                jnp.asarray(prepare_wav2d(w, win_length, hop_length, n_pad)),
+                _wav2d(w),
                 c3d,
                 s3d,
                 fb3d,

@@ -78,8 +78,9 @@ def test_pallas_engine_features_match_xla(rng):
         set_engine("auto")
     assert got.shape == ref.shape
     d = np.abs(np.asarray(got, np.float64) - np.asarray(ref, np.float64))
-    # k-tile accumulation order differs; far below feature noise
-    assert d.max() < 0.02, d.max()
+    # fast mode runs bf16 OPERANDS through the kernel: bounded under one
+    # grey step (120/255 = 0.47 dB); measured ~0.2 dB max on noise
+    assert d.max() < 0.47, d.max()
     # parity precision also supported through the kernel
     set_engine("pallas")
     try:
@@ -90,6 +91,7 @@ def test_pallas_engine_features_match_xla(rng):
                 - np.asarray(log_mel_spectrogram(wav, sr,
                                                  precision="parity", **kw),
                              np.float64))
+    # parity keeps f32 operands: only k-tile accumulation order differs
     assert dp.max() < 0.02
 
 
@@ -97,3 +99,38 @@ def test_features_precision_arg_validated(rng):
     wav = (rng.standard_normal(4000) * 0.3).astype(np.float32)
     with pytest.raises(ValueError):
         log_mel_spectrogram(wav, 8000, precision="double")
+
+
+def test_features_short_signal_contract(rng):
+    """Device-resident inputs keep the host path's short-signal error
+    (reference panics below win//2 + 1 samples, lib.rs:412-433)."""
+    import jax.numpy as jnp
+
+    wav = (rng.standard_normal(10) * 0.3).astype(np.float32)
+    with pytest.raises(ValueError, match="too short"):
+        log_mel_spectrogram(wav, 8000, win_ms=25.0)
+    with pytest.raises(ValueError, match="too short"):
+        log_mel_spectrogram(jnp.asarray(wav)[None], 8000, win_ms=25.0)
+
+
+def test_device_resident_input_matches_host(rng):
+    """A jax-array input (device pipeline form) must produce the same
+    features as the same samples passed as numpy, on both engines."""
+    import jax.numpy as jnp
+
+    from msv_tpu.config import set_engine
+
+    sr = 8000
+    wav = (rng.standard_normal((2, 2 * sr)) * 0.4).astype(np.float32)
+    for kw in (dict(n_mel=48), dict(n_mel=48, win_ms=40.0, hop_ms=10.0)):
+        host = np.asarray(log_mel_spectrogram(wav, sr, **kw))
+        dev = np.asarray(log_mel_spectrogram(jnp.asarray(wav), sr, **kw))
+        np.testing.assert_array_equal(dev, host, err_msg=str(kw))
+    set_engine("pallas")  # fused route with device-side layout prep
+    try:
+        kw = dict(n_mel=48, win_ms=40.0, hop_ms=10.0)
+        host = np.asarray(log_mel_spectrogram(wav, sr, **kw))
+        dev = np.asarray(log_mel_spectrogram(jnp.asarray(wav), sr, **kw))
+    finally:
+        set_engine("auto")
+    np.testing.assert_array_equal(dev, host)

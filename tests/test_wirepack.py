@@ -480,3 +480,56 @@ def test_spec_stream_unpack_matches_oracle(rng, nchunks):
         words, wh, nuv, 1500, n_out, f, lo, hi, 10, nchunks=nchunks
     )
     np.testing.assert_array_equal(got, expect)
+
+
+def test_spec_downlink_edge_shapes(rng):
+    """Tiny/odd spectrogram shapes through the full downlink path."""
+    import jax.numpy as jnp
+
+    from msv_tpu.parallel.wirepack import (
+        fetch_unpack_spec_stream,
+        pack_spec_device,
+    )
+
+    for f, n_out, n_frames in [(1, 1, 1), (3, 2, 2), (256, 1, 250),
+                               (8, 513, 8)]:
+        db = (rng.standard_normal((f, n_out)) * 20 - 60).astype(np.float32)
+        lo, hi = float(db.min()), float(db.max())
+        words, widths, nused = pack_spec_device(
+            jnp.asarray(db), jnp.float32(lo), jnp.float32(hi), bits=10
+        )
+        out = fetch_unpack_spec_stream(
+            words, np.asarray(widths), int(np.asarray(nused)),
+            n_frames, n_out, f, lo, hi, 10,
+        )
+        assert out.shape == (n_frames, n_out)
+        bound = 0.5 * (hi - lo) / 1023 + 1e-4 if hi > lo else 1e-4
+        assert np.abs(out - db[:n_frames]).max() <= bound, (f, n_out)
+
+
+def test_spec_downlink_random_fuzz(rng):
+    """Random windows/shapes: quantized round-trip stays within the grid
+    bound for every bits setting and chunking."""
+    import jax.numpy as jnp
+
+    from msv_tpu.parallel.wirepack import (
+        fetch_unpack_spec_stream,
+        pack_spec_device,
+    )
+
+    for trial in range(6):
+        f = int(rng.integers(2, 700))
+        n_out = int(rng.integers(1, 80))
+        bits = int(rng.choice([8, 10, 12, 16]))
+        db = (rng.standard_normal((f, n_out)) * rng.uniform(0.1, 50)
+              - rng.uniform(0, 100)).astype(np.float32)
+        lo, hi = float(db.min()), float(db.max())
+        words, widths, nused = pack_spec_device(
+            jnp.asarray(db), jnp.float32(lo), jnp.float32(hi), bits=bits
+        )
+        out = fetch_unpack_spec_stream(
+            words, np.asarray(widths), int(np.asarray(nused)), f, n_out, f,
+            lo, hi, bits, nchunks=int(rng.integers(1, 6)),
+        )
+        bound = 0.5 * (hi - lo) / ((1 << bits) - 1) + 1e-4
+        assert np.abs(out - db).max() <= bound, (trial, f, n_out, bits)

@@ -145,7 +145,12 @@ def main():
                 fetch(o)
 
         t0 = time.perf_counter()
-        run_pallas()
+        try:
+            run_pallas()
+        except Exception as e:  # e.g. scoped-vmem OOM for f32 at tile_f>128
+            print(json.dumps({"name": f"pallas_{mode}_tf{tile_f}",
+                              "error": str(e)[:200]}), flush=True)
+            continue
         warm = time.perf_counter() - t0
         times = []
         for _ in range(3):
