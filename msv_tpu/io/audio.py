@@ -123,6 +123,22 @@ def _is_mono_pcm16(data: bytes) -> bool:
     return info is not None and info == (_WAVE_FORMAT_PCM, 1, 16)
 
 
+def _looks_like_mp3(head: bytes) -> bool:
+    """MP3 magic: an ID3v2 tag, or an MPEG audio frame sync whose header
+    fields are all valid (version/layer/bitrate/samplerate not the
+    reserved patterns) — mpg123 itself scans much more permissively, so
+    the dispatch stays conservative to avoid claiming arbitrary binaries."""
+    if head[:3] == b"ID3":
+        return True
+    if len(head) >= 4 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0:
+        version = (head[1] >> 3) & 0x3  # 01 = reserved
+        layer = (head[1] >> 1) & 0x3  # 00 = reserved
+        bitrate = (head[2] >> 4) & 0xF  # 1111 = bad
+        srate = (head[2] >> 2) & 0x3  # 11 = reserved
+        return version != 1 and layer != 0 and bitrate != 0xF and srate != 3
+    return False
+
+
 def open_audio_file(path: str):
     """Decode an audio file -> (float32 (n_ch, n_samples), sample_rate)."""
     wav, sr, _ = open_audio_file_ex(path)
@@ -143,6 +159,7 @@ def open_audio_file_ex(path: str):
             is_wav = head[:4] == b"RIFF" and head[8:12] == b"WAVE"
             is_flac = head[:4] == b"fLaC"
             is_ogg = head[:4] == b"OggS"
+            is_mp3 = _looks_like_mp3(head)
             if is_wav:
                 # Decoder routing (parity-tested against each other in
                 # tests/test_audio.py + tests/test_parity_fuzz.py):
@@ -173,8 +190,9 @@ def open_audio_file_ex(path: str):
 
     # rodio-equivalent codecs (audio.rs:23-30): FLAC via the native C++
     # decoder (msv_tpu/native/flac_decoder.cc), Ogg/Vorbis via the system
-    # libvorbisfile (io/_vorbis.py).  soundfile remains a last-resort
-    # fallback for anything else, when installed.
+    # libvorbisfile (io/_vorbis.py), MP3 via the system libmpg123
+    # (io/_mp3.py).  soundfile remains a last-resort fallback for anything
+    # else, when installed.
     if is_flac:
         from . import _native_audio
 
@@ -185,11 +203,17 @@ def open_audio_file_ex(path: str):
 
         wav, sr = _vorbis.decode(path)
         return wav, int(sr), None
+    if is_mp3:
+        from . import _mp3
+
+        wav, sr = _mp3.decode(path)
+        return wav, int(sr), None
     try:
         import soundfile  # noqa: F401  (not baked into this image)
     except ImportError:
         raise AudioReadError(
-            f"{path}: unrecognized format (supported: WAV, FLAC, Ogg/Vorbis)"
+            f"{path}: unrecognized format (supported: WAV, FLAC, "
+            "Ogg/Vorbis, MP3)"
         )
     data, sr = soundfile.read(path, dtype="float32", always_2d=True)
     return np.ascontiguousarray(data.T), int(sr), None

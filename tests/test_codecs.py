@@ -229,3 +229,99 @@ def test_flac_8bit_integer_rescale(tmp_path, rng):
     np.testing.assert_array_equal(
         raw.astype(np.float32) * np.float32(2.0**-15), mono
     )
+
+
+# ------------------------------------------------------------------- mp3 ----
+
+from msv_tpu.io._mp3 import available as mp3_available  # noqa: E402
+
+needs_mp3 = pytest.mark.skipif(
+    not mp3_available(), reason="libmpg123 not present"
+)
+
+
+@needs_mp3
+def test_mp3_mono_fixture():
+    """lame-encoded 440 Hz tone (tools/make_mp3_fixture.py): gapless decode
+    is sample-count-exact and the interior waveform tracks the source."""
+    wav, sr = open_audio_file(os.path.join(FIXTURES, "sine440_16k.mp3"))
+    assert sr == 16000 and wav.shape == (1, 12800)
+    t = np.arange(wav.shape[1], dtype=np.float32) / np.float32(sr)
+    ref = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    err = wav[0][1152:-1152] - ref[1152:-1152]
+    assert np.sqrt((err**2).mean()) < 0.05  # measured 0.018 (MPEG-2 @16k)
+    assert np.abs(err).max() < 0.1  # measured 0.025
+
+
+@needs_mp3
+def test_mp3_stereo_fixture():
+    wav, sr = open_audio_file(
+        os.path.join(FIXTURES, "duotone_44k1_stereo.mp3"))
+    assert sr == 44100 and wav.shape == (2, 26460)
+    t = np.arange(wav.shape[1], dtype=np.float64) / sr
+    refs = [0.4 * np.sin(2 * np.pi * 523.25 * t),
+            0.4 * np.sin(2 * np.pi * 659.25 * t)]
+    for ch in range(2):  # channel order preserved; 44.1k MPEG-1 is tight
+        err = wav[ch][1152:-1152] - refs[ch][1152:-1152]
+        assert np.abs(err).max() < 0.01, ch  # measured 1.6e-4
+
+
+@needs_mp3
+def test_mp3_roundtrip_via_lame(tmp_path, rng):
+    """Encode with the system libmp3lame at test time, decode back:
+    sample-count-exact (Xing gapless tags honored) and waveform-close."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(FIXTURES), "..", "tools"))
+    try:
+        from make_mp3_fixture import encode_mp3
+    except Exception:
+        pytest.skip("libmp3lame not usable")
+    sr = 32000
+    t = np.arange(sr, dtype=np.float32) / np.float32(sr)
+    src = np.stack([
+        0.3 * np.sin(2 * np.pi * 330.0 * t),
+        0.3 * np.sin(2 * np.pi * 880.0 * t),
+    ]).astype(np.float32)
+    path = str(tmp_path / "rt.mp3")
+    with open(path, "wb") as f:
+        f.write(encode_mp3(src, sr))
+    wav, got_sr = open_audio_file(path)
+    assert got_sr == sr and wav.shape == src.shape
+    err = wav[:, 2304:-2304] - src[:, 2304:-2304]
+    assert np.abs(err).max() < 0.02, np.abs(err).max()
+
+
+@needs_mp3
+def test_mp3_garbage_rejected(tmp_path):
+    path = str(tmp_path / "junk.mp3")
+    with open(path, "wb") as f:
+        f.write(b"ID3" + b"\x00" * 64)  # tag with no audio frames
+    with pytest.raises(AudioReadError):
+        open_audio_file(path)
+
+
+def test_mp3_magic_is_conservative(tmp_path):
+    """Arbitrary binaries must not be claimed as mp3 by the dispatch."""
+    from msv_tpu.io.audio import _looks_like_mp3
+
+    assert _looks_like_mp3(b"ID3\x04\x00" + b"\x00" * 7)
+    assert _looks_like_mp3(bytes([0xFF, 0xFB, 0xE0, 0x44] + [0] * 8))
+    assert not _looks_like_mp3(b"\x7fELF" + b"\x00" * 8)  # ELF
+    assert not _looks_like_mp3(bytes([0xFF, 0xFF, 0xFF, 0xFF] + [0] * 8))
+    assert not _looks_like_mp3(bytes([0xFF, 0xFB, 0xF0, 0x44] + [0] * 8))
+    assert not _looks_like_mp3(b"RIFFxxxxWAVE")
+
+
+@needs_mp3
+def test_mp3_in_session(tmp_path, rng):
+    """An mp3 track renders through the full session pipeline."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(FIXTURES), "..", "tools"))
+    from msv_tpu import MultiTrack
+
+    mt = MultiTrack()
+    mt.add_tracks([0], [os.path.join(FIXTURES, "sine440_16k.mp3")])
+    img = mt.get_spec_image(0, 100.0, 120)
+    assert img.shape[0] == 120 and img.shape[2] == 3 and img.shape[1] > 0
