@@ -134,3 +134,26 @@ def test_device_resident_input_matches_host(rng):
     finally:
         set_engine("auto")
     np.testing.assert_array_equal(dev, host)
+
+
+def test_features_dp_sharded_batch(rng):
+    """The ML frontend scales over a data-parallel mesh with no dedicated
+    API: a batch device_put with P("dp") auto-partitions through the jit
+    (batch-dim vmap), and the OUTPUT stays dp-sharded — no implicit
+    all-gather re-centralizes the features mid-pipeline."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    sr = 8000
+    wav = (rng.standard_normal((8, 2 * sr)) * 0.4).astype(np.float32)
+    host = np.asarray(log_mel_spectrogram(wav, sr, n_mel=48))
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("dp",))
+    dev = jax.device_put(jnp.asarray(wav), NamedSharding(mesh, P("dp")))
+    with mesh:
+        out = log_mel_spectrogram(dev, sr, n_mel=48)
+    assert isinstance(out, jax.Array)
+    shard_rows = {sh.data.shape[0] for sh in out.addressable_shards}
+    assert shard_rows == {1}, shard_rows  # still 1 batch row per device
+    np.testing.assert_array_equal(np.asarray(out), host)
