@@ -7,13 +7,21 @@
 // frames (first frame of each output row absolute), zigzag, packed per
 // 1024-value block at that block's max zigzag width.
 //
-// Two entry points so the Python side can PIPELINE the relay fetch with
+// Entry points so the Python side can PIPELINE the relay fetch with
 // decoding (the fetch is network wait; decode is CPU — overlapping them
-// costs nothing even on this single-core host):
-//   msv_spec_decode_blocks  — decode blocks [b0, b1) into a u16 quantized
-//                             scratch, carrying (col, acc) across calls
-//   msv_spec_dequant_transpose — blocked transpose + f32 dequant
-// plus msv_spec_unpack, the one-shot wrapper.
+// costs nothing even on this single-core host) and fan the decode out
+// over host cores (each output row's first frame is absolute, so any
+// row boundary is a safe decode entry point — the cumsum chain never
+// crosses rows, making the decode embarrassingly parallel by rows):
+//   msv_spec_decode_range   — decode value indices [v0, v1) into a u16
+//                             quantized scratch, carrying (col, acc)
+//   msv_spec_decode_blocks  — block-granular wrapper (legacy ABI)
+//   msv_spec_dequant_transpose_range — transpose + f32 dequant of output
+//                             frames [c_lo, c_hi) (disjoint writes, so
+//                             also thread-safe by frame ranges)
+//   msv_spec_dequant_transpose — full-range wrapper
+// plus msv_spec_unpack, the one-shot wrapper.  Threading itself lives in
+// Python (threading.Thread over these GIL-releasing calls).
 //
 // Scratch is uint16 (quantized values are <= 2^16-1 by construction):
 // the host memory bandwidth fluctuates 30x between windows on this VM
@@ -38,25 +46,29 @@ static inline uint64_t load_u64(const uint8_t* p) {
 
 extern "C" {
 
-// Decode blocks [b0, b1) of the packed stream into q (uint16, flat
-// (n_out, f_pad) row-major).  ``words`` points at the FULL stream base
-// (caller guarantees bytes for these blocks plus 8 spare are present).
-// ``start_word`` is the per-block word offset (prefix sum of widths*32).
-// carry[0] = col within the current output row, carry[1] = running acc;
-// both must be 0 before block 0 and preserved between consecutive calls.
-int32_t msv_spec_decode_blocks(const uint32_t* words, const int32_t* widths,
-                               const int64_t* start_word, int64_t b0,
-                               int64_t b1, int64_t n_vals, int64_t f_pad,
-                               int64_t* carry, uint16_t* q) {
+// Decode value indices [v0, v1) of the packed stream into q (uint16,
+// flat (n_out, f_pad) row-major).  ``words`` points at the FULL stream
+// base (caller guarantees bytes for these values plus 8 spare are
+// present).  ``start_word`` is the per-block word offset (prefix sum of
+// widths*32).  carry[0] = col within the current output row, carry[1] =
+// running acc; both must be 0 when v0 is a row boundary (multiple of
+// f_pad) and preserved between consecutive calls otherwise.
+int32_t msv_spec_decode_range(const uint32_t* words, const int32_t* widths,
+                              const int64_t* start_word, int64_t v0,
+                              int64_t v1, int64_t n_vals, int64_t f_pad,
+                              int64_t* carry, uint16_t* q) {
   const uint8_t* bytes = (const uint8_t*)words;
   int64_t col = carry[0];
   int32_t acc = (int32_t)carry[1];
-  int64_t idx = b0 * (int64_t)kBlock;
-  for (int64_t b = b0; b < b1; ++b) {
+  int64_t idx = v0;
+  while (idx < v1) {
+    const int64_t b = idx / kBlock;
+    const int64_t brem = v1 - b * kBlock;
+    const int jend = (int)(brem < kBlock ? brem : kBlock);
     const int w = widths[b];
     const uint64_t mask = (w == 0) ? 0 : ((~0ULL) >> (64 - w));
     const int64_t bit_base = start_word[b] * 32;
-    for (int j = 0; j < kBlock; ++j, ++idx) {
+    for (int j = (int)(idx - b * kBlock); j < jend; ++j, ++idx) {
       uint32_t z = 0;
       if (w) {
         const int64_t pos = bit_base + (int64_t)j * w;
@@ -80,18 +92,32 @@ int32_t msv_spec_decode_blocks(const uint32_t* words, const int32_t* widths,
   return 0;
 }
 
+// Block-granular wrapper (kept for the pipelined single-thread path).
+int32_t msv_spec_decode_blocks(const uint32_t* words, const int32_t* widths,
+                               const int64_t* start_word, int64_t b0,
+                               int64_t b1, int64_t n_vals, int64_t f_pad,
+                               int64_t* carry, uint16_t* q) {
+  return msv_spec_decode_range(words, widths, start_word,
+                               b0 * (int64_t)kBlock, b1 * (int64_t)kBlock,
+                               n_vals, f_pad, carry, q);
+}
+
 // Blocked transpose + dequant: q (n_out, f_pad) u16 -> out (n_frames,
 // n_out) f32.  f32 DIVISION by scale, not multiply-by-reciprocal: the
 // numpy oracle divides, and the bit-exact-vs-oracle contract includes
 // the dequant (built with -ffp-contract=off for the same reason).
-int32_t msv_spec_dequant_transpose(const uint16_t* q, int64_t n_out,
-                                   int64_t f_pad, int64_t n_frames,
-                                   float lo, float scale, float* out) {
+// Output-frame range [c_lo, c_hi): each range writes a disjoint
+// contiguous slab of ``out``, so frame ranges can run on parallel
+// threads with no synchronization.
+int32_t msv_spec_dequant_transpose_range(const uint16_t* q, int64_t n_out,
+                                         int64_t f_pad, int64_t c_lo,
+                                         int64_t c_hi, float lo,
+                                         float scale, float* out) {
   constexpr int64_t T = 64;
   for (int64_t r0 = 0; r0 < n_out; r0 += T) {
     const int64_t r1 = (r0 + T < n_out) ? r0 + T : n_out;
-    for (int64_t c0 = 0; c0 < n_frames; c0 += T) {
-      const int64_t c1 = (c0 + T < n_frames) ? c0 + T : n_frames;
+    for (int64_t c0 = c_lo; c0 < c_hi; c0 += T) {
+      const int64_t c1 = (c0 + T < c_hi) ? c0 + T : c_hi;
       for (int64_t r = r0; r < r1; ++r) {
         const uint16_t* qr = q + r * f_pad;
         for (int64_t c = c0; c < c1; ++c) {
@@ -101,6 +127,13 @@ int32_t msv_spec_dequant_transpose(const uint16_t* q, int64_t n_out,
     }
   }
   return 0;
+}
+
+int32_t msv_spec_dequant_transpose(const uint16_t* q, int64_t n_out,
+                                   int64_t f_pad, int64_t n_frames,
+                                   float lo, float scale, float* out) {
+  return msv_spec_dequant_transpose_range(q, n_out, f_pad, 0, n_frames, lo,
+                                          scale, out);
 }
 
 // One-shot wrapper (non-pipelined path / oracle comparisons).

@@ -666,6 +666,130 @@ def fetch_packed_prefix(words, nwords_used: int):
     return np.asarray(_prefix_slicer(size)(words))
 
 
+DECODE_THREADS: int | None = None  # None = auto (host cores, capped at 8)
+_MT_MIN_VALS = 1 << 20  # below this, thread fork/join beats the win
+
+
+def _decode_threads() -> int:
+    """Host threads for the packed-spec decode.  The decode is
+    embarrassingly parallel by output rows (each row's first frame is
+    absolute), so on multi-core hosts the wall drops toward the byte
+    ratio; this dev VM has one core, where the helpers collapse to the
+    direct call.  Set ``DECODE_THREADS`` to pin (tests force >1)."""
+    if DECODE_THREADS is not None:
+        return max(1, int(DECODE_THREADS))
+    import os
+
+    return max(1, min(os.cpu_count() or 1, 8))
+
+
+def _ensure_spec_types(lib):
+    import ctypes as c
+
+    if getattr(_ensure_spec_types, "_typed", False):
+        return
+    i64p = c.POINTER(c.c_int64)
+    lib.msv_spec_decode_range.argtypes = [
+        c.POINTER(c.c_uint32), c.POINTER(c.c_int32), i64p,
+        c.c_int64, c.c_int64, c.c_int64, c.c_int64, i64p,
+        c.POINTER(c.c_uint16),
+    ]
+    lib.msv_spec_decode_range.restype = c.c_int32
+    lib.msv_spec_dequant_transpose_range.argtypes = [
+        c.POINTER(c.c_uint16), c.c_int64, c.c_int64, c.c_int64, c.c_int64,
+        c.c_float, c.c_float, c.POINTER(c.c_float),
+    ]
+    lib.msv_spec_dequant_transpose_range.restype = c.c_int32
+    _ensure_spec_types._typed = True
+
+
+def _decode_range_mt(lib, bufp, wip, swp, qp, v0, v1, n_vals, f_pad, carry,
+                     n_threads):
+    """Decode packed values [v0, v1) with up to ``n_threads`` threads.
+
+    Segment 0 continues the persistent ``carry`` (numpy int64[2]); later
+    segments start at row boundaries, where the decoder state is known
+    (col=0, acc resets on the absolute first frame).  On return ``carry``
+    holds the (col, acc) state at v1, so chunked calls chain exactly like
+    the single-thread decoder.  ctypes releases the GIL, so the C calls
+    genuinely run in parallel.
+    """
+    import ctypes as c
+    import threading
+
+    if v1 <= v0:
+        return
+    cp = carry.ctypes.data_as(c.POINTER(c.c_int64))
+    r0 = -(-v0 // f_pad) * f_pad  # first row boundary >= v0
+    # small ranges do not pay for fork/join; one-row ranges cannot be
+    # split at all
+    if n_threads <= 1 or (v1 - v0) < _MT_MIN_VALS or r0 >= v1:
+        lib.msv_spec_decode_range(bufp, wip, swp, v0, v1, n_vals, f_pad,
+                                  cp, qp)
+        return
+    n_rows = -(-(v1 - r0) // f_pad)
+    nseg = min(n_threads, n_rows)
+    rows_per = -(-n_rows // nseg)
+    bounds = [v0, r0] if r0 > v0 else [v0]
+    b = r0
+    while b + rows_per * f_pad < v1:
+        b += rows_per * f_pad
+        bounds.append(b)
+    bounds.append(v1)
+    segs = list(zip(bounds[:-1], bounds[1:]))
+    carries = [carry] + [np.zeros(2, np.int64) for _ in segs[1:]]
+
+    def run(a, z, car):
+        lib.msv_spec_decode_range(
+            bufp, wip, swp, a, z, n_vals, f_pad,
+            car.ctypes.data_as(c.POINTER(c.c_int64)), qp,
+        )
+
+    ts = [
+        threading.Thread(target=run, args=(a, z, car))
+        for (a, z), car in zip(segs, carries)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    if len(segs) > 1:
+        carry[:] = carries[-1]
+
+
+def _dequant_mt(lib, qp, n_out, f_pad, n_frames, lo, scale, outp,
+                n_threads):
+    """Transpose+dequant with frame-range threads (disjoint out slabs)."""
+    import ctypes as c
+    import threading
+
+    if n_threads <= 1 or n_frames * n_out < 2 * _MT_MIN_VALS:
+        lib.msv_spec_dequant_transpose_range(
+            qp, n_out, f_pad, 0, n_frames, c.c_float(lo), c.c_float(scale),
+            outp,
+        )
+        return
+    nseg = min(n_threads, n_frames)
+    per = -(-n_frames // nseg)
+
+    def run(c0, c1):
+        lib.msv_spec_dequant_transpose_range(
+            qp, n_out, f_pad, c0, c1, c.c_float(lo), c.c_float(scale), outp,
+        )
+
+    ts = []
+    for k in range(nseg):
+        c0 = k * per
+        c1 = min(n_frames, c0 + per)
+        if c0 >= c1:
+            break
+        ts.append(threading.Thread(target=run, args=(c0, c1)))
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+
+
 def _unpack_spec_native(words, widths, n_frames, n_out, f_pad, lo, scale):
     """C single-pass decode+cumsum+dequant (native/spec_unpack.cc).
 
@@ -692,10 +816,39 @@ def _unpack_spec_native(words, widths, n_frames, n_out, f_pad, lo, scale):
     wpad = np.pad(np.ascontiguousarray(words), (0, 2))
     widths = np.ascontiguousarray(widths, dtype=np.int32)
     out = np.empty((n_frames, n_out), np.float32)
+    nt = _decode_threads()
+    nb = len(widths)
+    n_vals = n_out * f_pad
+    if nb * BLOCK < n_vals:
+        return None
+    if nt > 1 and n_vals >= _MT_MIN_VALS:
+        # multi-core host: fan the row-independent decode + the disjoint
+        # frame-slab dequant out over threads (bit-identical — the same C
+        # code runs either way, rows never interact)
+        _ensure_spec_types(lib)
+        wpb = widths.astype(np.int64) * (BLOCK // 32)
+        start_word = np.zeros(nb, np.int64)
+        np.cumsum(wpb[:-1], out=start_word[1:])
+        q = np.empty(n_vals, np.uint16)
+        carry = np.zeros(2, np.int64)
+        _decode_range_mt(
+            lib,
+            wpad.ctypes.data_as(c.POINTER(c.c_uint32)),
+            widths.ctypes.data_as(c.POINTER(c.c_int32)),
+            start_word.ctypes.data_as(c.POINTER(c.c_int64)),
+            q.ctypes.data_as(c.POINTER(c.c_uint16)),
+            0, nb * BLOCK, n_vals, f_pad, carry, nt,
+        )
+        _dequant_mt(
+            lib, q.ctypes.data_as(c.POINTER(c.c_uint16)), n_out, f_pad,
+            n_frames, lo, scale,
+            out.ctypes.data_as(c.POINTER(c.c_float)), nt,
+        )
+        return out
     rc = lib.msv_spec_unpack(
         wpad.ctypes.data_as(c.POINTER(c.c_uint32)),
         widths.ctypes.data_as(c.POINTER(c.c_int32)),
-        len(widths), n_out, f_pad, n_frames,
+        nb, n_out, f_pad, n_frames,
         c.c_float(lo), c.c_float(scale),
         out.ctypes.data_as(c.POINTER(c.c_float)),
     )
@@ -781,8 +934,13 @@ def fetch_unpack_spec_stream(words, widths, nwords_used: int, n_frames: int,
     while slice k+1 is in flight over the relay (network WAIT, not CPU),
     a worker thread runs the C block decoder over every block whose words
     have landed — so the wall is ~max(fetch, decode) instead of their sum.
-    Identical output to :func:`unpack_spec_np` (the carry-chained decoder
-    is the same code the one-shot wrapper runs).
+    On multi-core hosts each chunk's decode additionally fans out over
+    row-aligned ranges (every output row's first frame is absolute, so
+    rows decode independently) and the final transpose+dequant splits by
+    frame slabs — the decode wall drops toward the byte ratio instead of
+    being single-core-bound.  Identical output to :func:`unpack_spec_np`
+    in every configuration (the same carry-chained C decoder runs either
+    way; tests pin bit-equality across thread counts and seams).
 
     Falls back to the non-pipelined numpy path when the native lib is
     absent.
@@ -793,23 +951,12 @@ def fetch_unpack_spec_stream(words, widths, nwords_used: int, n_frames: int,
     import jax.numpy as jnp
 
     lib = _native_lib()
-    if lib is None or not hasattr(lib, "msv_spec_decode_blocks"):
+    if lib is None or not hasattr(lib, "msv_spec_decode_range"):
         wp = fetch_packed_prefix(words, nwords_used)
         return unpack_spec_np(wp, widths, n_frames, n_out, f_pad, lo, hi,
                               bits, native=False)
-    if not getattr(fetch_unpack_spec_stream, "_typed", False):
-        lib.msv_spec_decode_blocks.argtypes = [
-            c.POINTER(c.c_uint32), c.POINTER(c.c_int32),
-            c.POINTER(c.c_int64), c.c_int64, c.c_int64, c.c_int64,
-            c.c_int64, c.POINTER(c.c_int64), c.POINTER(c.c_uint16),
-        ]
-        lib.msv_spec_decode_blocks.restype = c.c_int32
-        lib.msv_spec_dequant_transpose.argtypes = [
-            c.POINTER(c.c_uint16), c.c_int64, c.c_int64, c.c_int64,
-            c.c_float, c.c_float, c.POINTER(c.c_float),
-        ]
-        lib.msv_spec_dequant_transpose.restype = c.c_int32
-        fetch_unpack_spec_stream._typed = True
+    _ensure_spec_types(lib)
+    nt = _decode_threads()
 
     widths = np.ascontiguousarray(widths, dtype=np.int32)
     nb = len(widths)
@@ -835,14 +982,13 @@ def fetch_unpack_spec_stream(words, widths, nwords_used: int, n_frames: int,
     bufp = buf.ctypes.data_as(c.POINTER(c.c_uint32))
     wip = widths.ctypes.data_as(c.POINTER(c.c_int32))
     swp = start_word.ctypes.data_as(c.POINTER(c.c_int64))
-    cp = carry.ctypes.data_as(c.POINTER(c.c_int64))
 
     def decode_upto(b_ready):
         b0 = state["b_done"]
         if b_ready <= b0:
             return
-        lib.msv_spec_decode_blocks(bufp, wip, swp, b0, b_ready, n_vals,
-                                   f_pad, cp, qp)
+        _decode_range_mt(lib, bufp, wip, swp, qp, b0 * BLOCK,
+                         b_ready * BLOCK, n_vals, f_pad, carry, nt)
         state["b_done"] = b_ready
 
     sl = _range_slicer(size)
@@ -875,8 +1021,8 @@ def fetch_unpack_spec_stream(words, widths, nwords_used: int, n_frames: int,
     qmax = (1 << bits) - 1
     rngv = np.float32(hi) - np.float32(lo)
     scale = np.float32(qmax) / rngv if rngv > 0 else np.float32(1.0)
-    lib.msv_spec_dequant_transpose(
-        qp, n_out, f_pad, n_frames, c.c_float(float(np.float32(lo))),
-        c.c_float(float(scale)), out.ctypes.data_as(c.POINTER(c.c_float)),
+    _dequant_mt(
+        lib, qp, n_out, f_pad, n_frames, float(np.float32(lo)),
+        float(scale), out.ctypes.data_as(c.POINTER(c.c_float)), nt,
     )
     return out

@@ -533,3 +533,101 @@ def test_spec_downlink_random_fuzz(rng):
         )
         bound = 0.5 * (hi - lo) / ((1 << bits) - 1) + 1e-4
         assert np.abs(out - db).max() <= bound, (trial, f, n_out, bits)
+
+
+def test_spec_unpack_row_parallel_matches_single_thread(rng, monkeypatch):
+    """The row-parallel decode (threads over row-aligned value ranges)
+    must be bit-identical to the single-thread walk for every entry
+    point: rows never interact (first frame absolute), so the split is
+    exact, not approximate."""
+    import jax.numpy as jnp
+
+    import msv_tpu.parallel.wirepack as wp
+
+    from msv_tpu.parallel.wirepack import pack_spec_device
+
+    if wp._native_lib() is None:
+        pytest.skip("native lib not built")
+    db = _spec_like(rng, f=1536, n_out=97)
+    f, n_out = db.shape
+    lo, hi = float(db.min()), float(db.max())
+    words, widths, nused = pack_spec_device(
+        jnp.asarray(db), jnp.float32(lo), jnp.float32(hi), bits=10
+    )
+    wh = np.asarray(widths)
+    nuv = int(np.asarray(nused))
+    prefix = wp.fetch_packed_prefix(words, nuv)
+    expect = wp.unpack_spec_np(prefix, wh, 1500, n_out, f, lo, hi, 10,
+                               native=False)
+
+    monkeypatch.setattr(wp, "_MT_MIN_VALS", 0)
+    for nthreads in (2, 3, 5):
+        monkeypatch.setattr(wp, "DECODE_THREADS", nthreads)
+        got = wp.unpack_spec_np(prefix, wh, 1500, n_out, f, lo, hi, 10,
+                                native=True)
+        np.testing.assert_array_equal(got, expect, err_msg=f"nt={nthreads}")
+        # the full pipelined fetch path with threaded chunk decodes
+        got2 = wp.fetch_unpack_spec_stream(
+            words, wh, nuv, 1500, n_out, f, lo, hi, 10, nchunks=3
+        )
+        np.testing.assert_array_equal(got2, expect, err_msg=f"nt={nthreads}")
+
+
+def test_spec_decode_range_carry_chaining(rng, monkeypatch):
+    """Chained _decode_range_mt calls split at NON-row-aligned points must
+    reproduce the one-shot decode: the persistent carry hands (col, acc)
+    across the seam, and threaded interior segments restart at row
+    boundaries."""
+    import ctypes as c
+
+    import jax.numpy as jnp
+
+    import msv_tpu.parallel.wirepack as wp
+
+    from msv_tpu.parallel.wirepack import pack_spec_device
+
+    lib = wp._native_lib()
+    if lib is None:
+        pytest.skip("native lib not built")
+    wp._ensure_spec_types(lib)
+    db = _spec_like(rng, f=640, n_out=37)
+    f, n_out = db.shape
+    lo, hi = float(db.min()), float(db.max())
+    words, widths, nused = pack_spec_device(
+        jnp.asarray(db), jnp.float32(lo), jnp.float32(hi), bits=12
+    )
+    wh = np.asarray(widths, dtype=np.int32)
+    nb = len(wh)
+    prefix = np.pad(
+        np.ascontiguousarray(wp.fetch_packed_prefix(words, int(np.asarray(nused)))),
+        (0, 2),
+    )
+    wpb = wh.astype(np.int64) * (wp.BLOCK // 32)
+    start_word = np.zeros(nb, np.int64)
+    np.cumsum(wpb[:-1], out=start_word[1:])
+    n_vals = n_out * f
+    v_end = nb * wp.BLOCK
+
+    bufp = prefix.ctypes.data_as(c.POINTER(c.c_uint32))
+    wip = wh.ctypes.data_as(c.POINTER(c.c_int32))
+    swp = start_word.ctypes.data_as(c.POINTER(c.c_int64))
+
+    def decode(splits, nthreads):
+        q = np.zeros(n_vals, np.uint16)
+        qp = q.ctypes.data_as(c.POINTER(c.c_uint16))
+        carry = np.zeros(2, np.int64)
+        edges = [0] + splits + [v_end]
+        for a, b in zip(edges[:-1], edges[1:]):
+            wp._decode_range_mt(lib, bufp, wip, swp, qp, a, b, n_vals, f,
+                                carry, nthreads)
+        return q
+
+    monkeypatch.setattr(wp, "_MT_MIN_VALS", 0)
+    base = decode([], 1)
+    # seams chosen off row and block boundaries
+    for splits in ([f * 3 + 17], [1023], [5, f + 1, 9 * f + 511]):
+        for nthreads in (1, 4):
+            got = decode(list(splits), nthreads)
+            np.testing.assert_array_equal(
+                got, base, err_msg=f"splits={splits} nt={nthreads}"
+            )
