@@ -11,6 +11,7 @@ wrong: 1-px dimensions, extreme ratios, exact .5 rounding ties, and the
 banded-vs-dense path split.
 """
 
+import os
 import struct
 
 import numpy as np
@@ -232,3 +233,84 @@ def test_wav_implausible_channel_count_rejected(tmp_path):
         open_audio_mono_ex(str(p))
     if _native_audio._load() is not None:
         assert _native_audio.try_decode(str(p)) is None
+
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_mp3_mutation_fuzz_no_crash(tmp_path, rng):
+    """Randomly mutated MP3 streams must either decode (mpg123 keeps the
+    valid prefix / resyncs) or raise a clean AudioReadError — never a
+    segfault, hang, or silent garbage shape.  Mirrors the WAV/FLAC
+    mutation fuzzes; the decoder is the system libmpg123, so this guards
+    OUR dispatch + ctypes wrapper contract, not mpg123 itself."""
+    from msv_tpu.io import _mp3
+    from msv_tpu.io.audio import open_audio_file
+    from msv_tpu.utils.errors import AudioReadError
+
+    if not _mp3.available():
+        pytest.skip("libmpg123 not present")
+    base = open(os.path.join(FIXDIR, "sine440_16k.mp3"), "rb").read()
+    for trial in range(40):
+        data = bytearray(base)
+        for _ in range(int(rng.integers(1, 8))):
+            kind = rng.integers(0, 3)
+            if kind == 0:  # flip a byte
+                data[int(rng.integers(0, len(data)))] = int(
+                    rng.integers(0, 256)
+                )
+            elif kind == 1:  # truncate
+                data = data[: int(rng.integers(4, len(data)))]
+            else:  # splice garbage
+                at = int(rng.integers(0, len(data)))
+                data[at:at] = rng.bytes(int(rng.integers(1, 64)))
+        p = tmp_path / f"fz_{trial}.mp3"
+        p.write_bytes(bytes(data))
+        try:
+            wav, sr = open_audio_file(str(p))
+        except AudioReadError:
+            continue
+        assert wav.ndim == 2 and wav.dtype == np.float32, trial
+        assert 4000 <= sr <= 192000, (trial, sr)
+        assert np.isfinite(wav).all(), trial
+
+
+def test_mp3_magic_dispatch_is_conservative(tmp_path, rng):
+    """_looks_like_mp3 must not claim WAV/FLAC/OGG files or typical
+    binaries: a frame-sync byte pair only counts when version/layer/
+    bitrate/samplerate fields are all non-reserved."""
+    from msv_tpu.io.audio import _looks_like_mp3
+
+    assert _looks_like_mp3(b"ID3\x04\x00\x00\x00\x00\x00\x00")
+    assert _looks_like_mp3(bytes([0xFF, 0xFB, 0x90, 0x64]))  # MPEG1 L3
+    # reserved fields must each kill the match
+    assert not _looks_like_mp3(bytes([0xFF, 0xEB, 0x90, 0x64]))  # ver=01
+    assert not _looks_like_mp3(bytes([0xFF, 0xF9, 0x90, 0x64]))  # layer=00
+    assert not _looks_like_mp3(bytes([0xFF, 0xFB, 0xF0, 0x64]))  # br=1111
+    assert not _looks_like_mp3(bytes([0xFF, 0xFB, 0x9C, 0x64]))  # sr=11
+    assert not _looks_like_mp3(b"RIFF\x00\x00\x00\x00WAVE")
+    assert not _looks_like_mp3(b"fLaC\x00\x00\x00\x22")
+    assert not _looks_like_mp3(b"OggS\x00\x02")
+    assert not _looks_like_mp3(b"\x7fELF\x02\x01\x01")
+    # random binaries: the 11-bit sync + 4 valid fields is a ~0.1% hit;
+    # over 300 random heads expect at most a handful, and any hit must
+    # then fail cleanly in decode, which mutation fuzz above covers
+    hits = sum(
+        _looks_like_mp3(rng.bytes(10)) for _ in range(300)
+    )
+    assert hits <= 6, hits
+
+
+def test_mp3_decode_rejects_non_audio(tmp_path):
+    """Files routed to the mp3 decoder that are not MPEG audio raise a
+    clean error with the path in the message."""
+    from msv_tpu.io import _mp3
+    from msv_tpu.utils.errors import AudioReadError
+
+    if not _mp3.available():
+        pytest.skip("libmpg123 not present")
+    p = tmp_path / "junk.mp3"
+    p.write_bytes(b"ID3" + b"\x00" * 64)  # ID3 magic, no audio frames
+    with pytest.raises(AudioReadError) as ei:
+        _mp3.decode(str(p))
+    assert "junk.mp3" in str(ei.value)
