@@ -41,8 +41,10 @@ def _build_parser():
     r.add_argument(
         "--save-db",
         action="store_true",
-        help="also write the raw dB spectrogram as db_<name>.npy "
-        "(float32 (n_frames, n_bands))",
+        help="also write the dB spectrogram as db_<name>.npy (float32 "
+        "(n_frames, n_bands)); fetched over the packed q10 wire by "
+        "default (~0.06 dB max quantization) — use --db-wire f32 for "
+        "bit-exact values",
     )
     r.add_argument(
         "--db-wire",
@@ -234,7 +236,11 @@ def _main(argv=None):
             db = mt.get_spec_db(i, wire=args.db_wire)
             dout = os.path.join(args.outdir, f"db_{stem}.npy")
             _np.save(dout, db)
-            print(f"  {dout}  {db.shape[0]}x{db.shape[1]} f32")
+            from .config import get_db_wire
+
+            wire = args.db_wire or get_db_wire()
+            print(f"  {dout}  {db.shape[0]}x{db.shape[1]} f32 "
+                  f"(wire {wire})")
     t2 = time.perf_counter()
     print(f"rendered in {t2 - t1:.3f}s")
     return 0

@@ -85,17 +85,26 @@ def derive_stft_params(sr: int, setting: SpecSetting) -> StftParams:
 #             dB error ~0.04 dB, well under one grey quantization step
 #             (db_range 120 / 255 levels = 0.47 dB).
 _PRECISION_MODE = "parity"
+_PRECISION_MODE_EXPLICIT = False
 
 
 def set_precision_mode(mode: str) -> None:
-    global _PRECISION_MODE
+    global _PRECISION_MODE, _PRECISION_MODE_EXPLICIT
     if mode not in ("parity", "fast"):
         raise ValueError(f"unknown precision mode: {mode!r}")
     _PRECISION_MODE = mode
+    _PRECISION_MODE_EXPLICIT = True
 
 
 def get_precision_mode() -> str:
     return _PRECISION_MODE
+
+
+def precision_mode_is_explicit() -> bool:
+    """True once set_precision_mode has been called.  Surfaces whose own
+    default differs from the session default (the ML frontend defaults to
+    'fast') defer to the session mode only when the user actually set it."""
+    return _PRECISION_MODE_EXPLICIT
 
 
 def matmul_precision():

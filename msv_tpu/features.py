@@ -93,7 +93,8 @@ def log_mel_spectrogram(
     reference floor), 'power_db', or 'ln' (natural log of magnitude).
     ``top_db`` clamps at (max - top_db) like librosa's power_to_db.
     ``precision``: 'fast' (default — bf16 operands, <=0.22 dB measured)
-    or 'parity' (f32 HIGHEST).
+    or 'parity' (f32 HIGHEST); when None, an explicit session-wide
+    set_precision_mode() takes precedence over the 'fast' default.
 
     ``wav`` may be a DEVICE-resident jax array: padding and frame layout
     then run on device with no host round-trip — the right form inside a
@@ -119,17 +120,37 @@ def log_mel_spectrogram(
     c, s = windowed_dft_matrices(window, n_fft)
     fb = calc_mel_fb(sr, n_fft, n_mel, fmin, fmax, mel_norm, np.float32)
 
-    mode = precision or "fast"
+    from .config import (
+        get_engine,
+        get_precision_mode,
+        precision_mode_is_explicit,
+    )
+
+    if precision is None:
+        # Features default to 'fast' (bounded <= one grey step, measured),
+        # but an explicit session-wide set_precision_mode('parity') must
+        # win — the global knob is the documented bit-faithfulness switch.
+        precision = (
+            get_precision_mode() if precision_mode_is_explicit() else "fast"
+        )
+    mode = precision
     if mode not in ("fast", "parity"):
         raise ValueError(f"unknown precision: {mode!r}")
 
-    from .config import get_engine
-
     engine = get_engine()
+    # A dp-sharded batch must stay on the partitioned XLA path: the fused
+    # kernel launches per row on one device, which would gather the batch
+    # and drop its sharding (docs/API.md pins "output stays dp-sharded").
+    sharded = (
+        is_dev
+        and getattr(wav, "sharding", None) is not None
+        and len(wav.sharding.device_set) > 1
+    )
     use_pallas = (
         log == "amp_db"
         and win_length % hop_length == 0
         and engine != "xla"
+        and not sharded
         and (engine == "pallas" or jax.default_backend() == "tpu")
     )
 

@@ -206,11 +206,20 @@ def open_audio_file_ex(path: str):
     if is_mp3:
         from . import _mp3
 
-        wav, sr = _mp3.decode(path)
-        return wav, int(sr), None
+        if _mp3.available():
+            wav, sr = _mp3.decode(path)
+            return wav, int(sr), None
+        # no libmpg123 on this host: fall through to the soundfile
+        # last-resort path (libsndfile >= 1.1 decodes mp3) rather than
+        # failing on a file the reference's rodio chain would play
     try:
         import soundfile  # noqa: F401  (not baked into this image)
     except ImportError:
+        if is_mp3:
+            raise AudioReadError(
+                f"{path}: mp3 decoding unavailable (no libmpg123, no "
+                "soundfile)"
+            )
         raise AudioReadError(
             f"{path}: unrecognized format (supported: WAV, FLAC, "
             "Ogg/Vorbis, MP3)"

@@ -131,6 +131,12 @@ def _auto_tile_f(n_frames, win_p, hop_p, n_mel_p, t_overlap, bpe_mat,
     """Largest frame tile that divides n_frames and fits the ~16 MB VMEM
     budget (measured: bf16 tf512 = +27% frames/s over tf128; f32 operands
     at tf256 already blow scoped vmem on v5e)."""
+    if bpe_mat == 4:
+        # f32 operands (parity mode): tf256 blows scoped vmem on v5e even
+        # though the declared-scratch sum fits the budget — Mosaic's
+        # compiler-managed scratch for the multi-pass f32 dots is not in
+        # this estimate.  128 is the measured ceiling; do not offer more.
+        return TILE_F
     budget = 14 * 1024 * 1024  # leave headroom under the 16 MB limit
     for tf in (512, 256, 128):
         if n_frames % tf:

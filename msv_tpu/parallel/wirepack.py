@@ -918,10 +918,7 @@ def unpack_spec_np(words, widths, n_frames: int, n_out: int, f_pad: int,
          ^ -(z & np.uint32(1)).astype(np.int32))
     d = d[: n_out * f_pad].reshape(n_out, f_pad)
     q = np.cumsum(d, axis=1, dtype=np.int32)
-    qmax = (1 << bits) - 1
-    rngv = np.float32(hi) - np.float32(lo)
-    scale = np.float32(qmax) / rngv if rngv > 0 else np.float32(1.0)
-    db = (q[:, :n_frames].T.astype(np.float32) / scale) + np.float32(lo)
+    db = (q[:, :n_frames].T.astype(np.float32) / scale0) + np.float32(lo)
     return np.ascontiguousarray(db)
 
 

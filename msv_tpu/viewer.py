@@ -65,7 +65,13 @@ function viewParams() {
 
 // Two-stage fetch: the VISIBLE region renders first (small image, fastest
 // possible perceived latency on a slow link), then one screen of margin on
-// each side is prefetched and swapped in for smooth panning.
+// each side is prefetched and swapped in for smooth panning.  Each stage
+// loads via a detached Image and swaps in only if this call is still the
+// latest for the track (gen guard) — stale loads from superseded calls
+// cannot clobber a fresh render.  Margin coverage is recorded only when
+// every wide image has actually landed, so a failed stage-2 request
+// leaves the window marked uncovered and the next scroll retries instead
+// of panning over blank margin forever.
 function fetchView(t, force) {
   const box = document.getElementById('box' + t.id);
   const totalPx = Math.trunc(pps * t.sec);
@@ -76,27 +82,40 @@ function fetchView(t, force) {
   const c1 = Math.min(totalPx, vis1 + viewPx);
   const st = state[t.id] || {};
   if (!force && st.c0 !== undefined && vis0 >= st.c0 && vis1 <= st.c1) return;
-  state[t.id] = {c0, c1};
+  const gen = (st.gen || 0) + 1;
+  state[t.id] = {c0: vis0, c1: vis1, gen};  // visible-only until wides land
   const {amp, showWav} = viewParams();
   const specUrl = (a, b) =>
     `/api/spec_crop/${t.id}?px_per_sec=${pps}&height=${H}&start=${a / pps}&end=${b / pps}`;
   const wavUrl = (a, b) =>
     `/api/wav_crop/${t.id}?px_per_sec=${pps}&height=${WH}&amp_min=${-amp}&amp_max=${amp}&start=${a / pps}&end=${b / pps}`;
-  const spec = document.getElementById('spec' + t.id);
-  spec.onload = () => {  // stage 2: widen to the margin window
-    spec.onload = null;
-    spec.src = specUrl(c0, c1); spec.style.left = c0 + 'px';
+  let pendingWide = showWav ? 2 : 1;
+  const wideLanded = () => {
+    if (--pendingWide === 0) state[t.id] = {c0, c1, gen};
   };
-  spec.src = specUrl(vis0, vis1); spec.style.left = vis0 + 'px';
+  const stage = (img, urlVis, urlWide) => {
+    const a = new Image();
+    a.onload = () => {
+      if ((state[t.id] || {}).gen !== gen) return;  // superseded
+      img.src = a.src; img.style.left = vis0 + 'px';
+      const b = new Image();  // stage 2: widen to the margin window
+      b.onload = () => {
+        if ((state[t.id] || {}).gen !== gen) return;
+        img.src = b.src; img.style.left = c0 + 'px';
+        wideLanded();
+      };
+      b.src = urlWide;
+    };
+    a.onerror = () => {  // drop coverage so the next scroll retries
+      if ((state[t.id] || {}).gen === gen) state[t.id] = {gen};
+    };
+    a.src = urlVis;
+  };
+  const spec = document.getElementById('spec' + t.id);
+  stage(spec, specUrl(vis0, vis1), specUrl(c0, c1));
   const wimg = document.getElementById('wav' + t.id);
   wimg.style.display = showWav ? 'block' : 'none';
-  if (showWav) {
-    wimg.onload = () => {
-      wimg.onload = null;
-      wimg.src = wavUrl(c0, c1); wimg.style.left = c0 + 'px';
-    };
-    wimg.src = wavUrl(vis0, vis1); wimg.style.left = vis0 + 'px';
-  }
+  if (showWav) stage(wimg, wavUrl(vis0, vis1), wavUrl(c0, c1));
   document.getElementById('spacer' + t.id).style.width = totalPx + 'px';
 }
 

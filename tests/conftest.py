@@ -47,3 +47,16 @@ def reference_sample_paths():
 @pytest.fixture()
 def rng():
     return np.random.default_rng(20260816)
+
+
+@pytest.fixture(autouse=True)
+def _isolate_precision_mode():
+    """Snapshot/restore the session precision globals around every test so
+    a test that calls set_precision_mode (which latches the explicit flag
+    that features.py's default consults) cannot leak into later tests."""
+    from msv_tpu import config as _cfg
+
+    mode, explicit = _cfg._PRECISION_MODE, _cfg._PRECISION_MODE_EXPLICIT
+    yield
+    _cfg._PRECISION_MODE = mode
+    _cfg._PRECISION_MODE_EXPLICIT = explicit

@@ -157,3 +157,62 @@ def test_features_dp_sharded_batch(rng):
     shard_rows = {sh.data.shape[0] for sh in out.addressable_shards}
     assert shard_rows == {1}, shard_rows  # still 1 batch row per device
     np.testing.assert_array_equal(np.asarray(out), host)
+
+
+def test_features_dp_sharded_batch_pallas_route(rng):
+    """With engine='pallas' AND win%hop==0 (the fused-route conditions), a
+    dp-sharded batch must STILL come back dp-sharded: the per-row kernel
+    launch would gather the batch, so sharded inputs route to the
+    partitioned XLA path (docs/API.md sharding contract)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from msv_tpu.config import set_engine
+
+    sr = 8000
+    kw = dict(n_mel=48, win_ms=40.0, hop_ms=10.0)
+    wav = (rng.standard_normal((8, 2 * sr)) * 0.4).astype(np.float32)
+    host = np.asarray(log_mel_spectrogram(wav, sr, **kw))
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("dp",))
+    dev = jax.device_put(jnp.asarray(wav), NamedSharding(mesh, P("dp")))
+    set_engine("pallas")
+    try:
+        with mesh:
+            out = log_mel_spectrogram(dev, sr, **kw)
+    finally:
+        set_engine("auto")
+    shard_rows = {sh.data.shape[0] for sh in out.addressable_shards}
+    assert shard_rows == {1}, shard_rows
+    np.testing.assert_array_equal(np.asarray(out), host)
+
+
+def test_features_default_follows_explicit_global_precision(rng):
+    """precision=None defaults to 'fast', but an EXPLICIT session-wide
+    set_precision_mode('parity') must win (the global knob is the
+    documented bit-faithfulness switch; features must not silently ignore
+    it)."""
+    from msv_tpu import config as _cfg
+    from msv_tpu.config import set_precision_mode
+
+    sr = 8000
+    wav = (rng.standard_normal(2 * sr) * 0.4).astype(np.float32)
+    parity = np.asarray(log_mel_spectrogram(wav, sr, precision="parity"))
+    fast = np.asarray(log_mel_spectrogram(wav, sr, precision="fast"))
+
+    # untouched session: default is the documented 'fast'
+    assert not _cfg.precision_mode_is_explicit()
+    np.testing.assert_array_equal(
+        np.asarray(log_mel_spectrogram(wav, sr)), fast
+    )
+    # explicit global parity: default now bit-matches the parity path
+    set_precision_mode("parity")
+    np.testing.assert_array_equal(
+        np.asarray(log_mel_spectrogram(wav, sr)), parity
+    )
+    # explicit global fast keeps fast
+    set_precision_mode("fast")
+    np.testing.assert_array_equal(
+        np.asarray(log_mel_spectrogram(wav, sr)), fast
+    )

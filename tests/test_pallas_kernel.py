@@ -113,3 +113,21 @@ def test_pallas_i16_transfer_format(rng):
             )
         )
     np.testing.assert_array_equal(outs["i16"], outs["f32"])
+
+
+def test_auto_tile_f_caps_f32_operands_at_128():
+    """f32 (parity) operands must never get a frame tile above 128: tf256
+    with f32 blows Mosaic scoped VMEM on v5e even though the declared
+    scratch fits the budget (measured; see _auto_tile_f docstring).  bf16
+    operands take the larger VMEM-fitting tile at typical shapes."""
+    from msv_tpu.kernels.spectrogram_pallas import TILE_F, _auto_tile_f
+
+    # typical 48 kHz derived shapes: win_p=1920, hop_p=512, n_mel_p=128
+    for n_frames in (256, 512, 1024, 4096):
+        got = _auto_tile_f(n_frames, 1920, 512, 128, 4, 4, 4)
+        assert got == TILE_F == 128, (n_frames, got)
+    # bf16 operands at the same shapes fit 512-frame tiles
+    assert _auto_tile_f(512, 1920, 512, 128, 4, 2, 4) == 512
+    assert _auto_tile_f(1024, 1920, 512, 128, 4, 2, 2) == 512
+    # non-dividing n_frames falls back to the largest divisor <= budget
+    assert _auto_tile_f(256, 1920, 512, 128, 4, 2, 4) == 256

@@ -259,7 +259,7 @@ def test_mp3_mutation_fuzz_no_crash(tmp_path, rng):
                 data[int(rng.integers(0, len(data)))] = int(
                     rng.integers(0, 256)
                 )
-            elif kind == 1:  # truncate
+            elif kind == 1 and len(data) > 4:  # truncate
                 data = data[: int(rng.integers(4, len(data)))]
             else:  # splice garbage
                 at = int(rng.integers(0, len(data)))
