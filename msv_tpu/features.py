@@ -138,19 +138,36 @@ def log_mel_spectrogram(
         raise ValueError(f"unknown precision: {mode!r}")
 
     engine = get_engine()
-    # A dp-sharded batch must stay on the partitioned XLA path: the fused
-    # kernel launches per row on one device, which would gather the batch
-    # and drop its sharding (docs/API.md pins "output stays dp-sharded").
+    # A dp-sharded batch must stay sharded through the fused route (docs/
+    # API.md pins "output stays dp-sharded"): a bare per-row kernel launch
+    # would gather the batch, so sharded batches run the kernel INSIDE a
+    # shard_map over the batch axis — each device processes its local rows
+    # and the output keeps the batch sharding.  Only the clean case (1-D
+    # NamedSharding on the batch dim, rows divisible by the axis) takes
+    # that route; anything fancier falls back to the partitioned XLA path.
     sharded = (
         is_dev
         and getattr(wav, "sharding", None) is not None
         and len(wav.sharding.device_set) > 1
     )
+    shard_axis = shard_mesh = None
+    if sharded:
+        from jax.sharding import NamedSharding
+
+        sh = wav.sharding
+        if (
+            isinstance(sh, NamedSharding)
+            and len(sh.spec) >= 1
+            and isinstance(sh.spec[0], str)
+            and all(s is None for s in sh.spec[1:])
+            and wav.shape[0] % sh.mesh.shape[sh.spec[0]] == 0
+        ):
+            shard_axis, shard_mesh = sh.spec[0], sh.mesh
     use_pallas = (
         log == "amp_db"
         and win_length % hop_length == 0
         and engine != "xla"
-        and not sharded
+        and (not sharded or shard_axis is not None)
         and (engine == "pallas" or jax.default_backend() == "tpu")
     )
 
@@ -213,8 +230,8 @@ def log_mel_spectrogram(
                 prepare_wav2d(w, win_length, hop_length, n_pad)
             )
 
-        outs = [
-            mel_spectrogram_pallas(
+        def _one(w):
+            return mel_spectrogram_pallas(
                 _wav2d(w),
                 c3d,
                 s3d,
@@ -225,9 +242,24 @@ def log_mel_spectrogram(
                 interpret=interpret,
                 mode=mode,
             )[:, :n_mel]
-            for w in padded
-        ]
-        out = jnp.stack(outs)[:, :n_frames, :]
+
+        if shard_axis is not None:
+            # dp scale-out: each device runs the fused kernel over its
+            # local batch rows; the (replicated) operand closures ride in
+            # as constants and the output keeps the batch sharding
+            from jax.sharding import PartitionSpec as P
+
+            block = jax.shard_map(
+                lambda pb: jnp.stack([_one(pb[i])
+                                      for i in range(pb.shape[0])]),
+                mesh=shard_mesh,
+                in_specs=(P(shard_axis, None),),
+                out_specs=P(shard_axis, None, None),
+                check_vma=False,
+            )
+            out = block(padded)[:, :n_frames, :]
+        else:
+            out = jnp.stack([_one(w) for w in padded])[:, :n_frames, :]
     else:
         out = _features_core(
             jnp.asarray(padded),
