@@ -64,7 +64,11 @@ def _build_parser():
         help="adaptive multi-resolution spectrogram (transients from short "
         "windows, harmonics from long ones)",
     )
-    r.add_argument("--n-mel", type=int, default=128, help="bands for --adaptive")
+    r.add_argument(
+        "--n-mel", type=int, default=None,
+        help="bands for --adaptive (default: auto — the largest count "
+        "with no empty band at the smallest analysis scale)",
+    )
 
     i = sub.add_parser("info", help="show decoded file + derived STFT params")
     i.add_argument("files", nargs="+")

@@ -214,6 +214,15 @@ class AudioTrack:
         """Duration in f32 seconds (lib.rs:178: len as f32 / sr as f32)."""
         return float(np.float32(self.n_samples) / np.float32(self.sr))
 
+    def wav_slice(self, s0: int, s1: int) -> np.ndarray:
+        """f32 mono samples [s0, s1) — O(slice) even for integer carriers
+        (never materializes the full lazy f32)."""
+        if self._mono_f32 is not None:
+            return self._mono_f32[s0:s1]
+        return self._wav_int[s0:s1].astype(np.float32) * np.float32(
+            self.scale
+        )
+
     def reload(self, setting: SpecSetting) -> None:
         """Re-derive params after a setting change (lib.rs:57-61)."""
         self.__init__(self.path, setting)
@@ -761,6 +770,107 @@ class MultiTrack:
             return self._run_render(
                 st, wv, wh, height=height, banded=True, nheight=nheight,
                 ncols=ncols, wire=wire or get_image_wire(),
+            )
+
+    # One adaptive render recomputes its frame support at 3 window scales
+    # (no cached spec state); bound the support so a zoomed-out render of
+    # an hour-scale track cannot demand 3 full-length STFTs per request.
+    ADAPTIVE_MAX_FRAMES = 1 << 16
+
+    def get_adaptive_spec_image_crop(
+        self,
+        id: int,
+        px_per_sec: float,
+        nheight: int,
+        start_sec: float,
+        end_sec: float,
+        n_mel: int | None = None,
+        wire: str | None = None,
+    ) -> np.ndarray:
+        """Adaptive multi-resolution viewport render — the reference's
+        roadmap item "Adaptive STFT (sth like iZotope RX Editor)"
+        (ReadMe.md:18), live: transients take their detail from short
+        analysis windows, stationary harmonics from long ones
+        (ops/multires.py).
+
+        Column math mirrors :meth:`get_spec_image_crop`, so adjacent
+        crops stitch pixel-exactly; frames are computed slice-locally
+        (O(viewport), bit-equal to slicing a full-track computation) and
+        normalized with the session-global dB range, so toggling adaptive
+        keeps the brightness scale of the standard view.
+        """
+        from types import SimpleNamespace
+
+        from ..ops.multires import (
+            adaptive_auto_n_mel,
+            adaptive_frame_count,
+            multires_mel_spec_db_range,
+            range_sample_window,
+        )
+
+        track = self._track(id)
+        if n_mel is None:
+            # shared-basis auto band count (empty low-frequency mel rows
+            # at the smallest scale render as black banding otherwise)
+            n_mel = adaptive_auto_n_mel(track.sr, self.setting)
+        f32 = np.float32
+        full_w = trunc_int(
+            f32(px_per_sec) * f32(track.n_samples) / f32(track.sr)
+        )
+        c0 = max(0, trunc_int(f32(px_per_sec) * f32(start_sec)))
+        c1 = min(full_w, trunc_int(f32(px_per_sec) * f32(end_sec)))
+        if c1 <= c0 or nheight == 0:
+            return np.zeros((nheight, 0, 3), dtype=np.uint8)
+        ncols = c1 - c0
+        _check_render_dims(ncols, nheight, "get_adaptive_spec_image_crop")
+
+        nf = adaptive_frame_count(track.n_samples, track.sr, self.setting)
+        left, wb = resize_weights_range(nf, full_w, c0, c1)
+        band = wb.shape[1]
+        f_lo = int(left.min())
+        # banded-apply width: every (left + band) read stays in-bounds
+        f_need = int(left.max()) - f_lo + band
+        if f_need > self.ADAPTIVE_MAX_FRAMES:
+            raise ValueError(
+                f"adaptive render support of {f_need} frames exceeds "
+                f"{self.ADAPTIVE_MAX_FRAMES}; zoom in (narrower viewport) "
+                "for adaptive mode"
+            )
+        f_hi = min(nf, f_lo + f_need)
+        s0, s1 = range_sample_window(
+            track.n_samples, track.sr, self.setting, f_lo, f_hi
+        )
+        jnp = self._jnp
+        with self.timer.stage("adaptive.spec"):
+            db, _ = multires_mel_spec_db_range(
+                track.wav_slice(s0, s1),
+                track.sr,
+                f_lo,
+                f_hi,
+                setting=self.setting,
+                slice_start=s0,
+                n_samples=track.n_samples,
+                n_mel=n_mel,
+            )
+            # pad to the banded width + frame bucket (bounded jit cache);
+            # pad rows carry zero resize weight
+            w_pad = round_up_to(max(f_need, 1), FRAME_BUCKET)
+            db_p = jnp.pad(db, ((0, w_pad - int(db.shape[0])), (0, 0)))
+
+        height = grey_height(n_mel, self._up_ratio(track.sr))
+        out_h_b = round_up_to(nheight, OUT_BUCKET)
+        out_w_b = round_up_to(ncols, OUT_BUCKET)
+        wv = _dev_vertical_weights(height, nheight, out_h_b)
+        left_p = np.zeros(out_w_b, dtype=np.int32)
+        left_p[:ncols] = left - f_lo  # slice-local indices
+        wb_p = np.zeros((out_w_b, band), dtype=np.float32)
+        wb_p[:ncols] = wb
+        wh = (jnp.asarray(left_p), jnp.asarray(wb_p))
+        with self.timer.stage("adaptive.render"):
+            return self._run_render(
+                SimpleNamespace(spec_db=db_p), wv, wh, height=height,
+                banded=True, nheight=nheight, ncols=ncols,
+                wire=wire or get_image_wire(),
             )
 
     def _env_state_for(self, id: int, track):

@@ -35,6 +35,7 @@ _PAGE = """<!DOCTYPE html>
  <img id="cbar" src="/api/colorbar?width=16&height=24" style="vertical-align:middle;margin-left:14px" title="dB colorbar">
  <span id="dbrange" style="color:#888;font-size:12px"></span>
  <label style="margin-left:14px"><input id="showwav" type="checkbox" checked> waveform</label>
+ <label style="margin-left:14px" title="adaptive multi-resolution STFT (transients from short windows, harmonics from long ones)"><input id="adaptive" type="checkbox"> adaptive</label>
  amp&plusmn;<input id="amp" type="number" value="1.0" min="0.05" max="4" step="0.05" style="width:56px">
  <input id="addpath" placeholder="/path/to/file.wav" style="margin-left:14px;width:220px">
  <button id="addbtn">add</button>
@@ -60,6 +61,7 @@ function viewParams() {
   return {
     amp: +document.getElementById('amp').value || 1.0,
     showWav: document.getElementById('showwav').checked,
+    adaptive: document.getElementById('adaptive').checked,
   };
 }
 
@@ -84,9 +86,10 @@ function fetchView(t, force) {
   if (!force && st.c0 !== undefined && vis0 >= st.c0 && vis1 <= st.c1) return;
   const gen = (st.gen || 0) + 1;
   state[t.id] = {c0: vis0, c1: vis1, gen};  // visible-only until wides land
-  const {amp, showWav} = viewParams();
+  const {amp, showWav, adaptive} = viewParams();
+  const specEp = adaptive ? 'adaptive_crop' : 'spec_crop';
   const specUrl = (a, b) =>
-    `/api/spec_crop/${t.id}?px_per_sec=${pps}&height=${H}&start=${a / pps}&end=${b / pps}`;
+    `/api/${specEp}/${t.id}?px_per_sec=${pps}&height=${H}&start=${a / pps}&end=${b / pps}`;
   const wavUrl = (a, b) =>
     `/api/wav_crop/${t.id}?px_per_sec=${pps}&height=${WH}&amp_min=${-amp}&amp_max=${amp}&start=${a / pps}&end=${b / pps}`;
   let pendingWide = showWav ? 2 : 1;
@@ -172,6 +175,7 @@ document.getElementById('zoom').addEventListener('change', e => {
   pps = +e.target.value; document.getElementById('zv').textContent = pps; refresh();
 });
 document.getElementById('showwav').addEventListener('change', refresh);
+document.getElementById('adaptive').addEventListener('change', refresh);
 document.getElementById('amp').addEventListener('change', refresh);
 document.getElementById('addbtn').addEventListener('click', async () => {
   const path = document.getElementById('addpath').value.trim();
@@ -409,6 +413,20 @@ class _Handler(BaseHTTPRequestHandler):
                 tid = int(url.path.rsplit("/", 1)[1])
                 with self.lock.read():
                     img = mt.get_spec_image_crop(
+                        tid,
+                        qpps(),
+                        qh("height", 300),
+                        qf("start", 0.0, 0.0, 1e7),
+                        qf("end", 10.0, 0.0, 1e7),
+                    )
+                self._send(200, "image/png", self._png(img))
+            elif url.path.startswith("/api/adaptive_crop/"):
+                # adaptive multi-resolution STFT view (ReadMe.md:18
+                # roadmap item, live) — same column math as spec_crop so
+                # the client's two-stage fetch stitches pixel-exactly
+                tid = int(url.path.rsplit("/", 1)[1])
+                with self.lock.read():
+                    img = mt.get_adaptive_spec_image_crop(
                         tid,
                         qpps(),
                         qh("height", 300),

@@ -58,3 +58,83 @@ def test_shapes_and_finiteness(rng):
     db, n = multires_mel_spec_db(wav, 8000, scales=(1, 2, 4), n_mel=96)
     assert db.shape == (n, 96)
     assert np.isfinite(np.asarray(db)).all()
+
+
+def test_range_equals_full_slice(rng):
+    """multires_mel_spec_db_range computed from the minimal sample slice
+    must equal slicing the full computation — including both track edges
+    (reflect + zero-extension alignment) and single-frame ranges."""
+    from msv_tpu.config import SpecSetting
+    from msv_tpu.ops.multires import (
+        adaptive_frame_count,
+        multires_mel_spec_db_range,
+        range_sample_window,
+    )
+
+    st = SpecSetting()
+    for sr, n in [(8000, 24000), (16000, 20800), (22050, 15437)]:
+        wav = (rng.standard_normal(n) * 0.3).astype(np.float32)
+        full, nf = multires_mel_spec_db(wav, sr, st, n_mel=64)
+        full = np.asarray(full)
+        assert adaptive_frame_count(n, sr, st) == nf
+        ranges = [(0, nf), (0, 5), (nf - 5, nf), (nf // 3, nf // 3 + 40),
+                  (1, 2), (nf - 1, nf), (0, 1)]
+        ranges += [tuple(sorted(rng.integers(0, nf, 2))) for _ in range(4)]
+        for f0, f1 in ranges:
+            if f1 == f0:
+                f1 = f0 + 1
+            s0, s1 = range_sample_window(n, sr, st, f0, f1)
+            db, _ = multires_mel_spec_db_range(
+                wav[s0:s1], sr, f0, f1, setting=st, slice_start=s0,
+                n_samples=n, n_mel=64,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(db), full[f0:f1], err_msg=f"{sr} {f0}:{f1}"
+            )
+
+
+def test_auto_n_mel_no_empty_bands():
+    """The shared-basis auto band count must leave no empty mel row at
+    the SMALLEST scale (empty rows rendered as black banding with the
+    old fixed-128 default)."""
+    from msv_tpu.config import SpecSetting
+    from msv_tpu.ops.mel import calc_mel_fb
+    from msv_tpu.ops.multires import _scale_params, adaptive_auto_n_mel
+
+    for sr in (8000, 16000, 22050, 44100):
+        st = SpecSetting()
+        n_mel = adaptive_auto_n_mel(sr, st)
+        _, wins = _scale_params(sr, st, (1, 2, 4))
+        for _, n_fft in wins:
+            fb = calc_mel_fb(sr, n_fft, n_mel, 0.0, None, True, np.float32)
+            assert (fb.sum(axis=0) > 0).all(), (sr, n_fft, n_mel)
+
+
+def test_session_adaptive_crop_stitches(reference_sample_paths):
+    """Session adaptive viewport renders: adjacent crops stitch
+    pixel-exactly into the full-range crop, and the degenerate/oversize
+    guards hold."""
+    import pytest as _pytest
+
+    from msv_tpu import MultiTrack
+
+    mt = MultiTrack()
+    mt.add_tracks([0], [reference_sample_paths[0]])
+    sec = mt.tracks[0].sec
+    full = mt.get_adaptive_spec_image_crop(0, 50, 200, 0.0, sec + 1.0)
+    a = mt.get_adaptive_spec_image_crop(0, 50, 200, 0.0, 7.0)
+    b = mt.get_adaptive_spec_image_crop(0, 50, 200, 7.0, sec + 1.0)
+    stitch = np.concatenate([a, b], axis=1)
+    assert stitch.shape == full.shape
+    np.testing.assert_array_equal(stitch, full)
+    # degenerate window -> empty image, not an error
+    assert mt.get_adaptive_spec_image_crop(0, 50, 200, 5.0, 5.0).shape == \
+        (200, 0, 3)
+    # the frame-support cap refuses instead of recomputing a huge track
+    old = MultiTrack.ADAPTIVE_MAX_FRAMES
+    MultiTrack.ADAPTIVE_MAX_FRAMES = 64
+    try:
+        with _pytest.raises(ValueError, match="zoom in"):
+            mt.get_adaptive_spec_image_crop(0, 50, 200, 0.0, sec + 1.0)
+    finally:
+        MultiTrack.ADAPTIVE_MAX_FRAMES = old

@@ -329,3 +329,24 @@ def test_viewer_param_bounds(viewer_url):
     # sane values still render
     code, body = _get(viewer_url + "/api/spec/0?px_per_sec=50&height=100")
     assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_viewer_adaptive_crop(viewer_url):
+    """The adaptive endpoint serves a PNG with the same dimensions as the
+    standard spec crop of the same window (toggle swaps in place)."""
+    import io as _io
+
+    from PIL import Image
+
+    code, body = _get(
+        viewer_url
+        + "/api/adaptive_crop/0?px_per_sec=50&height=80&start=0.2&end=0.6"
+    )
+    assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+    code2, body2 = _get(
+        viewer_url
+        + "/api/spec_crop/0?px_per_sec=50&height=80&start=0.2&end=0.6"
+    )
+    a = Image.open(_io.BytesIO(body))
+    s = Image.open(_io.BytesIO(body2))
+    assert a.size == s.size
