@@ -138,3 +138,40 @@ def test_session_adaptive_crop_stitches(reference_sample_paths):
             mt.get_adaptive_spec_image_crop(0, 50, 200, 0.0, sec + 1.0)
     finally:
         MultiTrack.ADAPTIVE_MAX_FRAMES = old
+
+
+def test_range_equals_full_slice_settings_fuzz(rng):
+    """The slice-local path must hold under non-default settings: other
+    win/hop geometries (odd derived windows, t_overlap extremes,
+    f_overlap > 1) stress the reflect/tail alignment differently."""
+    from msv_tpu.config import SpecSetting
+    from msv_tpu.ops.multires import (
+        multires_mel_spec_db_range,
+        range_sample_window,
+    )
+
+    cases = [
+        (8000, SpecSetting(win_ms=25.0, t_overlap=2)),
+        (16000, SpecSetting(win_ms=80.0, t_overlap=8, f_overlap=2)),
+        (22050, SpecSetting(win_ms=11.0, t_overlap=1)),
+        (44100, SpecSetting(win_ms=60.0, t_overlap=3)),
+    ]
+    for sr, st in cases:
+        n = int(rng.integers(sr // 2, sr))
+        wav = (rng.standard_normal(n) * 0.3).astype(np.float32)
+        full, nf = multires_mel_spec_db(wav, sr, st, n_mel=48)
+        full = np.asarray(full)
+        ranges = [(0, nf), (nf - 3, nf), (0, 3)]
+        ranges += [tuple(sorted(rng.integers(0, nf, 2))) for _ in range(3)]
+        for f0, f1 in ranges:
+            if f1 == f0:
+                f1 = min(nf, f0 + 1)
+            s0, s1 = range_sample_window(n, sr, st, f0, f1)
+            db, _ = multires_mel_spec_db_range(
+                wav[s0:s1], sr, f0, f1, setting=st, slice_start=s0,
+                n_samples=n, n_mel=48,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(db), full[f0:f1],
+                err_msg=f"sr={sr} win_ms={st.win_ms} {f0}:{f1}",
+            )
