@@ -133,9 +133,8 @@ def log_mel_spectrogram(
         precision = (
             get_precision_mode() if precision_mode_is_explicit() else "fast"
         )
-    mode = precision
-    if mode not in ("fast", "parity"):
-        raise ValueError(f"unknown precision: {mode!r}")
+    if precision not in ("fast", "parity"):
+        raise ValueError(f"unknown precision: {precision!r}")
 
     engine = get_engine()
     # A dp-sharded batch must stay sharded through the fused route (docs/
@@ -208,7 +207,7 @@ def log_mel_spectrogram(
 
         c3, s3, fb3, _ = prepare_matrices(c, s, fb, win_length)
         c3d, s3d, fb3d = jnp.asarray(c3), jnp.asarray(s3), jnp.asarray(fb3)
-        if mode == "fast":
+        if precision == "fast":
             # bf16 operands: half the kernel's dominant HBM traffic (the
             # C/S/fb re-streaming) and the auto tile_f can then take the
             # 512-frame tile — measured +27% frames/s over tf128 on v5e
@@ -240,7 +239,7 @@ def log_mel_spectrogram(
                 hop=hop_length,
                 n_frames=n_pad,
                 interpret=interpret,
-                mode=mode,
+                mode=precision,
             )[:, :n_mel]
 
         if shard_axis is not None:
@@ -271,7 +270,7 @@ def log_mel_spectrogram(
             hop=hop_length,
             n_frames=n_pad,
             log=log,
-            mode=mode,
+            mode=precision,
         )[:, :n_frames, :]
     if top_db is not None:
         out = jnp.maximum(out, jnp.max(out) - top_db)

@@ -74,6 +74,11 @@ def multires_mel_spec_db(
     """Adaptive multi-resolution mel dB spectrogram.
 
     Returns (db (n_frames, n_mel) device array, n_frames).
+
+    Deliberately NOT implemented via :func:`multires_mel_spec_db_range`:
+    this whole-track form is the straightforward oracle the slice-local
+    range form is A/B-tested against (tests/test_multires.py), so the two
+    must stay independent implementations.
     """
     setting = setting or SpecSetting()
     if n_mel is None:
@@ -278,9 +283,7 @@ def multires_mel_spec_db_range(
     f0 = max(0, min(f0, nf))
     f1 = max(f0, min(f1, nf))
     if f1 == f0:
-        import jax.numpy as _jnp
-
-        return _jnp.zeros((0, n_mel), _jnp.float32), nf
+        return jnp.zeros((0, n_mel), jnp.float32), nf
     e0 = max(0, f0 - BLEND_MARGIN)
     e1 = min(nf, f1 + BLEND_MARGIN)
     n_local = e1 - e0

@@ -61,6 +61,18 @@ MAX_RENDER_COLS = 1 << 22  # 4.2M columns (hour @ ~1165 px/s full-width)
 MAX_RENDER_ROWS = 1 << 16
 
 
+def _crop_cols(track, px_per_sec: float, start_sec: float, end_sec: float):
+    """Viewport column math shared by the crop renders: full logical
+    width (the reference's `as u32` trunc, lib.rs:296) and the clamped
+    [c0, c1) column window for [start_sec, end_sec) — f32 throughout so a
+    crop is pixel-aligned with slicing the full-width image."""
+    f32 = np.float32
+    full_w = trunc_int(f32(px_per_sec) * f32(track.n_samples) / f32(track.sr))
+    c0 = max(0, trunc_int(f32(px_per_sec) * f32(start_sec)))
+    c1 = min(full_w, trunc_int(f32(px_per_sec) * f32(end_sec)))
+    return full_w, c0, c1
+
+
 def _check_render_dims(ncols: int, nheight: int, what: str) -> None:
     if ncols > MAX_RENDER_COLS:
         raise ValueError(
@@ -752,10 +764,7 @@ class MultiTrack:
         """
         track = self._track(id)
         st = self._state[id]
-        f32 = np.float32
-        full_w = trunc_int(f32(px_per_sec) * f32(track.n_samples) / f32(track.sr))
-        c0 = max(0, trunc_int(f32(px_per_sec) * f32(start_sec)))
-        c1 = min(full_w, trunc_int(f32(px_per_sec) * f32(end_sec)))
+        full_w, c0, c1 = _crop_cols(track, px_per_sec, start_sec, end_sec)
         if c1 <= c0 or nheight == 0:
             return np.zeros((nheight, 0, 3), dtype=np.uint8)
         ncols = c1 - c0
@@ -813,12 +822,7 @@ class MultiTrack:
             # shared-basis auto band count (empty low-frequency mel rows
             # at the smallest scale render as black banding otherwise)
             n_mel = adaptive_auto_n_mel(track.sr, self.setting)
-        f32 = np.float32
-        full_w = trunc_int(
-            f32(px_per_sec) * f32(track.n_samples) / f32(track.sr)
-        )
-        c0 = max(0, trunc_int(f32(px_per_sec) * f32(start_sec)))
-        c1 = min(full_w, trunc_int(f32(px_per_sec) * f32(end_sec)))
+        full_w, c0, c1 = _crop_cols(track, px_per_sec, start_sec, end_sec)
         if c1 <= c0 or nheight == 0:
             return np.zeros((nheight, 0, 3), dtype=np.uint8)
         ncols = c1 - c0
