@@ -260,6 +260,7 @@ def multires_mel_spec_db_range(
     scales=(1, 2, 4),
     n_mel: int | None = None,
     alpha: float = 2.0,
+    scale: float | None = None,
 ):
     """Frames [f0, f1) of :func:`multires_mel_spec_db`, computed from a
     sample SLICE — O(f1 - f0) compute and memory, never the whole track.
@@ -271,12 +272,23 @@ def multires_mel_spec_db_range(
     reduction-order noise the result equals
     ``multires_mel_spec_db(wav, ...)[0][f0:f1]`` (A/B-pinned in tests).
 
+    ``wav_s`` may be an INTEGER carrier (int16/int32) with ``scale`` the
+    f32 value of one unit: the segment then crosses the host->device wire
+    at carrier width and converts on device — bit-identical values
+    (power-of-two scale) at half the transfer bytes.
+
     Returns (db (f1-f0, n_mel) device array, n_frames_full).
     """
     setting = setting or SpecSetting()
     if n_mel is None:
         n_mel = adaptive_auto_n_mel(sr, setting, scales)
-    wav_s = np.ascontiguousarray(wav_s, dtype=np.float32)
+    wav_s = np.ascontiguousarray(wav_s)
+    int_carrier = wav_s.dtype in (np.int16, np.int32)
+    if int_carrier:
+        if scale is None:
+            raise ValueError("integer wav_s requires the carrier scale")
+    else:
+        wav_s = wav_s.astype(np.float32, copy=False)
     n = int(n_samples) if n_samples is not None else len(wav_s)
     hop, wins = _scale_params(sr, setting, scales)
     nf = n_frames_for(n, wins[0][0], hop)
@@ -299,9 +311,14 @@ def multires_mel_spec_db_range(
         need = (n_pad - 1) * hop + win
         if len(seg) < need:
             seg = np.pad(seg, (0, need - len(seg)))
+        seg_dev = jnp.asarray(seg)
+        if int_carrier:
+            # device-side conversion: exact (power-of-two scale), and the
+            # wire carried half the bytes
+            seg_dev = _carrier_to_f32(seg_dev, jnp.float32(scale))
         specs.append(
             _scale_spec(
-                jnp.asarray(seg), cdev, sdev, fbdev,
+                seg_dev, cdev, sdev, fbdev,
                 win=win, hop=hop, n_frames=n_pad,
             )
         )
@@ -318,3 +335,8 @@ def _dev_scale_constants(sr: int, win: int, n_fft: int, n_mel: int):
     c, s = windowed_dft_matrices(window, n_fft)
     fb = calc_mel_fb(sr, n_fft, n_mel, 0.0, None, True, np.float32)
     return jnp.asarray(c), jnp.asarray(s), jnp.asarray(fb)
+
+
+@jax.jit
+def _carrier_to_f32(seg, scale):
+    return seg.astype(jnp.float32) * scale

@@ -235,6 +235,14 @@ class AudioTrack:
             self.scale
         )
 
+    def wav_slice_raw(self, s0: int, s1: int):
+        """(samples[s0:s1], unit scale) in the track's narrowest exact
+        form: the integer carrier when one exists (half the host->device
+        wire bytes; conversion is exact on device), else f32."""
+        if self._wav_int is not None:
+            return self._wav_int[s0:s1], self.scale
+        return self._mono_f32[s0:s1], 1.0
+
     def reload(self, setting: SpecSetting) -> None:
         """Re-derive params after a setting change (lib.rs:57-61)."""
         self.__init__(self.path, setting)
@@ -271,6 +279,8 @@ class MultiTrack:
         self.timer = StageTimer()
         self._log = get_logger()
         self._env_lock = threading.Lock()  # lazy envelope-state creation
+        self._adaptive_db: dict[int, tuple] = {}  # id -> (n_mel, dev dB)
+        self._adaptive_lock = threading.Lock()
 
     # ------------------------------------------------------------- caches
 
@@ -490,6 +500,7 @@ class MultiTrack:
                 # re-adding an id replaces the track: drop the lazily-built
                 # envelope buffer or get_wav_image keeps drawing the OLD file
                 self._env_states.pop(id, None)
+                self._adaptive_db.pop(id, None)
                 self.tracks[id] = track
         with self.timer.stage("add_tracks.spec"):
             self._compute_specs(list(id_list))
@@ -571,6 +582,7 @@ class MultiTrack:
         del self.tracks[id]
         self._state.pop(id, None)
         self._env_states.pop(id, None)
+        self._adaptive_db.pop(id, None)
         if self.id_max_sec == id:
             best_id, best_sec = 0, 0.0
             for tid, t in self.tracks.items():
@@ -781,10 +793,51 @@ class MultiTrack:
                 ncols=ncols, wire=wire or get_image_wire(),
             )
 
-    # One adaptive render recomputes its frame support at 3 window scales
-    # (no cached spec state); bound the support so a zoomed-out render of
-    # an hour-scale track cannot demand 3 full-length STFTs per request.
+    # Slice-local adaptive renders recompute their frame support at 3
+    # window scales per request; past this support the render switches to
+    # the per-track cached full adaptive dB (built once, in segments).
     ADAPTIVE_MAX_FRAMES = 1 << 16
+    # Segment size for the cached-full build: one jit program shape for
+    # interior segments, peak memory bounded by one segment's frames.
+    ADAPTIVE_CHUNK = 8192
+
+    def _adaptive_full_db(self, id: int, track, n_mel: int, nf: int):
+        """Per-track device-cached full adaptive dB (nf, n_mel), built
+        ONCE in exact ADAPTIVE_CHUNK-frame segments via the slice-local
+        form — each segment is bit-equal to the corresponding slice of a
+        whole-track computation, so cached-path renders stitch pixel-
+        exactly with slice-local-path renders.  Costs nf*n_mel*4 bytes
+        HBM per track (an hour at auto n_mel ~90 MB); invalidated on
+        replace/remove/set_setting.  Segments upload the track's integer
+        carrier when one exists (half the wire bytes)."""
+        from ..ops.multires import (
+            multires_mel_spec_db_range,
+            range_sample_window,
+        )
+
+        with self._adaptive_lock:
+            hit = self._adaptive_db.get(id)
+            if hit is not None and hit[0] == n_mel:
+                return hit[1]
+            jnp = self._jnp
+            parts = []
+            with self.timer.stage("adaptive.full_build"):
+                for g0 in range(0, nf, self.ADAPTIVE_CHUNK):
+                    g1 = min(nf, g0 + self.ADAPTIVE_CHUNK)
+                    s0, s1 = range_sample_window(
+                        track.n_samples, track.sr, self.setting, g0, g1
+                    )
+                    seg, scale = track.wav_slice_raw(s0, s1)
+                    db, _ = multires_mel_spec_db_range(
+                        seg, track.sr, g0, g1, setting=self.setting,
+                        slice_start=s0, n_samples=track.n_samples,
+                        n_mel=n_mel, scale=scale,
+                    )
+                    parts.append(db)
+            full = (parts[0] if len(parts) == 1
+                    else jnp.concatenate(parts, axis=0))
+            self._adaptive_db[id] = (n_mel, full)
+            return full
 
     def get_adaptive_spec_image_crop(
         self,
@@ -834,39 +887,46 @@ class MultiTrack:
         f_lo = int(left.min())
         # banded-apply width: every (left + band) read stays in-bounds
         f_need = int(left.max()) - f_lo + band
-        if f_need > self.ADAPTIVE_MAX_FRAMES:
-            raise ValueError(
-                f"adaptive render support of {f_need} frames exceeds "
-                f"{self.ADAPTIVE_MAX_FRAMES}; zoom in (narrower viewport) "
-                "for adaptive mode"
-            )
-        f_hi = min(nf, f_lo + f_need)
-        s0, s1 = range_sample_window(
-            track.n_samples, track.sr, self.setting, f_lo, f_hi
-        )
         jnp = self._jnp
-        with self.timer.stage("adaptive.spec"):
-            db, _ = multires_mel_spec_db_range(
-                track.wav_slice(s0, s1),
-                track.sr,
-                f_lo,
-                f_hi,
-                setting=self.setting,
-                slice_start=s0,
-                n_samples=track.n_samples,
-                n_mel=n_mel,
+        if f_need > self.ADAPTIVE_MAX_FRAMES:
+            # zoomed OUT past the slice-local budget: render from the
+            # per-track cached full dB with ABSOLUTE frame indices (pad
+            # rows carry zero resize weight)
+            db_full = self._adaptive_full_db(id, track, n_mel, nf)
+            base = 0
+            with self.timer.stage("adaptive.spec"):
+                w_pad = round_up_to(int(left.max()) + band, FRAME_BUCKET)
+                db_p = jnp.pad(db_full, ((0, w_pad - nf), (0, 0)))
+        else:
+            base = f_lo
+            f_hi = min(nf, f_lo + f_need)
+            s0, s1 = range_sample_window(
+                track.n_samples, track.sr, self.setting, f_lo, f_hi
             )
-            # pad to the banded width + frame bucket (bounded jit cache);
-            # pad rows carry zero resize weight
-            w_pad = round_up_to(max(f_need, 1), FRAME_BUCKET)
-            db_p = jnp.pad(db, ((0, w_pad - int(db.shape[0])), (0, 0)))
+            seg, scale = track.wav_slice_raw(s0, s1)
+            with self.timer.stage("adaptive.spec"):
+                db, _ = multires_mel_spec_db_range(
+                    seg,
+                    track.sr,
+                    f_lo,
+                    f_hi,
+                    setting=self.setting,
+                    slice_start=s0,
+                    n_samples=track.n_samples,
+                    n_mel=n_mel,
+                    scale=scale,
+                )
+                # pad to the banded width + frame bucket (bounded jit
+                # cache); pad rows carry zero resize weight
+                w_pad = round_up_to(max(f_need, 1), FRAME_BUCKET)
+                db_p = jnp.pad(db, ((0, w_pad - int(db.shape[0])), (0, 0)))
 
         height = grey_height(n_mel, self._up_ratio(track.sr))
         out_h_b = round_up_to(nheight, OUT_BUCKET)
         out_w_b = round_up_to(ncols, OUT_BUCKET)
         wv = _dev_vertical_weights(height, nheight, out_h_b)
         left_p = np.zeros(out_w_b, dtype=np.int32)
-        left_p[:ncols] = left - f_lo  # slice-local indices
+        left_p[:ncols] = left - base  # slice-local or absolute indices
         wb_p = np.zeros((out_w_b, band), dtype=np.float32)
         wb_p[:ncols] = wb
         wh = (jnp.asarray(left_p), jnp.asarray(wb_p))
@@ -1001,6 +1061,7 @@ class MultiTrack:
         self.tracks.clear()
         self._state.clear()
         self._env_states.clear()
+        self._adaptive_db.clear()
         self.windows.clear()
         self.mel_fbs.clear()
         self._dfts.clear()

@@ -114,8 +114,6 @@ def test_session_adaptive_crop_stitches(reference_sample_paths):
     """Session adaptive viewport renders: adjacent crops stitch
     pixel-exactly into the full-range crop, and the degenerate/oversize
     guards hold."""
-    import pytest as _pytest
-
     from msv_tpu import MultiTrack
 
     mt = MultiTrack()
@@ -130,14 +128,26 @@ def test_session_adaptive_crop_stitches(reference_sample_paths):
     # degenerate window -> empty image, not an error
     assert mt.get_adaptive_spec_image_crop(0, 50, 200, 5.0, 5.0).shape == \
         (200, 0, 3)
-    # the frame-support cap refuses instead of recomputing a huge track
+    # past the slice-local support budget the render switches to the
+    # per-track cached full dB (segmented build) — pixel-identical to the
+    # slice-local path, and cached for re-renders
     old = MultiTrack.ADAPTIVE_MAX_FRAMES
     MultiTrack.ADAPTIVE_MAX_FRAMES = 64
     try:
-        with _pytest.raises(ValueError, match="zoom in"):
-            mt.get_adaptive_spec_image_crop(0, 50, 200, 0.0, sec + 1.0)
+        via_cache = mt.get_adaptive_spec_image_crop(0, 50, 200, 0.0,
+                                                    sec + 1.0)
+        assert 0 in mt._adaptive_db
+        np.testing.assert_array_equal(via_cache, full)
+        # second render reuses the cache (same object, no rebuild)
+        cached_obj = mt._adaptive_db[0][1]
+        again = mt.get_adaptive_spec_image_crop(0, 50, 200, 0.0, sec + 1.0)
+        assert mt._adaptive_db[0][1] is cached_obj
+        np.testing.assert_array_equal(again, full)
     finally:
         MultiTrack.ADAPTIVE_MAX_FRAMES = old
+    # settings change invalidates the cached adaptive state
+    mt.set_setting(mt.setting)
+    assert not mt._adaptive_db
 
 
 def test_range_equals_full_slice_settings_fuzz(rng):
@@ -175,3 +185,30 @@ def test_range_equals_full_slice_settings_fuzz(rng):
                 np.asarray(db), full[f0:f1],
                 err_msg=f"sr={sr} win_ms={st.win_ms} {f0}:{f1}",
             )
+
+
+def test_range_integer_carrier_matches_f32(rng):
+    """Passing the int16 carrier + scale (half the host->device wire)
+    must produce bit-identical dB to the f32 slice: the device-side
+    conversion is exact for power-of-two scales."""
+    from msv_tpu.config import SpecSetting
+    from msv_tpu.ops.multires import (
+        multires_mel_spec_db_range,
+        range_sample_window,
+    )
+
+    st = SpecSetting()
+    sr, n = 8000, 20000
+    i16 = (rng.integers(-20000, 20000, n)).astype(np.int16)
+    f32 = i16.astype(np.float32) * np.float32(2.0 ** -15)
+    for f0, f1 in [(0, 40), (10, 60)]:
+        s0, s1 = range_sample_window(n, sr, st, f0, f1)
+        a, _ = multires_mel_spec_db_range(
+            f32[s0:s1], sr, f0, f1, setting=st, slice_start=s0,
+            n_samples=n, n_mel=48,
+        )
+        b, _ = multires_mel_spec_db_range(
+            i16[s0:s1], sr, f0, f1, setting=st, slice_start=s0,
+            n_samples=n, n_mel=48, scale=2.0 ** -15,
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
