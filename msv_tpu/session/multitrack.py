@@ -895,8 +895,13 @@ class MultiTrack:
             db_full = self._adaptive_full_db(id, track, n_mel, nf)
             base = 0
             with self.timer.stage("adaptive.spec"):
+                # width the banded apply can read: slice when the crop's
+                # support ends before the track does, pad past the end
                 w_pad = round_up_to(int(left.max()) + band, FRAME_BUCKET)
-                db_p = jnp.pad(db_full, ((0, w_pad - nf), (0, 0)))
+                if w_pad <= nf:
+                    db_p = db_full[:w_pad]
+                else:
+                    db_p = jnp.pad(db_full, ((0, w_pad - nf), (0, 0)))
         else:
             base = f_lo
             f_hi = min(nf, f_lo + f_need)

@@ -212,3 +212,31 @@ def test_range_integer_carrier_matches_f32(rng):
             n_samples=n, n_mel=48, scale=2.0 ** -15,
         )
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_adaptive_cache_invalidated_on_replace(tmp_path, rng,
+                                               reference_sample_paths):
+    """Re-adding an id with a different file must drop the cached full
+    adaptive dB or zoomed-out renders keep showing the OLD track."""
+    from scipy.io import wavfile
+
+    from msv_tpu import MultiTrack
+
+    p = tmp_path / "t.wav"
+    wavfile.write(
+        str(p), 8000,
+        (rng.standard_normal(16000) * 8000).astype(np.int16),
+    )
+    mt = MultiTrack()
+    mt.add_tracks([0], [str(p)])
+    old = MultiTrack.ADAPTIVE_MAX_FRAMES
+    MultiTrack.ADAPTIVE_MAX_FRAMES = 16
+    try:
+        a = mt.get_adaptive_spec_image_crop(0, 50, 120, 0.0, 2.1)
+        assert 0 in mt._adaptive_db
+        mt.add_tracks([0], [reference_sample_paths[0]])  # replace id 0
+        assert 0 not in mt._adaptive_db
+        b = mt.get_adaptive_spec_image_crop(0, 50, 120, 0.0, 2.1)
+        assert not np.array_equal(a, b)  # renders the NEW track
+    finally:
+        MultiTrack.ADAPTIVE_MAX_FRAMES = old
