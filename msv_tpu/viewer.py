@@ -382,33 +382,96 @@ class _Handler(BaseHTTPRequestHandler):
             elif url.path.startswith("/api/audio/"):
                 # audio playback (reference roadmap item "audio player",
                 # ReadMe.md — unimplemented there): serve the mono mix as
-                # a PCM16 WAV for the browser's <audio> element.
+                # a PCM16 WAV for the browser's <audio> element.  HTTP
+                # Range requests are honored with O(range) work, so the
+                # player can seek/stream an hour-scale track without the
+                # server ever materializing its ~700 MB PCM (bytes are
+                # converted from the track's carrier slice on demand).
                 import struct as _struct
+
+                import numpy as _np
 
                 tid = int(url.path.rsplit("/", 1)[1])
                 with self.lock.read():
                     track = mt.tracks[tid]
-                    raw_int = track._wav_int
+                    n = track.n_samples
                     sr = track.sr
-                    if (raw_int is not None and raw_int.dtype == "int16"
-                            and track._wav_shift == 15):
-                        # mono PCM16 source: serve the raw samples without
-                        # a f32 round-trip (an hour track's lazy f32 is
-                        # ~700 MB of conversion on the single host core)
-                        pcm = raw_int.tobytes()
-                    else:
-                        import numpy as _np
-
-                        wav = track.wav  # f32 mono (may clip past +-1.0)
-                        pcm = _np.clip(
-                            wav * 32768.0, -32768, 32767
-                        ).astype("<i2").tobytes()
-                hdr = b"RIFF" + _struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+                pcm_len = n * 2
+                hdr = b"RIFF" + _struct.pack("<I", 36 + pcm_len) + b"WAVE"
                 hdr += b"fmt " + _struct.pack(
                     "<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16
                 )
-                hdr += b"data" + _struct.pack("<I", len(pcm))
-                self._send(200, "audio/wav", hdr + pcm)
+                hdr += b"data" + _struct.pack("<I", pcm_len)
+                total = len(hdr) + pcm_len
+
+                def _pcm_slice(s0, s1):
+                    # identical bytes to the full-file encode of old: the
+                    # int16/shift-15 carrier IS the PCM; anything else
+                    # converts the f32 slice (O(slice), never the track)
+                    raw = track._wav_int
+                    if (raw is not None and raw.dtype == _np.int16
+                            and track._wav_shift == 15):
+                        return _np.ascontiguousarray(raw[s0:s1]).tobytes()
+                    w = track.wav_slice(s0, s1)
+                    return _np.clip(
+                        w * 32768.0, -32768, 32767
+                    ).astype("<i2").tobytes()
+
+                def _file_bytes(a, b):
+                    parts = []
+                    if a < len(hdr):
+                        parts.append(hdr[a:min(b, len(hdr))])
+                    pa, pb = max(a - len(hdr), 0), b - len(hdr)
+                    if pb > 0:
+                        s0, s1 = pa // 2, min((pb + 1) // 2, n)
+                        raw = _pcm_slice(s0, s1)
+                        parts.append(raw[pa - 2 * s0: pa - 2 * s0 + pb - pa])
+                    return b"".join(parts)
+
+                rh = self.headers.get("Range", "")
+                if rh.startswith("bytes="):
+                    try:
+                        spec = rh[6:].split(",")[0].strip()
+                        a_s, _, b_s = spec.partition("-")
+                        if a_s:
+                            a = int(a_s)
+                            b = int(b_s) + 1 if b_s else total
+                        else:  # suffix form: last N bytes
+                            a = max(0, total - int(b_s))
+                            b = total
+                    except ValueError:
+                        a, b = 0, total
+                    a, b = max(0, min(a, total)), max(0, min(b, total))
+                    if b <= a:
+                        self.send_response(416)
+                        self.send_header("Content-Range", f"bytes */{total}")
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                        return
+                    body = _file_bytes(a, b)
+                    try:
+                        self.send_response(206)
+                        self.send_header("Content-Type", "audio/wav")
+                        self.send_header("Accept-Ranges", "bytes")
+                        self.send_header(
+                            "Content-Range", f"bytes {a}-{b - 1}/{total}"
+                        )
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                    except (BrokenPipeError, ConnectionResetError):
+                        self.close_connection = True
+                    return
+                body = _file_bytes(0, total)
+                try:
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Accept-Ranges", "bytes")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                except (BrokenPipeError, ConnectionResetError):
+                    self.close_connection = True
             elif url.path.startswith("/api/spec_crop/"):
                 tid = int(url.path.rsplit("/", 1)[1])
                 with self.lock.read():

@@ -350,3 +350,35 @@ def test_viewer_adaptive_crop(viewer_url):
     a = Image.open(_io.BytesIO(body))
     s = Image.open(_io.BytesIO(body2))
     assert a.size == s.size
+
+
+def test_viewer_audio_range_requests(viewer_url):
+    """/api/audio honors HTTP Range: partial bytes match the same offsets
+    of the full file (so the player can seek hour-scale tracks without
+    the server materializing the whole PCM)."""
+    import urllib.request
+
+    code, full = _get(viewer_url + "/api/audio/0")
+    assert code == 200 and full[:4] == b"RIFF"
+
+    def get_range(spec):
+        req = urllib.request.Request(
+            viewer_url + "/api/audio/0", headers={"Range": f"bytes={spec}"}
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, r.headers.get("Content-Range"), r.read()
+
+    total = len(full)
+    # interior range crossing the header/pcm boundary and odd offsets
+    st, cr, body = get_range("13-4095")
+    assert st == 206 and body == full[13:4096]
+    assert cr == f"bytes 13-4095/{total}"
+    # open-ended tail
+    st, cr, body = get_range(f"{total - 999}-")
+    assert st == 206 and body == full[-999:]
+    # suffix form
+    st, cr, body = get_range("-500")
+    assert st == 206 and body == full[-500:]
+    # start-at-zero range equals the file prefix
+    st, cr, body = get_range("0-43")
+    assert st == 206 and body == full[:44]
