@@ -202,6 +202,17 @@ def main():
     emit("features_logmel_b4_4s_xla", _timeit(run_features_xla),
          reference="XLA oracle path", reps=3)
 
+    # (4c) adaptive multi-resolution viewport render (the reference's
+    # unimplemented roadmap item, ReadMe.md:18): slice-local 3-scale
+    # analysis + blend + crop render, as served by the viewer toggle
+    def run_adaptive():
+        img = mt.get_adaptive_spec_image_crop(0, 100.0, 300, 0.0, 12.0)
+        int(img.ravel()[0])
+
+    emit("adaptive_viewport_1200x300", _timeit(run_adaptive),
+         reference="ReadMe.md:18 roadmap (no reference implementation)",
+         reps=3)
+
     # (5) streaming long-file mode
     if not args.skip_hour:
         hour_sec = 60.0 if args.quick else 3600.0
