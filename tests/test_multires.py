@@ -240,3 +240,22 @@ def test_adaptive_cache_invalidated_on_replace(tmp_path, rng,
         assert not np.array_equal(a, b)  # renders the NEW track
     finally:
         MultiTrack.ADAPTIVE_MAX_FRAMES = old
+
+
+def test_multires_golden_digest():
+    """Regression net over the blend algorithm itself (the A/B tests only
+    pin slice-vs-full consistency; this digest catches accidental
+    semantic drift).  Regenerate deliberately if the blend is CHANGED on
+    purpose: parity-mode CPU, deterministic signal."""
+    import hashlib
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    wav = (0.4 * np.sin(2 * np.pi * 440 * t)
+           + 0.2 * np.sin(2 * np.pi * 3000 * t)).astype(np.float32)
+    wav[::4000] += 0.5
+    db, n = multires_mel_spec_db(wav, sr)
+    arr = np.ascontiguousarray(np.asarray(db))
+    assert arr.shape == (101, 95) and n == 101
+    digest = hashlib.sha256(arr.tobytes()).hexdigest()[:16]
+    assert digest == "f0108933d94d285f", digest
