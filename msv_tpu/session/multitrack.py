@@ -926,7 +926,15 @@ class MultiTrack:
                 w_pad = round_up_to(max(f_need, 1), FRAME_BUCKET)
                 db_p = jnp.pad(db, ((0, w_pad - int(db.shape[0])), (0, 0)))
 
-        height = grey_height(n_mel, self._up_ratio(track.sr))
+        # the adaptive view is mel-scaled by construction, so cross-track
+        # alignment uses the MEL ratio even in a linear-scale session
+        # (the linear max_sr/sr ratio would misplace the headroom band)
+        f32 = np.float32
+        up = float(
+            hz_to_mel(f32(self.max_sr) / f32(2.0))
+            / hz_to_mel(f32(track.sr) / f32(2.0))
+        )
+        height = grey_height(n_mel, up)
         out_h_b = round_up_to(nheight, OUT_BUCKET)
         out_w_b = round_up_to(ncols, OUT_BUCKET)
         wv = _dev_vertical_weights(height, nheight, out_h_b)

@@ -259,3 +259,35 @@ def test_multires_golden_digest():
     assert arr.shape == (101, 95) and n == 101
     digest = hashlib.sha256(arr.tobytes()).hexdigest()[:16]
     assert digest == "f0108933d94d285f", digest
+
+
+def test_adaptive_uses_mel_alignment_in_linear_sessions(
+        reference_sample_paths):
+    """The adaptive view is mel-scaled by construction: in a LINEAR-scale
+    session with mixed rates, its headroom band must use the mel ratio
+    (the linear max_sr/sr ratio would misplace it)."""
+    from msv_tpu import MultiTrack
+    from msv_tpu.config import FreqScale, SpecSetting
+    from msv_tpu.ops.mel import hz_to_mel
+    from msv_tpu.ops.multires import adaptive_auto_n_mel
+    from msv_tpu.render.grey import grey_height
+
+    mt = MultiTrack(SpecSetting(freq_scale=FreqScale.LINEAR))
+    # 8k + 44.1k tracks: linear ratio 5.51, mel ratio ~1.5
+    mt.add_tracks([0, 1], [reference_sample_paths[0],
+                           reference_sample_paths[4]])
+    img = mt.get_adaptive_spec_image_crop(0, 50, 0, 0.0, 1.0)  # height 0
+    assert img.shape[1] == 0 or img.shape[0] == 0  # degenerate ok
+    n_mel = adaptive_auto_n_mel(8000, mt.setting)
+    f32 = np.float32
+    mel_up = float(hz_to_mel(f32(44100) / f32(2)) / hz_to_mel(f32(8000) / f32(2)))
+    h = grey_height(n_mel, mel_up)
+    # render with nheight == internal grey height: rows above the mel
+    # headroom band are colormap(0) = (0, 0, 4), and the band must match
+    # the MEL ratio (the linear ratio would give 5.5x, not 1.5x)
+    img = mt.get_adaptive_spec_image_crop(0, 20, h, 0.0, 2.0)
+    assert img.shape[0] == h
+    band_rows = int((img == np.array([0, 0, 4], np.uint8))
+                    .all(axis=2).all(axis=1).sum())
+    expect_band = h - n_mel
+    assert abs(band_rows - expect_band) <= 2, (band_rows, expect_band)
