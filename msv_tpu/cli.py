@@ -25,6 +25,13 @@ def _build_parser():
     r.add_argument("--px-per-sec", type=float, default=100.0)
     r.add_argument("--height", type=int, default=500)
     r.add_argument("--wav-height", type=int, default=150)
+    r.add_argument(
+        "--png-level", type=int, default=2, choices=range(0, 10),
+        metavar="0-9",
+        help="zlib effort for output PNGs (2 default: 4.5x faster encode "
+        "than 6 for ~15%% more bytes on spectrogram content; use 6+ for "
+        "archival size)",
+    )
     r.add_argument("--freq-scale", choices=["mel", "linear"], default="mel")
     r.add_argument("--win-ms", type=float, default=40.0)
     r.add_argument("--t-overlap", type=int, default=4)
@@ -116,7 +123,7 @@ def _render_adaptive(args, setting):
         )
         stem = os.path.splitext(os.path.basename(f))[0]
         out = os.path.join(args.outdir, f"spec_adaptive_{stem}.png")
-        write_png(out, np.asarray(img))
+        write_png(out, np.asarray(img), args.png_level)
         print(f"  {out}  {nwidth}x{args.height}  ({time.perf_counter()-t0:.2f}s)")
         if args.save_db:
             dout = os.path.join(args.outdir, f"db_adaptive_{stem}.npy")
@@ -220,7 +227,7 @@ def _main(argv=None):
         else:
             img = mt.get_spec_image(i, args.px_per_sec, args.height)
         out = os.path.join(args.outdir, f"spec_{stem}.png")
-        write_png(out, img)
+        write_png(out, img, args.png_level)
         print(f"  {out}  {img.shape[1]}x{img.shape[0]}")
         if not args.no_wav:
             if crop:
@@ -232,7 +239,7 @@ def _main(argv=None):
                     i, args.px_per_sec, args.wav_height, -1.0, 1.0
                 )
             wout = os.path.join(args.outdir, f"wav_{stem}.png")
-            write_png(wout, wimg)
+            write_png(wout, wimg, args.png_level)
             print(f"  {wout}  {wimg.shape[1]}x{wimg.shape[0]}")
         if args.save_db:
             import numpy as _np

@@ -55,7 +55,8 @@ def encode_png(img: np.ndarray, level: int = 2) -> bytes:
     )
 
 
-def write_png(path: str, img: np.ndarray) -> None:
-    """Write uint8 image data as a PNG file (see :func:`encode_png`)."""
+def write_png(path: str, img: np.ndarray, level: int = 2) -> None:
+    """Write uint8 image data as a PNG file (see :func:`encode_png`;
+    pass ``level=6`` or higher for archival-size outputs)."""
     with open(path, "wb") as f:
-        f.write(encode_png(img))
+        f.write(encode_png(img, level))

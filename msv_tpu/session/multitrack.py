@@ -141,20 +141,23 @@ def _dev_vertical_weights(height: int, nheight: int, out_h_b: int):
 
 @_functools_lru(maxsize=128)
 def _dev_horizontal_weights_crop(
-    w_valid: int, full_width: int, c0: int, c1: int, out_w_b: int
+    w_valid: int, full_width: int, c0: int, c1: int, out_w_b: int,
+    base: int = 0,
 ):
     """Banded horizontal weights restricted to output columns [c0, c1) of
     the full-width resize — a crop render is then pixel-identical to
     slicing the full image (viewport rendering for hour-scale tracks).
     Built O(viewport), never O(full_width): deep-zoom full widths reach
-    1e6..1e9 columns and must not be materialized host-side."""
+    1e6..1e9 columns and must not be materialized host-side.  ``base``
+    shifts the indices for renders over an input SLICE starting at that
+    frame (the adaptive slice-local path)."""
     import jax.numpy as jnp
 
     left, wb = resize_weights_range(w_valid, full_width, c0, c1)
     ncols = c1 - c0
     left_p = np.zeros(out_w_b, dtype=np.int32)
     wb_p = np.zeros((out_w_b, wb.shape[1]), dtype=np.float32)
-    left_p[:ncols] = left
+    left_p[:ncols] = left - base
     wb_p[:ncols] = wb
     return jnp.asarray(left_p), jnp.asarray(wb_p)
 
@@ -280,7 +283,8 @@ class MultiTrack:
         self._log = get_logger()
         self._env_lock = threading.Lock()  # lazy envelope-state creation
         self._adaptive_db: dict[int, tuple] = {}  # id -> (n_mel, dev dB)
-        self._adaptive_lock = threading.Lock()
+        self._adaptive_lock = threading.Lock()  # guards the two dicts
+        self._adaptive_build_locks: dict[int, object] = {}
 
     # ------------------------------------------------------------- caches
 
@@ -815,10 +819,21 @@ class MultiTrack:
             range_sample_window,
         )
 
+        # per-track build locks: a multi-minute hour-scale build must not
+        # stall adaptive renders of OTHER tracks (the session lock only
+        # guards the dicts; the build itself runs under its track's lock)
         with self._adaptive_lock:
             hit = self._adaptive_db.get(id)
             if hit is not None and hit[0] == n_mel:
                 return hit[1]
+            block = self._adaptive_build_locks.setdefault(
+                id, threading.Lock()
+            )
+        with block:
+            with self._adaptive_lock:
+                hit = self._adaptive_db.get(id)
+                if hit is not None and hit[0] == n_mel:
+                    return hit[1]
             jnp = self._jnp
             parts = []
             with self.timer.stage("adaptive.full_build"):
@@ -836,7 +851,16 @@ class MultiTrack:
                     parts.append(db)
             full = (parts[0] if len(parts) == 1
                     else jnp.concatenate(parts, axis=0))
-            self._adaptive_db[id] = (n_mel, full)
+            # pad ONCE to the track's fixed frame bucket: every cached-
+            # path render then uses one spec_db shape (the banded apply
+            # clamps reads element-wise with zero weights past the valid
+            # frames, so no per-render pad/slice is needed) — per-render
+            # widths would mint a new jit program per pan position, and
+            # remote compiles run 40-700 s each
+            w_fixed = round_up_to(max(nf, 1), FRAME_BUCKET)
+            full = jnp.pad(full, ((0, w_fixed - nf), (0, 0)))
+            with self._adaptive_lock:
+                self._adaptive_db[id] = (n_mel, full)
             return full
 
     def get_adaptive_spec_image_crop(
@@ -890,18 +914,11 @@ class MultiTrack:
         jnp = self._jnp
         if f_need > self.ADAPTIVE_MAX_FRAMES:
             # zoomed OUT past the slice-local budget: render from the
-            # per-track cached full dB with ABSOLUTE frame indices (pad
-            # rows carry zero resize weight)
-            db_full = self._adaptive_full_db(id, track, n_mel, nf)
+            # per-track cached full dB (fixed bucketed width — one jit
+            # shape per track) with ABSOLUTE frame indices; out-of-range
+            # reads clamp element-wise under zero weights
             base = 0
-            with self.timer.stage("adaptive.spec"):
-                # width the banded apply can read: slice when the crop's
-                # support ends before the track does, pad past the end
-                w_pad = round_up_to(int(left.max()) + band, FRAME_BUCKET)
-                if w_pad <= nf:
-                    db_p = db_full[:w_pad]
-                else:
-                    db_p = jnp.pad(db_full, ((0, w_pad - nf), (0, 0)))
+            db_p = self._adaptive_full_db(id, track, n_mel, nf)
         else:
             base = f_lo
             f_hi = min(nf, f_lo + f_need)
@@ -938,11 +955,10 @@ class MultiTrack:
         out_h_b = round_up_to(nheight, OUT_BUCKET)
         out_w_b = round_up_to(ncols, OUT_BUCKET)
         wv = _dev_vertical_weights(height, nheight, out_h_b)
-        left_p = np.zeros(out_w_b, dtype=np.int32)
-        left_p[:ncols] = left - base  # slice-local or absolute indices
-        wb_p = np.zeros((out_w_b, band), dtype=np.float32)
-        wb_p[:ncols] = wb
-        wh = (jnp.asarray(left_p), jnp.asarray(wb_p))
+        # device-cached banded weights (slice-local base or absolute):
+        # the host build + upload otherwise repeats per two-stage fetch
+        wh = _dev_horizontal_weights_crop(nf, full_w, c0, c1, out_w_b,
+                                          base=base)
         with self.timer.stage("adaptive.render"):
             return self._run_render(
                 SimpleNamespace(spec_db=db_p), wv, wh, height=height,

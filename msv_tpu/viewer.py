@@ -163,7 +163,8 @@ async function load() {
       const relY = 1 - (ev.clientY - rect.top) / rect.height;
       const c0 = state[t.id] ? state[t.id].c0 : 0;
       const sec = (c0 + ev.clientX - rect.left) / pps;
-      fetch(`/api/freq/${t.id}?rel=${relY.toFixed(4)}`).then(r=>r.json()).then(f=>{
+      const melq = viewParams().adaptive ? '&mel=1' : '';
+      fetch(`/api/freq/${t.id}?rel=${relY.toFixed(4)}` + melq).then(r=>r.json()).then(f=>{
         document.getElementById('readout').textContent =
           `t=${sec.toFixed(2)} s, f=${f.hz.toFixed(0)} Hz`;
       });
@@ -429,18 +430,20 @@ class _Handler(BaseHTTPRequestHandler):
                     return b"".join(parts)
 
                 rh = self.headers.get("Range", "")
+                parsed = None
                 if rh.startswith("bytes="):
                     try:
                         spec = rh[6:].split(",")[0].strip()
                         a_s, _, b_s = spec.partition("-")
                         if a_s:
-                            a = int(a_s)
-                            b = int(b_s) + 1 if b_s else total
+                            parsed = (int(a_s),
+                                      int(b_s) + 1 if b_s else total)
                         else:  # suffix form: last N bytes
-                            a = max(0, total - int(b_s))
-                            b = total
+                            parsed = (max(0, total - int(b_s)), total)
                     except ValueError:
-                        a, b = 0, total
+                        parsed = None  # RFC 7233: ignore malformed -> 200
+                if parsed is not None:
+                    a, b = parsed
                     a, b = max(0, min(a, total)), max(0, min(b, total))
                     if b <= a:
                         self.send_response(416)
@@ -551,8 +554,23 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, "image/png", self._png(img))
             elif url.path.startswith("/api/freq/"):
                 tid = int(url.path.rsplit("/", 1)[1])
+                rel = qf("rel", 0.5, -10.0, 10.0)
+                force_mel = q.get("mel", ["0"])[0] == "1"
                 with self.lock.read():
-                    hz = mt.get_frequency_hz(tid, qf("rel", 0.5, -10.0, 10.0))
+                    if force_mel:
+                        # the adaptive view is mel-scaled regardless of
+                        # the session scale; the session mapping would
+                        # misreport Hz on it in linear-scale sessions
+                        import numpy as _np
+
+                        from .ops.mel import hz_to_mel, mel_to_hz
+
+                        half = _np.float32(mt.tracks[tid].sr) / _np.float32(2)
+                        hz = float(
+                            mel_to_hz(hz_to_mel(half) * _np.float32(rel))
+                        )
+                    else:
+                        hz = mt.get_frequency_hz(tid, rel)
                 self._send(200, "application/json", json.dumps({"hz": hz}).encode())
             else:
                 self._send(404, "text/plain", b"not found")

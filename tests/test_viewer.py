@@ -382,3 +382,29 @@ def test_viewer_audio_range_requests(viewer_url):
     # start-at-zero range equals the file prefix
     st, cr, body = get_range("0-43")
     assert st == 206 and body == full[:44]
+
+
+def test_viewer_audio_malformed_range_gets_200(viewer_url):
+    """RFC 7233: an unintelligible Range header is ignored (plain 200),
+    not answered with an unsolicited 206."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        viewer_url + "/api/audio/0", headers={"Range": "bytes=abc"}
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 200
+        body = r.read()
+    assert body[:4] == b"RIFF"
+
+
+def test_viewer_freq_mel_param(viewer_url):
+    """/api/freq?mel=1 maps the cursor on the mel axis (what the adaptive
+    view displays) regardless of the session's frequency scale."""
+    import json as _json
+
+    code, body = _get(viewer_url + "/api/freq/0?rel=0.5&mel=1")
+    assert code == 200
+    hz = _json.loads(body)["hz"]
+    # mel midpoint sits well below the linear midpoint of half_sr
+    assert 0 < hz < 0.5 * 0.5 * 8000
