@@ -50,13 +50,25 @@ def rng():
 
 
 @pytest.fixture(autouse=True)
-def _isolate_precision_mode():
-    """Snapshot/restore the session precision globals around every test so
-    a test that calls set_precision_mode (which latches the explicit flag
-    that features.py's default consults) cannot leak into later tests."""
+def _isolate_config_globals():
+    """Snapshot/restore the session config globals around every test so a
+    test that flips precision (which latches the explicit flag features.py
+    consults), engine, or a wire format — and then crashes before its own
+    finally — cannot leak into later tests."""
     from msv_tpu import config as _cfg
 
-    mode, explicit = _cfg._PRECISION_MODE, _cfg._PRECISION_MODE_EXPLICIT
+    saved = (
+        _cfg._PRECISION_MODE,
+        _cfg._PRECISION_MODE_EXPLICIT,
+        _cfg._ENGINE,
+        _cfg._IMAGE_WIRE,
+        _cfg._DB_WIRE,
+    )
     yield
-    _cfg._PRECISION_MODE = mode
-    _cfg._PRECISION_MODE_EXPLICIT = explicit
+    (
+        _cfg._PRECISION_MODE,
+        _cfg._PRECISION_MODE_EXPLICIT,
+        _cfg._ENGINE,
+        _cfg._IMAGE_WIRE,
+        _cfg._DB_WIRE,
+    ) = saved
