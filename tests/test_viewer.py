@@ -237,6 +237,14 @@ def test_viewer_concurrent_renders_and_mutation(viewer_url, tmp_path, rng):
             viewer_url + f"/api/wav/0?px_per_sec={40 + i}&height=40"
         )
         assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+        # adaptive path in the concurrent mix (lazy per-scale device
+        # constants + per-track caches under the same RW lock)
+        code, body = _get(
+            viewer_url
+            + f"/api/adaptive_crop/0?px_per_sec={40 + i}&height=80"
+            + "&start=0.1&end=0.9"
+        )
+        assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
         return True
 
     def add():
