@@ -18,7 +18,7 @@ from .config import FreqScale, SpecSetting, StftParams, derive_stft_params
 from .config import get_precision_mode, set_precision_mode
 from .session import AudioTrack, MultiTrack
 from .render.colormap import get_colormap
-from .features import log_mel_spectrogram
+from .features import log_mel_spectrogram, log_mel_spectrogram_ragged
 
 __version__ = "0.2.0"
 
@@ -33,5 +33,6 @@ __all__ = [
     "MultiTrack",
     "get_colormap",
     "log_mel_spectrogram",
+    "log_mel_spectrogram_ragged",
     "__version__",
 ]

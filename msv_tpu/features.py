@@ -275,3 +275,34 @@ def log_mel_spectrogram(
     if top_db is not None:
         out = jnp.maximum(out, jnp.max(out) - top_db)
     return out[0] if squeeze else out
+
+
+def log_mel_spectrogram_ragged(wavs, sr: int, *, top_db: float | None = None,
+                               **kw):
+    """Variable-length clips -> list of (n_frames_i, n_mel) f32 arrays.
+
+    The production data-pipeline form: clips are grouped by exact length,
+    so equal-length clips (the common chunked-dataset case) batch into
+    one device launch, and odd lengths fall back to singleton calls that
+    still reuse the frame-bucketed jit shapes — the compile cache stays
+    bounded either way.  ``top_db`` clamps PER CLIP (librosa semantics;
+    the fixed-shape batch form clamps at the batch max).  Remaining
+    keyword arguments pass through to :func:`log_mel_spectrogram`.
+    """
+    if "top_db" in kw:
+        raise TypeError("pass top_db as the named argument of this function")
+    groups: dict[int, list[int]] = {}
+    for i, w in enumerate(wavs):
+        groups.setdefault(int(np.shape(w)[-1]), []).append(i)
+    out = [None] * len(wavs)
+    for idxs in groups.values():
+        batch = np.stack(
+            [np.asarray(wavs[i], dtype=np.float32) for i in idxs]
+        )
+        feats = np.asarray(log_mel_spectrogram(batch, sr, **kw))
+        for j, i in enumerate(idxs):
+            f = feats[j]
+            if top_db is not None:
+                f = np.maximum(f, f.max() - np.float32(top_db))
+            out[i] = f
+    return out

@@ -220,3 +220,26 @@ def test_features_default_follows_explicit_global_precision(rng):
     np.testing.assert_array_equal(
         np.asarray(log_mel_spectrogram(wav, sr)), fast
     )
+
+
+def test_ragged_batch_matches_individual_calls(rng):
+    """log_mel_spectrogram_ragged: per-clip results equal individual
+    calls (equal-length clips batch; odd lengths fall back), and top_db
+    clamps per clip, not at the group max."""
+    from msv_tpu import log_mel_spectrogram_ragged
+
+    sr = 8000
+    lens = [8000, 8000, 5000, 12345, 8000]
+    wavs = [(rng.standard_normal(n) * (0.1 + 0.2 * i)).astype(np.float32)
+            for i, n in enumerate(lens)]
+    got = log_mel_spectrogram_ragged(wavs, sr, n_mel=48)
+    assert len(got) == len(wavs)
+    for w, f in zip(wavs, got):
+        ref = np.asarray(log_mel_spectrogram(w, sr, n_mel=48))
+        np.testing.assert_array_equal(f, ref)
+
+    # per-clip top_db: each clip clamps at ITS own max
+    got_t = log_mel_spectrogram_ragged(wavs, sr, n_mel=48, top_db=30.0)
+    for w, f in zip(wavs, got_t):
+        ref = np.asarray(log_mel_spectrogram(w, sr, n_mel=48, top_db=30.0))
+        np.testing.assert_array_equal(f, ref)
