@@ -293,6 +293,11 @@ def log_mel_spectrogram_ragged(wavs, sr: int, *, top_db: float | None = None,
         raise TypeError("pass top_db as the named argument of this function")
     groups: dict[int, list[int]] = {}
     for i, w in enumerate(wavs):
+        if np.ndim(w) != 1:
+            raise ValueError(
+                f"clip {i} has ndim {np.ndim(w)}; ragged batching takes "
+                "1-D mono clips (mix channels first)"
+            )
         groups.setdefault(int(np.shape(w)[-1]), []).append(i)
     out = [None] * len(wavs)
     for idxs in groups.values():

@@ -243,3 +243,12 @@ def test_ragged_batch_matches_individual_calls(rng):
     for w, f in zip(wavs, got_t):
         ref = np.asarray(log_mel_spectrogram(w, sr, n_mel=48, top_db=30.0))
         np.testing.assert_array_equal(f, ref)
+
+
+def test_ragged_rejects_non_mono(rng):
+    from msv_tpu import log_mel_spectrogram_ragged
+
+    with pytest.raises(ValueError, match="1-D mono"):
+        log_mel_spectrogram_ragged(
+            [rng.standard_normal((2, 4000)).astype(np.float32)], 8000
+        )
