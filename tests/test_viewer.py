@@ -416,3 +416,38 @@ def test_viewer_freq_mel_param(viewer_url):
     hz = _json.loads(body)["hz"]
     # mel midpoint sits well below the linear midpoint of half_sr
     assert 0 < hz < 0.5 * 0.5 * 8000
+
+
+def test_viewer_query_fuzz_never_kills_server(viewer_url, rng):
+    """Hostile/garbage queries may 4xx/5xx but must never wedge the
+    server: after 60 random requests, a normal render still succeeds."""
+    import urllib.error
+    import urllib.request
+
+    paths = ["/api/spec_crop/0", "/api/wav_crop/0", "/api/adaptive_crop/0",
+             "/api/freq/0", "/api/spec/0", "/api/wav/0", "/api/audio/0",
+             "/api/tracks", "/api/colorbar", "/api/nope/9"]
+    keys = ["px_per_sec", "height", "start", "end", "rel", "amp_min",
+            "amp_max", "mel", "width", "junk"]
+
+    def rand_val():
+        r = rng.integers(0, 6)
+        return ["-1", "1e30", "nan", "abc", "0", str(float(rng.normal()))][r]
+
+    for _ in range(60):
+        path = paths[int(rng.integers(0, len(paths)))]
+        q = "&".join(
+            f"{keys[int(rng.integers(0, len(keys)))]}={rand_val()}"
+            for _ in range(int(rng.integers(0, 4)))
+        )
+        url = viewer_url + path + ("?" + q if q else "")
+        try:
+            with urllib.request.urlopen(url, timeout=60) as r:
+                r.read(64)
+        except urllib.error.HTTPError as e:
+            assert 400 <= e.code < 600
+        except urllib.error.URLError as e:  # pragma: no cover
+            raise AssertionError(f"server died on {url}: {e}")
+    code, body = _get(viewer_url + "/api/spec_crop/0?px_per_sec=50&height=60"
+                      "&start=0&end=1")
+    assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
