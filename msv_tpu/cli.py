@@ -98,12 +98,22 @@ def _build_parser():
 
 
 def _render_adaptive(args, setting):
-    """Adaptive multi-resolution render (ops/multires.py)."""
+    """Adaptive multi-resolution render (ops/multires.py).
+
+    Computed in exact 8192-frame segments via the slice-local form
+    (bit-equal to the whole-track computation — A/B property in
+    tests/test_multires.py), so device memory stays bounded at one
+    segment's frames even for hour-scale files (the one-shot form would
+    materialize (n_frames, win) frame matrices per scale in HBM)."""
     import numpy as np
 
     from .io.audio import open_audio_file
     from .io.png import write_png
-    from .ops.multires import multires_mel_spec_db
+    from .ops.multires import (
+        adaptive_frame_count,
+        multires_mel_spec_db_range,
+        range_sample_window,
+    )
     from .render.colormap import grey_to_rgb_array
     from .render.resize import lanczos3_resize
     import jax.numpy as jnp
@@ -112,7 +122,17 @@ def _render_adaptive(args, setting):
         wav2d, sr = open_audio_file(f)
         wav = wav2d.sum(axis=0)
         t0 = time.perf_counter()
-        db, n = multires_mel_spec_db(wav, sr, setting, n_mel=args.n_mel)
+        n = adaptive_frame_count(len(wav), sr, setting)
+        parts = []
+        for g0 in range(0, n, 8192):
+            g1 = min(n, g0 + 8192)
+            s0, s1 = range_sample_window(len(wav), sr, setting, g0, g1)
+            part, _ = multires_mel_spec_db_range(
+                wav[s0:s1], sr, g0, g1, setting=setting, slice_start=s0,
+                n_samples=len(wav), n_mel=args.n_mel,
+            )
+            parts.append(part)
+        db = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         db_np = np.asarray(db)
         lo, hi = float(db_np.min()), min(float(db_np.max()), 0.0)
         lo = max(lo, hi - setting.db_range)
