@@ -20,7 +20,7 @@ from .session import AudioTrack, MultiTrack
 from .render.colormap import get_colormap
 from .features import log_mel_spectrogram, log_mel_spectrogram_ragged
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "FreqScale",
