@@ -38,3 +38,17 @@ def test_encode_png_rejects_bad_input():
 
     with pytest.raises((ValueError, TypeError)):
         encode_png(np.zeros((4, 4, 2), np.uint8))  # 2 channels
+
+
+def test_encode_levels_decode_identically(rng):
+    """zlib level changes bytes, never pixels (PIL round-trip at both)."""
+    import io
+
+    from PIL import Image
+
+    from msv_tpu.io.png import encode_png
+
+    img = rng.integers(0, 256, (40, 60, 3)).astype("uint8")
+    for level in (0, 2, 6, 9):
+        back = np.asarray(Image.open(io.BytesIO(encode_png(img, level))))
+        np.testing.assert_array_equal(back, img, err_msg=str(level))
