@@ -49,17 +49,17 @@ def _build_parser():
         "--save-db",
         action="store_true",
         help="also write the dB spectrogram as db_<name>.npy (float32 "
-        "(n_frames, n_bands)); fetched over the packed q10 wire by "
-        "default (~0.06 dB max quantization) — use --db-wire f32 for "
-        "bit-exact values",
+        "(n_frames, n_bands)); bit-exact f32 fetch by default — pass "
+        "--db-wire q10 for a 3.5-5x smaller device->host transfer "
+        "(~0.06 dB max quantization)",
     )
     r.add_argument(
         "--db-wire",
         choices=["q16", "q12", "q10", "q8", "f32"],
         default=None,
-        help="device->host format for --save-db: packed fixed-point "
-        "(q10 default, ~0.06 dB max error, 3.5-5x fewer wire bytes) or "
-        "bit-exact raw f32",
+        help="device->host format for --save-db: bit-exact raw f32 "
+        "(default) or opt-in packed fixed-point (q10: ~0.06 dB max "
+        "error, 3.5-5x fewer wire bytes)",
     )
     r.add_argument("--start", type=float, default=None,
                    help="render only [start, end) seconds (viewport crop; "

@@ -89,11 +89,51 @@ _PRECISION_MODE_EXPLICIT = False
 
 
 def set_precision_mode(mode: str) -> None:
+    """Set the session-wide precision mode.
+
+    NOTE: this also LATCHES the mode as user-chosen for the rest of the
+    process — surfaces with their own defaults (the ML frontend defaults
+    to 'fast') defer to the session mode once the knob was explicitly
+    set, even if it is later set back to the startup value.  For a
+    temporary change (e.g. a tool forcing 'parity' around one call) use
+    :func:`precision_mode_scope`, which restores both the mode and the
+    latch; :func:`reset_precision_mode` clears the latch entirely.
+    """
     global _PRECISION_MODE, _PRECISION_MODE_EXPLICIT
     if mode not in ("parity", "fast"):
         raise ValueError(f"unknown precision mode: {mode!r}")
     _PRECISION_MODE = mode
     _PRECISION_MODE_EXPLICIT = True
+
+
+def reset_precision_mode() -> None:
+    """Restore the startup default ('parity') and clear the explicit
+    latch, so surfaces with their own defaults behave as at startup."""
+    global _PRECISION_MODE, _PRECISION_MODE_EXPLICIT
+    _PRECISION_MODE = "parity"
+    _PRECISION_MODE_EXPLICIT = False
+
+
+class precision_mode_scope:
+    """Context manager: set the precision mode for a block, then restore
+    BOTH the previous mode and the explicit latch — a transient
+    set/restore cycle must not permanently change feature defaults
+    session-wide (a bare set_precision_mode pair would leave the latch
+    stuck and flip the ML frontend's default from 'fast' to the session
+    mode forever)."""
+
+    def __init__(self, mode: str):
+        self._mode = mode
+
+    def __enter__(self):
+        self._saved = (_PRECISION_MODE, _PRECISION_MODE_EXPLICIT)
+        set_precision_mode(self._mode)
+        return self
+
+    def __exit__(self, *exc):
+        global _PRECISION_MODE, _PRECISION_MODE_EXPLICIT
+        _PRECISION_MODE, _PRECISION_MODE_EXPLICIT = self._saved
+        return False
 
 
 def get_precision_mode() -> str:
@@ -152,9 +192,12 @@ def get_engine() -> str:
 #   "grey8":  device ships the resized grey quantized to u8; the host
 #             paints RGB via a 256-entry LUT.  3x fewer wire bytes than
 #             rgb — the interactive zoom wall IS the image fetch over the
-#             ~20 MB/s relay (VERDICT r2 #1).  Bounded deviation from the
-#             reference's f32-grey colormap: <=1 u8 step per channel
-#             (measured; pinned in tests/test_session.py).
+#             ~20 MB/s relay (VERDICT r2 #1).  Measured deviation from
+#             the reference's f32-grey colormap on the bundled samples:
+#             max 3 u8 units per channel, ~50% of pixels differ by >=1
+#             (docs/PARITY.md deviation 4; pinned in
+#             tests/test_e2e_reference_samples.py and
+#             tests/test_session.py).
 #   "grey16": u16 grey, 1.5x fewer bytes; RGB differs from exact only
 #             within float rounding of lerp boundaries (<0.1% of pixels,
 #             by <=1 step).
@@ -175,7 +218,12 @@ def get_image_wire() -> str:
 
 
 # dB-export downlink format for get_spec_db / render --save-db.
-#   "q10" (default): device-packed fixed-point on the track's dB window —
+# Default "f32": the raw bit-exact fetch.  get_spec_db/--save-db are the
+# public data-export APIs — silently quantizing them (as the q10 default
+# briefly did in round 3) changes callers' numbers with no dtype hint in
+# the saved .npy, so lossy wires are strictly opt-in (per-call wire=,
+# set_db_wire, or --db-wire).
+#   "q10": device-packed fixed-point on the track's dB window —
 #       max error 0.5*range/(2^10-1) (~0.06 dB on a 120 dB window, an
 #       order of magnitude under one grey step of 0.47 dB), typically
 #       3.5-5x fewer wire bytes than raw f32 after the per-block delta
@@ -186,8 +234,7 @@ def get_image_wire() -> str:
 #   "q12"/"q16": finer grids (~0.015/0.0009 dB max error) at fewer saved
 #       bytes.  "q8": coarser (~0.24 dB, half a grey step) for the
 #       tightest wire.
-#   "f32": bit-exact raw fetch (the round-2 behavior).
-_DB_WIRE = "q10"
+_DB_WIRE = "f32"
 
 
 def set_db_wire(wire: str) -> None:

@@ -289,8 +289,6 @@ def log_mel_spectrogram_ragged(wavs, sr: int, *, top_db: float | None = None,
     the fixed-shape batch form clamps at the batch max).  Remaining
     keyword arguments pass through to :func:`log_mel_spectrogram`.
     """
-    if "top_db" in kw:
-        raise TypeError("pass top_db as the named argument of this function")
     groups: dict[int, list[int]] = {}
     for i, w in enumerate(wavs):
         if np.ndim(w) != 1:

@@ -1,16 +1,19 @@
 """MP3 decoding via ctypes on the system libmpg123.
 
-The reference decodes mp3 through rodio's fallback decoder chain
-(audio.rs:23-30; rodio's default feature set includes minimp3).  This
-image ships ``libmpg123.so.0`` — we bind the handful of calls we need
-directly, the same pattern as io/_vorbis.py.  No dev headers exist in the
+This is a deliberate capability EXTENSION beyond the reference: its
+rodio dependency is pinned with ``default-features = false`` and only
+the flac/vorbis/wav features (Cargo.toml:18), so the reference cannot
+decode mp3 at all.  We add it because mp3 is ubiquitous in the audio
+files a viewer gets pointed at.  This image ships ``libmpg123.so.0`` —
+we bind the handful of calls we need directly, the same pattern as
+io/_vorbis.py.  No dev headers exist in the
 image, so the few enum values used are declared inline; they are stable
 public ABI (unchanged since mpg123 1.x) and any mismatch would fail the
 codec tests immediately, not corrupt audio silently.
 
 Output is forced to MPG123_ENC_FLOAT_32 at the stream's native rate, so
-the decoder hands us the float samples rodio would produce (minimp3
-decodes to f32 the same way).  mpg123 honors the LAME/Xing gapless tags
+the decoder hands us float samples directly (the same convention the
+other codec paths normalize to).  mpg123 honors the LAME/Xing gapless tags
 by default, trimming encoder delay/padding — a lame-encoded fixture
 round-trips to exactly the original sample count.
 """

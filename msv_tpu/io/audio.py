@@ -188,11 +188,13 @@ def open_audio_file_ex(path: str):
     except OSError as e:
         raise AudioReadError(f"{path}: {e}") from e
 
-    # rodio-equivalent codecs (audio.rs:23-30): FLAC via the native C++
-    # decoder (msv_tpu/native/flac_decoder.cc), Ogg/Vorbis via the system
-    # libvorbisfile (io/_vorbis.py), MP3 via the system libmpg123
-    # (io/_mp3.py).  soundfile remains a last-resort fallback for anything
-    # else, when installed.
+    # rodio-equivalent codecs (audio.rs:23-30, rodio pinned to
+    # flac/vorbis/wav at Cargo.toml:18): FLAC via the native C++ decoder
+    # (msv_tpu/native/flac_decoder.cc), Ogg/Vorbis via the system
+    # libvorbisfile (io/_vorbis.py).  MP3 via the system libmpg123
+    # (io/_mp3.py) is a capability EXTENSION — the reference cannot decode
+    # mp3.  soundfile remains a last-resort fallback for anything else,
+    # when installed.
     if is_flac:
         from . import _native_audio
 
@@ -211,7 +213,9 @@ def open_audio_file_ex(path: str):
             return wav, int(sr), None
         # no libmpg123 on this host: fall through to the soundfile
         # last-resort path (libsndfile >= 1.1 decodes mp3) rather than
-        # failing on a file the reference's rodio chain would play
+        # dropping the mp3 capability extension entirely (the reference
+        # itself cannot decode mp3 — rodio is pinned to flac/vorbis/wav
+        # only, Cargo.toml:18)
     try:
         import soundfile  # noqa: F401  (not baked into this image)
     except ImportError:

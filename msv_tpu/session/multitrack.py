@@ -333,7 +333,7 @@ class MultiTrack:
 
     def _calc_spec_pallas(self, track, n_frames, n_frames_pad, padded):
         """Fused Pallas engine: framing+DFT+|.|+mel+dB in one kernel."""
-        from ..config import get_engine
+        from ..config import get_engine, get_precision_mode
         from ..kernels.spectrogram_pallas import (
             mel_spectrogram_pallas,
             prepare_wav2d,
@@ -358,7 +358,7 @@ class MultiTrack:
             hop=hop,
             n_frames=n_frames_pad,
             interpret=interpret,
-            mode=__import__('msv_tpu.config', fromlist=['x']).get_precision_mode(),
+            mode=get_precision_mode(),
         )
         db = db_p[:, :n_mel]
         fmask = (jnp.arange(n_frames_pad) < n_frames)[:, None]
@@ -662,13 +662,17 @@ class MultiTrack:
         under FreqScale.MEL, n_fft/2+1 under LINEAR.  Useful for ML / data
         export.
 
-        ``wire`` selects the downlink format (default config.get_db_wire):
-        "f32" fetches the raw array bit-exactly; "q16"/"q12"/"q10" pack it
-        on device (fixed-point + delta bitpack, parallel/wirepack.py) for
-        3-5x fewer wire bytes at a documented quantization error of
-        0.5 * (smax - smin) / (2^bits - 1)  (~0.06 dB for the default q10
-        on a typical 120 dB window, far under one grey step) — at hour scale the raw fetch is ~0.5 GB
-        over a ~20 MB/s relay.
+        ``wire`` selects the downlink format (default config.get_db_wire,
+        which defaults to "f32"): "f32" fetches the raw array bit-exactly;
+        "q16"/"q12"/"q10"/"q8" pack it on device (fixed-point + delta
+        bitpack, parallel/wirepack.py) for 3-5x fewer wire bytes at a
+        documented quantization error of
+        0.5 * (smax - smin) / (2^bits - 1)  (~0.06 dB for q10 on a
+        typical 120 dB window, far under one grey step).  Lossy wires are
+        OPT-IN: this is the public data-export API and the saved f32
+        dtype carries no hint of quantization — but at hour scale the raw
+        fetch is ~0.5 GB over a ~20 MB/s relay, so pass wire="q10" (or
+        set_db_wire) when wire time matters more than bit-exactness.
         """
         from ..config import get_db_wire
 

@@ -16,3 +16,12 @@ class AudioReadError(MsvError):
 
 class TrackNotFoundError(MsvError, KeyError):
     """Unknown track id (reference panics via ``.unwrap()``, lib.rs:113)."""
+
+    def __init__(self, id):
+        super().__init__(id)
+        self.id = id
+
+    def __str__(self):
+        # KeyError.__str__ is repr(args[0]) — a bare "0" in an HTTP 500
+        # body; say what actually went wrong
+        return f"track {self.id!r} not found"

@@ -394,7 +394,7 @@ class _Handler(BaseHTTPRequestHandler):
 
                 tid = int(url.path.rsplit("/", 1)[1])
                 with self.lock.read():
-                    track = mt.tracks[tid]
+                    track = mt._track(tid)  # typed 500, not a bare KeyError
                     n = track.n_samples
                     sr = track.sr
                 pcm_len = n * 2
@@ -565,7 +565,7 @@ class _Handler(BaseHTTPRequestHandler):
 
                         from .ops.mel import hz_to_mel, mel_to_hz
 
-                        half = _np.float32(mt.tracks[tid].sr) / _np.float32(2)
+                        half = _np.float32(mt._track(tid).sr) / _np.float32(2)
                         hz = float(
                             mel_to_hz(hz_to_mel(half) * _np.float32(rel))
                         )

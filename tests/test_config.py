@@ -56,3 +56,35 @@ def test_mode_setters_roundtrip():
         assert get_engine() == "xla"
     finally:
         set_engine("auto")
+
+
+def test_precision_scope_restores_latch():
+    """precision_mode_scope restores BOTH the mode and the explicit
+    latch, so a transient parity cycle (e.g. a tool forcing parity
+    around one call) cannot permanently flip feature defaults that
+    consult precision_mode_is_explicit()."""
+    from msv_tpu.config import (
+        precision_mode_is_explicit,
+        precision_mode_scope,
+        reset_precision_mode,
+    )
+
+    assert not precision_mode_is_explicit()
+    with precision_mode_scope("parity"):
+        assert precision_mode_is_explicit()
+        assert get_precision_mode() == "parity"
+    assert not precision_mode_is_explicit()  # latch restored
+    assert get_precision_mode() == "parity"
+
+    # a raw set latches; reset clears it
+    set_precision_mode("fast")
+    assert precision_mode_is_explicit()
+    reset_precision_mode()
+    assert not precision_mode_is_explicit()
+    assert get_precision_mode() == "parity"
+
+    # nesting: inner scope restores to the outer scope's latched state
+    set_precision_mode("fast")
+    with precision_mode_scope("parity"):
+        assert get_precision_mode() == "parity"
+    assert get_precision_mode() == "fast" and precision_mode_is_explicit()

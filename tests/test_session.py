@@ -553,11 +553,11 @@ def test_render_size_caps(wav_dir):
 
 
 def test_get_spec_db_wire_formats(wav_dir):
-    """Packed dB export (default q16) must stay within its documented
-    quantization bound of the bit-exact f32 fetch."""
+    """Opt-in packed dB export must stay within its documented
+    quantization bound of the default bit-exact f32 fetch."""
     from msv_tpu.config import get_db_wire
 
-    assert get_db_wire() == "q10"
+    assert get_db_wire() == "f32"
     mt = MultiTrack()
     mt.add_tracks([0], [wav_dir[16000]])
     exact = mt.get_spec_db(0, wire="f32")
@@ -568,7 +568,7 @@ def test_get_spec_db_wire_formats(wav_dir):
         assert got.shape == exact.shape and got.dtype == np.float32
         bound = 0.5 * rng_db / ((1 << bits) - 1) + 1e-4
         assert np.abs(got - exact).max() <= bound, wire
-    # default == q16
-    np.testing.assert_array_equal(mt.get_spec_db(0), mt.get_spec_db(0, wire="q10"))
+    # the public export default is the bit-exact fetch (lossy is opt-in)
+    np.testing.assert_array_equal(mt.get_spec_db(0), exact)
     with pytest.raises(ValueError):
         mt.get_spec_db(0, wire="q7")

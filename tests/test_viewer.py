@@ -67,6 +67,15 @@ def test_viewer_error_paths(viewer_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(viewer_url + "/nope")
     assert e.value.code == 404
+    # unknown-track 500s say WHICH track is missing on every endpoint,
+    # /api/audio included (it used to 500 with a bare KeyError "0")
+    for path in ("/api/audio/99", "/api/spec_crop/99?px_per_sec=50"
+                 "&height=100&start=0&end=0.1", "/api/freq/99?rel=0.5"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(viewer_url + path)
+        assert e.value.code == 500, path
+        body = e.value.read().decode()
+        assert "track 99 not found" in body, (path, body)
 
 
 def test_viewer_audio_and_crop(viewer_url):
