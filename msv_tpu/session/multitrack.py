@@ -98,6 +98,28 @@ def _check_render_dims(ncols: int, nheight: int, what: str) -> None:
             f"exceeds MAX_RENDER_AREA ({MAX_RENDER_AREA}, ~1 GiB RGBA); "
             f"render a viewport via the *_crop APIs or reduce px_per_sec"
         )
+class _AdaptiveBuild:
+    """State of one track's background full-adaptive-dB build: segment
+    results land in ``parts`` (``built`` = frames completed so far),
+    ``full`` is the final bucket-padded device array, ``cancel`` stops a
+    build whose track/setting was invalidated mid-flight."""
+
+    __slots__ = ("n_mel", "nf", "parts", "built", "full", "error",
+                 "cancel", "done", "thread", "lock")
+
+    def __init__(self, n_mel: int, nf: int):
+        self.n_mel = n_mel
+        self.nf = nf
+        self.parts = []
+        self.built = 0
+        self.full = None
+        self.error = None
+        self.cancel = threading.Event()
+        self.done = threading.Event()
+        self.thread = None
+        self.lock = threading.Lock()
+
+
 # Tracks longer than this many frames go through the segmented streaming
 # engine (parallel/streaming.py): the one-shot pipeline would materialize
 # the full (n_frames, n_freq) rfft intermediates in HBM (~GBs at hour
@@ -296,9 +318,8 @@ class MultiTrack:
         self.timer = StageTimer()
         self._log = get_logger()
         self._env_lock = threading.Lock()  # lazy envelope-state creation
-        self._adaptive_db: dict[int, tuple] = {}  # id -> (n_mel, dev dB)
-        self._adaptive_lock = threading.Lock()  # guards the two dicts
-        self._adaptive_build_locks: dict[int, object] = {}
+        self._adaptive_db: dict[int, _AdaptiveBuild] = {}
+        self._adaptive_lock = threading.Lock()  # guards the dict
 
     # ------------------------------------------------------------- caches
 
@@ -518,7 +539,7 @@ class MultiTrack:
                 # re-adding an id replaces the track: drop the lazily-built
                 # envelope buffer or get_wav_image keeps drawing the OLD file
                 self._env_states.pop(id, None)
-                self._adaptive_db.pop(id, None)
+                self._drop_adaptive(id)
                 self.tracks[id] = track
         with self.timer.stage("add_tracks.spec"):
             self._compute_specs(list(id_list))
@@ -600,7 +621,7 @@ class MultiTrack:
         del self.tracks[id]
         self._state.pop(id, None)
         self._env_states.pop(id, None)
-        self._adaptive_db.pop(id, None)
+        self._drop_adaptive(id)
         if self.id_max_sec == id:
             best_id, best_sec = 0, 0.0
             for tid, t in self.tracks.items():
@@ -823,39 +844,100 @@ class MultiTrack:
     # interior segments, peak memory bounded by one segment's frames.
     ADAPTIVE_CHUNK = 8192
 
-    def _adaptive_full_db(self, id: int, track, n_mel: int, nf: int):
-        """Per-track device-cached full adaptive dB (nf, n_mel), built
-        ONCE in exact ADAPTIVE_CHUNK-frame segments via the slice-local
-        form — each segment is bit-equal to the corresponding slice of a
+    def _drop_adaptive(self, id: int) -> None:
+        """Invalidate a track's cached/in-flight adaptive dB: a build
+        running when its track is replaced/removed or the setting changes
+        must stop at its next segment boundary and never publish."""
+        with self._adaptive_lock:
+            build = self._adaptive_db.pop(id, None)
+        if build is not None:
+            build.cancel.set()
+
+    def _adaptive_full_db(self, id: int, track, n_mel: int, nf: int,
+                          need_hi: int | None = None, block: bool = True):
+        """Per-track device-cached full adaptive dB (nf, n_mel), built in
+        exact ADAPTIVE_CHUNK-frame segments via the slice-local form —
+        each segment is bit-equal to the corresponding slice of a
         whole-track computation, so cached-path renders stitch pixel-
         exactly with slice-local-path renders.  Costs nf*n_mel*4 bytes
         HBM per track (an hour at auto n_mel ~90 MB); invalidated on
         replace/remove/set_setting.  Segments upload the track's integer
-        carrier when one exists (half the wire bytes)."""
+        carrier when one exists (half the wire bytes).
+
+        The build runs in a BACKGROUND thread (round-4 VERDICT #4: an
+        hour-scale build takes minutes and used to stall the requesting
+        render for its whole duration).  ``block=True`` (library default)
+        waits for completion, as before.  ``block=False`` returns
+        immediately: if the built prefix already covers ``need_hi``
+        frames, the prefix (padded to the same fixed bucketed width as
+        the final array, so it shares the jit shape) is returned and the
+        render proceeds while the tail keeps building; otherwise
+        :class:`AdaptiveBuildPending` carries (built, total) progress —
+        the viewer maps it to HTTP 202.
+        """
+        from ..utils.errors import AdaptiveBuildPending
+
+        jnp = self._jnp
+        w_fixed = round_up_to(max(nf, 1), FRAME_BUCKET)
+        with self._adaptive_lock:
+            build = self._adaptive_db.get(id)
+            if build is not None and build.n_mel != n_mel:
+                build.cancel.set()  # basis changed: rebuild
+                build = None
+            if build is None:
+                build = _AdaptiveBuild(n_mel, nf)
+                self._adaptive_db[id] = build
+                build.thread = threading.Thread(
+                    target=self._adaptive_builder, name=f"adaptive-{id}",
+                    args=(build, track, n_mel, nf, w_fixed), daemon=True,
+                )
+                build.thread.start()
+        if block:
+            build.done.wait()
+        if build.error is not None:
+            with self._adaptive_lock:  # drop so a later call can retry
+                if self._adaptive_db.get(id) is build:
+                    del self._adaptive_db[id]
+            raise build.error
+        if build.full is not None:
+            return build.full
+        with build.lock:
+            built = build.built
+            parts = list(build.parts)
+        if need_hi is not None and built >= need_hi and parts:
+            # interim render from the built prefix: every nonzero-weight
+            # read of this request lands below `built`; the zero-pad tail
+            # only meets zero resize weights (same mechanism as the
+            # final array's bucket pad)
+            pre = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+            return jnp.pad(pre, ((0, w_fixed - int(pre.shape[0])), (0, 0)))
+        raise AdaptiveBuildPending(built, nf)
+
+    def adaptive_build_progress(self) -> dict:
+        """Per-track progress of in-flight background adaptive builds:
+        {id: {"built": frames, "total": frames}} — done/absent tracks are
+        omitted.  Surfaced by the viewer's /api/stats."""
+        out = {}
+        with self._adaptive_lock:
+            items = list(self._adaptive_db.items())
+        for tid, b in items:
+            if not b.done.is_set():
+                out[tid] = {"built": b.built, "total": b.nf}
+        return out
+
+    def _adaptive_builder(self, build, track, n_mel, nf, w_fixed):
+        """Background segment loop for one track's full adaptive dB."""
         from ..ops.multires import (
             multires_mel_spec_db_range,
             range_sample_window,
         )
 
-        # per-track build locks: a multi-minute hour-scale build must not
-        # stall adaptive renders of OTHER tracks (the session lock only
-        # guards the dicts; the build itself runs under its track's lock)
-        with self._adaptive_lock:
-            hit = self._adaptive_db.get(id)
-            if hit is not None and hit[0] == n_mel:
-                return hit[1]
-            block = self._adaptive_build_locks.setdefault(
-                id, threading.Lock()
-            )
-        with block:
-            with self._adaptive_lock:
-                hit = self._adaptive_db.get(id)
-                if hit is not None and hit[0] == n_mel:
-                    return hit[1]
-            jnp = self._jnp
-            parts = []
+        jnp = self._jnp
+        try:
             with self.timer.stage("adaptive.full_build"):
                 for g0 in range(0, nf, self.ADAPTIVE_CHUNK):
+                    if build.cancel.is_set():
+                        return  # invalidated mid-build: no stale publish
                     g1 = min(nf, g0 + self.ADAPTIVE_CHUNK)
                     s0, s1 = range_sample_window(
                         track.n_samples, track.sr, self.setting, g0, g1
@@ -866,20 +948,22 @@ class MultiTrack:
                         slice_start=s0, n_samples=track.n_samples,
                         n_mel=n_mel, scale=scale,
                     )
-                    parts.append(db)
-            full = (parts[0] if len(parts) == 1
-                    else jnp.concatenate(parts, axis=0))
+                    with build.lock:
+                        build.parts.append(db)
+                        build.built = g1
+            full = (build.parts[0] if len(build.parts) == 1
+                    else jnp.concatenate(build.parts, axis=0))
             # pad ONCE to the track's fixed frame bucket: every cached-
             # path render then uses one spec_db shape (the banded apply
             # clamps reads element-wise with zero weights past the valid
             # frames, so no per-render pad/slice is needed) — per-render
             # widths would mint a new jit program per pan position, and
             # remote compiles run 40-700 s each
-            w_fixed = round_up_to(max(nf, 1), FRAME_BUCKET)
-            full = jnp.pad(full, ((0, w_fixed - nf), (0, 0)))
-            with self._adaptive_lock:
-                self._adaptive_db[id] = (n_mel, full)
-            return full
+            build.full = jnp.pad(full, ((0, w_fixed - nf), (0, 0)))
+        except Exception as e:  # surfaced to the next caller
+            build.error = e
+        finally:
+            build.done.set()
 
     def get_adaptive_spec_image_crop(
         self,
@@ -890,6 +974,7 @@ class MultiTrack:
         end_sec: float,
         n_mel: int | None = None,
         wire: str | None = None,
+        block: bool = True,
     ) -> np.ndarray:
         """Adaptive multi-resolution viewport render — the reference's
         roadmap item "Adaptive STFT (sth like iZotope RX Editor)"
@@ -902,6 +987,14 @@ class MultiTrack:
         (O(viewport), bit-equal to slicing a full-track computation) and
         normalized with the session-global dB range, so toggling adaptive
         keeps the brightness scale of the standard view.
+
+        Zoomed out past the slice-local budget the render reads the
+        per-track cached full dB, built in the background.  With the
+        default ``block=True`` the first such render waits for the build
+        (minutes at hour scale); ``block=False`` (what the viewer uses)
+        serves immediately from the already-built prefix when it covers
+        this viewport, else raises :class:`AdaptiveBuildPending` with
+        (built, total) progress.
         """
         from types import SimpleNamespace
 
@@ -936,7 +1029,9 @@ class MultiTrack:
             # shape per track) with ABSOLUTE frame indices; out-of-range
             # reads clamp element-wise under zero weights
             base = 0
-            db_p = self._adaptive_full_db(id, track, n_mel, nf)
+            need_hi = min(nf, int(left.max()) + band)
+            db_p = self._adaptive_full_db(id, track, n_mel, nf,
+                                          need_hi=need_hi, block=block)
         else:
             base = f_lo
             f_hi = min(nf, f_lo + f_need)
@@ -1108,7 +1203,8 @@ class MultiTrack:
         self.tracks.clear()
         self._state.clear()
         self._env_states.clear()
-        self._adaptive_db.clear()
+        for tid in list(self._adaptive_db):
+            self._drop_adaptive(tid)
         self.windows.clear()
         self.mel_fbs.clear()
         self._dfts.clear()

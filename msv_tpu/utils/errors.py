@@ -14,6 +14,20 @@ class AudioReadError(MsvError):
     """Failed to open or decode an audio file (reference: audio.rs:23-26)."""
 
 
+class AdaptiveBuildPending(MsvError):
+    """A non-blocking adaptive render asked for frames the background
+    full-dB build has not produced yet (hour-scale builds take minutes;
+    the viewer turns this into HTTP 202 + progress instead of stalling).
+    """
+
+    def __init__(self, built: int, total: int):
+        super().__init__(
+            f"adaptive full-dB build in progress: {built}/{total} frames"
+        )
+        self.built = built
+        self.total = total
+
+
 class TrackNotFoundError(MsvError, KeyError):
     """Unknown track id (reference panics via ``.unwrap()``, lib.rs:113)."""
 

@@ -56,6 +56,7 @@ _PAGE = """<!DOCTYPE html>
 const H = 300, WH = 80;
 let pps = 100, tracks = [];
 const state = {};  // id -> {c0, c1} currently displayed columns
+const adRetries = {};  // id -> consecutive no-progress adaptive retries
 
 function viewParams() {
   return {
@@ -100,6 +101,10 @@ function fetchView(t, force) {
     const a = new Image();
     a.onload = () => {
       if ((state[t.id] || {}).gen !== gen) return;  // superseded
+      const dbr = document.getElementById('dbrange');
+      if (dbr.textContent.startsWith('adaptive build') && window._dbText)
+        dbr.textContent = window._dbText;
+      adRetries[t.id] = 0;
       img.src = a.src; img.style.left = vis0 + 'px';
       const b = new Image();  // stage 2: widen to the margin window
       b.onload = () => {
@@ -110,7 +115,26 @@ function fetchView(t, force) {
       b.src = urlWide;
     };
     a.onerror = () => {  // drop coverage so the next scroll retries
-      if ((state[t.id] || {}).gen === gen) state[t.id] = {gen};
+      if ((state[t.id] || {}).gen !== gen) return;
+      state[t.id] = {gen};
+      if (adaptive) {
+        // a zoomed-out adaptive view answers 202 while its background
+        // full-dB build runs; poll progress and retry until it lands
+        fetch('/api/stats').then(r => r.json()).then(s => {
+          if ((state[t.id] || {}).gen !== gen ||
+              !viewParams().adaptive) return;
+          const p = (s.adaptive_builds || {})[t.id];
+          if (p) {
+            adRetries[t.id] = 0;
+            document.getElementById('dbrange').textContent =
+              `adaptive build ${(100 * p.built / p.total).toFixed(0)}%…`;
+            setTimeout(() => fetchView(t, true), 1500);
+          } else if ((adRetries[t.id] || 0) < 2) {
+            adRetries[t.id] = (adRetries[t.id] || 0) + 1;
+            setTimeout(() => fetchView(t, true), 300);  // build just done
+          }  // else: a real error — stop; the next scroll retries
+        }).catch(() => {});
+      }
     };
     a.src = urlVis;
   };
@@ -138,8 +162,8 @@ async function load() {
     return;
   }
   tracks = d.tracks;
-  document.getElementById('dbrange').textContent =
-    `${d.min_db.toFixed(1)} … ${d.max_db.toFixed(1)} dB`;
+  window._dbText = `${d.min_db.toFixed(1)} … ${d.max_db.toFixed(1)} dB`;
+  document.getElementById('dbrange').textContent = window._dbText;
   const el = document.getElementById('tracks'); el.innerHTML = '';
   for (const t of tracks) {
     const div = document.createElement('div'); div.className = 'track';
@@ -489,16 +513,29 @@ class _Handler(BaseHTTPRequestHandler):
             elif url.path.startswith("/api/adaptive_crop/"):
                 # adaptive multi-resolution STFT view (ReadMe.md:18
                 # roadmap item, live) — same column math as spec_crop so
-                # the client's two-stage fetch stitches pixel-exactly
+                # the client's two-stage fetch stitches pixel-exactly.
+                # block=False: a zoomed-out view whose background full-dB
+                # build hasn't covered this viewport yet answers 202 +
+                # progress instead of stalling the request for the whole
+                # (minutes at hour scale) build
+                from .utils.errors import AdaptiveBuildPending
+
                 tid = int(url.path.rsplit("/", 1)[1])
-                with self.lock.read():
-                    img = mt.get_adaptive_spec_image_crop(
-                        tid,
-                        qpps(),
-                        qh("height", 300),
-                        qf("start", 0.0, 0.0, 1e7),
-                        qf("end", 10.0, 0.0, 1e7),
-                    )
+                try:
+                    with self.lock.read():
+                        img = mt.get_adaptive_spec_image_crop(
+                            tid,
+                            qpps(),
+                            qh("height", 300),
+                            qf("start", 0.0, 0.0, 1e7),
+                            qf("end", 10.0, 0.0, 1e7),
+                            block=False,
+                        )
+                except AdaptiveBuildPending as p:
+                    self._send(202, "application/json", json.dumps({
+                        "pending": True, "built": p.built, "total": p.total,
+                    }).encode())
+                    return
                 self._send(200, "image/png", self._png(img))
             elif url.path.startswith("/api/wav_crop/"):
                 tid = int(url.path.rsplit("/", 1)[1])
@@ -544,6 +581,7 @@ class _Handler(BaseHTTPRequestHandler):
                             "tracks": len(mt.tracks),
                             "sr_cache": sorted(mt.windows),
                             "env_states": len(mt._env_states),
+                            "adaptive_builds": mt.adaptive_build_progress(),
                         }
                     ).encode()
                 self._send(200, "application/json", body)

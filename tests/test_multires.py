@@ -139,9 +139,10 @@ def test_session_adaptive_crop_stitches(reference_sample_paths):
         assert 0 in mt._adaptive_db
         np.testing.assert_array_equal(via_cache, full)
         # second render reuses the cache (same object, no rebuild)
-        cached_obj = mt._adaptive_db[0][1]
+        cached_obj = mt._adaptive_db[0].full
+        assert cached_obj is not None
         again = mt.get_adaptive_spec_image_crop(0, 50, 200, 0.0, sec + 1.0)
-        assert mt._adaptive_db[0][1] is cached_obj
+        assert mt._adaptive_db[0].full is cached_obj
         np.testing.assert_array_equal(again, full)
     finally:
         MultiTrack.ADAPTIVE_MAX_FRAMES = old
@@ -291,3 +292,104 @@ def test_adaptive_uses_mel_alignment_in_linear_sessions(
                     .all(axis=2).all(axis=1).sum())
     expect_band = h - n_mel
     assert abs(band_rows - expect_band) <= 2, (band_rows, expect_band)
+
+
+def test_adaptive_background_build_progressive(reference_sample_paths):
+    """VERDICT r3 #4: the zoomed-out adaptive full-dB build runs in the
+    background.  Non-blocking renders (what the viewer issues) either
+    serve from the already-built prefix — pixel-identical to the
+    blocking result — or raise AdaptiveBuildPending with progress;
+    block=True still waits and matches, and a finished build serves
+    everything."""
+    import time
+
+    from msv_tpu import MultiTrack
+    from msv_tpu.utils.errors import AdaptiveBuildPending
+
+    mt = MultiTrack()
+    mt.add_tracks([0], [reference_sample_paths[0]])
+    sec = mt.tracks[0].sec
+    # blocking ground truth from a fresh session (cache-free)
+    mt_ref = MultiTrack()
+    mt_ref.add_tracks([0], [reference_sample_paths[0]])
+
+    old_max, old_chunk = (MultiTrack.ADAPTIVE_MAX_FRAMES,
+                          MultiTrack.ADAPTIVE_CHUNK)
+    # tiny budget + chunk: the sample becomes "hour-scale" relative to
+    # the build granularity, so the pending window is observable
+    MultiTrack.ADAPTIVE_MAX_FRAMES = 64
+    MultiTrack.ADAPTIVE_CHUNK = 256
+    try:
+        want = mt_ref.get_adaptive_spec_image_crop(0, 50, 160, 0.0,
+                                                   sec + 1.0)
+        # a far-right viewport cannot be covered by an early prefix:
+        # the very first non-blocking call must raise Pending
+        with pytest.raises(AdaptiveBuildPending) as exc:
+            mt.get_adaptive_spec_image_crop(0, 50, 160, sec - 2.0, sec,
+                                            block=False)
+        assert 0 <= exc.value.built < exc.value.total
+        assert 0 in mt._adaptive_db
+        build = mt._adaptive_db[0]
+        # progress is surfaced while in flight (or just-finished)
+        prog = mt.adaptive_build_progress()
+        assert prog == {} or set(prog[0]) == {"built", "total"}
+        # a prefix-covered viewport serves WITHOUT waiting for the full
+        # build, as soon as enough chunks exist
+        deadline = time.time() + 60
+        got_left = None
+        while time.time() < deadline:
+            try:
+                got_left = mt.get_adaptive_spec_image_crop(
+                    0, 50, 160, 0.0, 1.0, block=False)
+                break
+            except AdaptiveBuildPending:
+                time.sleep(0.02)
+        assert got_left is not None
+        want_left = mt_ref.get_adaptive_spec_image_crop(0, 50, 160,
+                                                        0.0, 1.0)
+        np.testing.assert_array_equal(got_left, want_left)
+        # block=True waits for completion and matches the ground truth
+        got = mt.get_adaptive_spec_image_crop(0, 50, 160, 0.0, sec + 1.0)
+        np.testing.assert_array_equal(got, want)
+        assert build.done.is_set() and build.full is not None
+        # once done, non-blocking serves everything
+        got_nb = mt.get_adaptive_spec_image_crop(0, 50, 160, 0.0,
+                                                 sec + 1.0, block=False)
+        np.testing.assert_array_equal(got_nb, want)
+        assert mt.adaptive_build_progress() == {}
+    finally:
+        MultiTrack.ADAPTIVE_MAX_FRAMES = old_max
+        MultiTrack.ADAPTIVE_CHUNK = old_chunk
+
+
+def test_adaptive_cancel_stops_builder(reference_sample_paths):
+    """Invalidating a track mid-build stops the background thread at the
+    next segment boundary and never publishes a stale array."""
+    import time
+
+    from msv_tpu import MultiTrack
+    from msv_tpu.utils.errors import AdaptiveBuildPending
+
+    mt = MultiTrack()
+    mt.add_tracks([0], [reference_sample_paths[0]])
+    old_max, old_chunk = (MultiTrack.ADAPTIVE_MAX_FRAMES,
+                          MultiTrack.ADAPTIVE_CHUNK)
+    MultiTrack.ADAPTIVE_MAX_FRAMES = 64
+    MultiTrack.ADAPTIVE_CHUNK = 256
+    try:
+        try:
+            mt.get_adaptive_spec_image_crop(0, 50, 120, 0.0, 40.0,
+                                            block=False)
+        except AdaptiveBuildPending:
+            pass
+        build = mt._adaptive_db[0]
+        mt.remove_track(0)
+        assert 0 not in mt._adaptive_db
+        assert build.cancel.is_set()
+        build.thread.join(timeout=60)
+        assert not build.thread.is_alive()
+        # a cancelled build never publishes
+        assert build.full is None or build.done.is_set()
+    finally:
+        MultiTrack.ADAPTIVE_MAX_FRAMES = old_max
+        MultiTrack.ADAPTIVE_CHUNK = old_chunk

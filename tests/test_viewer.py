@@ -460,3 +460,65 @@ def test_viewer_query_fuzz_never_kills_server(viewer_url, rng):
     code, body = _get(viewer_url + "/api/spec_crop/0?px_per_sec=50&height=60"
                       "&start=0&end=1")
     assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_viewer_adaptive_202_and_progress(tmp_path, rng, monkeypatch):
+    """A zoomed-out adaptive crop whose background full-dB build hasn't
+    covered the viewport answers HTTP 202 + progress JSON (not a stalled
+    request), /api/stats surfaces the build, and polling converges to a
+    200 PNG once the build lands (VERDICT r3 #4)."""
+    import time
+    import urllib.error
+    from http.server import ThreadingHTTPServer
+
+    from msv_tpu.ops.multires import (adaptive_auto_n_mel,
+                                      adaptive_frame_count)
+    from msv_tpu.session import MultiTrack
+    from msv_tpu.session.multitrack import _AdaptiveBuild
+    from msv_tpu.viewer import _Handler, _RWLock
+
+    sr = 8000
+    t = np.arange(2 * sr) / sr
+    x = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    write_wav(p, x[None], sr)
+    mt = MultiTrack()
+    mt.add_tracks([0], [p])
+    monkeypatch.setattr(MultiTrack, "ADAPTIVE_MAX_FRAMES", 64)
+    monkeypatch.setattr(MultiTrack, "ADAPTIVE_CHUNK", 256)
+    handler = type("H", (_Handler,), {"session": mt, "lock": _RWLock()})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    url = (base + "/api/adaptive_crop/0?px_per_sec=30&height=120"
+           "&start=0&end=2.5")
+    try:
+        # a pre-planted never-started build: the endpoint must answer
+        # 202 + progress, deterministically (no race with a real build)
+        track = mt.tracks[0]
+        n_mel = adaptive_auto_n_mel(track.sr, mt.setting)
+        nf = adaptive_frame_count(track.n_samples, track.sr, mt.setting)
+        fake = _AdaptiveBuild(n_mel, nf)
+        mt._adaptive_db[0] = fake
+        with urllib.request.urlopen(url, timeout=30) as r:
+            assert r.status == 202
+            body = json.loads(r.read())
+        assert body == {"pending": True, "built": 0, "total": nf}
+        st = json.loads(_get(base + "/api/stats")[1])
+        assert st["adaptive_builds"] == {"0": {"built": 0, "total": nf}}
+        # drop the fake: the next request starts the real background
+        # build; polling (what the client JS does on 202) converges
+        mt._drop_adaptive(0)
+        deadline = time.time() + 60
+        png = None
+        while time.time() < deadline:
+            with urllib.request.urlopen(url, timeout=30) as r:
+                if r.status == 200:
+                    png = r.read()
+                    break
+            time.sleep(0.05)
+        assert png is not None and png[:4] == b"\x89PNG"
+        assert json.loads(_get(base + "/api/stats")[1])[
+            "adaptive_builds"] == {}
+    finally:
+        srv.shutdown()
