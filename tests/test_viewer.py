@@ -522,3 +522,67 @@ def test_viewer_adaptive_202_and_progress(tmp_path, rng, monkeypatch):
             "adaptive_builds"] == {}
     finally:
         srv.shutdown()
+
+
+def test_viewer_render_cache_no_duplicate_renders(tmp_path, rng):
+    """VERDICT r3 #5: panning back over a window the server already
+    rendered must not re-enter the render pipeline — identical crop
+    requests are served byte-identically from the response LRU, and any
+    session mutation invalidates it."""
+    from http.server import ThreadingHTTPServer
+
+    from msv_tpu.session import MultiTrack
+    from msv_tpu.viewer import _Handler, _RWLock
+
+    sr = 8000
+    x = (0.4 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(
+        np.float32)
+    p = str(tmp_path / "a.wav")
+    write_wav(p, x[None], sr)
+    mt = MultiTrack()
+    mt.add_tracks([0], [p])
+
+    calls = {"spec_crop": 0, "wav_crop": 0}
+    orig_spec, orig_wav = (MultiTrack.get_spec_image_crop,
+                           MultiTrack.get_wav_image_crop)
+
+    class Counting(MultiTrack):
+        def get_spec_image_crop(self, *a, **k):
+            calls["spec_crop"] += 1
+            return orig_spec(self, *a, **k)
+
+        def get_wav_image_crop(self, *a, **k):
+            calls["wav_crop"] += 1
+            return orig_wav(self, *a, **k)
+
+    mt.__class__ = Counting
+    handler = type("H", (_Handler,), {"session": mt, "lock": _RWLock()})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    spec_url = (base + "/api/spec_crop/0?px_per_sec=50&height=80"
+                "&start=0.1&end=0.6")
+    wav_url = (base + "/api/wav_crop/0?px_per_sec=50&height=40"
+               "&amp_min=-1&amp_max=1&start=0.1&end=0.6")
+    try:
+        # simulated pan-away-and-back: 3 identical fetches -> ONE render
+        bodies = [_get(spec_url)[1] for _ in range(3)]
+        assert calls["spec_crop"] == 1
+        assert bodies[0] == bodies[1] == bodies[2]
+        wbodies = [_get(wav_url)[1] for _ in range(3)]
+        assert calls["wav_crop"] == 1
+        assert wbodies[0] == wbodies[1]
+        # a different viewport is a different key
+        _get(base + "/api/spec_crop/0?px_per_sec=50&height=80"
+             "&start=0.2&end=0.7")
+        assert calls["spec_crop"] == 2
+        st = json.loads(_get(base + "/api/stats")[1])["render_cache"]
+        # 3 unique URLs rendered, 4 repeat fetches served from cache
+        assert st["hits"] == 4 and st["misses"] == 3
+        # mutation invalidates: the same URL renders fresh (the global dB
+        # window may have moved, so cached pixels would be stale)
+        _post(base + "/api/setting", {"win_ms": 25.0})
+        _get(spec_url)
+        assert calls["spec_crop"] == 3
+    finally:
+        srv.shutdown()
