@@ -126,6 +126,89 @@ def _kernel(wav_ref, c_ref, s_ref, fb_ref, out_ref,
     )
 
 
+def _kernel_resident(wav_ref, c_ref, s_ref, fb_ref, out_ref,
+                     chunk, frames, sems, *,
+                     t_overlap, hop, win, n_k_tiles, precision):
+    """VMEM-resident variant: C/S/fb arrive as whole constant-index
+    Pallas blocks — the pipeline emitter copies them in ONCE and never
+    re-streams them across the frame grid (round-4 VERDICT #2: the
+    streaming kernel re-DMAs ~1.3-11 MB of operands per frame tile, and
+    for buckets whose operands fit VMEM that traffic is pure waste).
+    The frequency loop is a static unroll over resident tiles; no
+    operand DMA, no double buffers, no accumulator scratch."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    n_chunk_rows = chunk.shape[0]
+    tile_f = frames.shape[0]
+    win_p = frames.shape[1]
+
+    wav_dma = pltpu.make_async_copy(
+        wav_ref.at[pl.ds(i * tile_f, n_chunk_rows), :], chunk, sems.at[0],
+    )
+    wav_dma.start()
+    wav_dma.wait()
+    if win_p > win:
+        frames[:, win:win_p] = jnp.zeros((tile_f, win_p - win), jnp.float32)
+    for t in range(t_overlap):
+        sl = chunk[t : t + tile_f, :hop]
+        if chunk.dtype == jnp.int16:
+            sl = sl.astype(jnp.float32) * jnp.float32(2.0**-15)
+        frames[:, t * hop : (t + 1) * hop] = sl
+
+    fr = frames[:]
+    if c_ref.dtype == jnp.bfloat16:
+        fr = fr.astype(jnp.bfloat16)
+    acc = None
+    for k in range(n_k_tiles):  # static: resident slices, zero DMA
+        re = jnp.dot(fr, c_ref[k], precision=precision,
+                     preferred_element_type=jnp.float32)
+        im = jnp.dot(fr, s_ref[k], precision=precision,
+                     preferred_element_type=jnp.float32)
+        mag = jnp.sqrt(re * re + im * im)
+        if fb_ref.dtype == jnp.bfloat16:
+            mag = mag.astype(jnp.bfloat16)
+        part = jnp.dot(mag, fb_ref[k], precision=precision,
+                       preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    out_ref[:] = jnp.where(
+        acc > _AMIN, jnp.log(acc) * _DB_SCALE, 20.0 * _LOG10_AMIN
+    )
+
+
+def _resident_plan(n_frames, nk, win_p, hop_p, n_mel_p, t_overlap,
+                   bpe_mat, bpe_wav):
+    """(fits, tile_f) for the VMEM-resident variant.
+
+    Budget model: resident operands are counted TWICE (the pipeline
+    emitter allocates double buffers for BlockSpec inputs even when the
+    index map is constant — conservative until profiled otherwise), plus
+    frames, the out block, the wav chunk, and ~3 re/im/mag compiler
+    temporaries per dot chain.  bf16 small buckets (n_fft <= 1024:
+    operands ~1.3 MB) fit easily; the 48k bucket (~11 MB bf16) does not
+    under the 2x assumption and stays on the streaming kernel."""
+    budget = 14 * 1024 * 1024
+    operands = 2 * (2 * nk * win_p * TILE_K + nk * TILE_K * n_mel_p) * bpe_mat
+    # f32 (parity) dots run Mosaic's multi-pass algorithm whose
+    # compiler-managed scratch is NOT in this estimate; tile_f 128 is the
+    # measured ceiling for f32 operands (round-3 crash regression)
+    tf_candidates = (512, 256, 128) if bpe_mat == 2 else (128,)
+    for tf in tf_candidates:
+        if n_frames % tf:
+            continue
+        need = (
+            operands
+            + tf * win_p * 4  # frames scratch
+            + tf * n_mel_p * 4  # out block
+            + 3 * tf * TILE_K * 4  # re/im/mag temporaries
+            + round_up_to(tf + t_overlap - 1, 16) * hop_p * bpe_wav
+        )
+        if need <= budget:
+            return True, tf
+    return False, TILE_F
+
+
 def _auto_tile_f(n_frames, win_p, hop_p, n_mel_p, t_overlap, bpe_mat,
                  bpe_wav):
     """Largest frame tile that divides n_frames and fits the ~16 MB VMEM
@@ -156,10 +239,11 @@ def _auto_tile_f(n_frames, win_p, hop_p, n_mel_p, t_overlap, bpe_mat,
 @functools.partial(
     jax.jit,
     static_argnames=("win", "hop", "n_frames", "interpret", "mode",
-                     "tile_f"),
+                     "tile_f", "variant"),
 )
 def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
-                           interpret=False, mode=None, tile_f=None):
+                           interpret=False, mode=None, tile_f=None,
+                           variant=None):
     """Fused mel dB spectrogram.
 
     wav2d: (n_frames + t_overlap - 1, hop) f32 — padded signal, reshaped.
@@ -168,11 +252,20 @@ def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
     Returns (n_frames, n_mel_p) f32 dB.  Requires n_frames % tile_f == 0.
     Use ``prepare_operands`` to build the tiled operands.
 
-    ``tile_f`` (frames per grid step) is the DMA-amortization knob: the
-    C/S/fb tiles are re-streamed from HBM for every frame tile (they are
-    too big to persist in VMEM across the grid), so doubling tile_f halves
-    the dominant HBM traffic — bounded by VMEM (~16 MB: the double
-    buffers are fixed ~9 MB, frames+acc scale with tile_f).
+    Two schedules, identical numerics (``variant`` forces one; None
+    auto-selects):
+
+    * "resident" — C/S/fb live in VMEM for the whole launch (constant
+      BlockSpec index: copied in once, never re-streamed across the
+      frame grid); chosen whenever the operand set + working set fits
+      the VMEM budget (all bf16 fast-mode buckets up to n_fft 1024, and
+      f32 small buckets).  HBM then sees the waveform once, the output
+      once, and the operands once per LAUNCH instead of once per frame
+      tile — the round-3 kernel's dominant traffic term removed.
+    * "stream" — per-frame-tile double-buffered operand DMA (the
+      round-3 schedule); the fallback for big-bucket/f32 shapes.
+      ``tile_f`` is its DMA-amortization knob: doubling it halves the
+      per-tile re-streaming, bounded by VMEM.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -186,11 +279,23 @@ def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
     win_p = c3d.shape[1]
     hop_p = wav2d.shape[1]
     n_mel_p = fb3d.shape[2]
+    bpe_mat = 2 if c3d.dtype == jnp.bfloat16 else 4
+    bpe_wav = 2 if wav2d.dtype == jnp.int16 else 4
+    if variant not in (None, "resident", "stream"):
+        raise ValueError(f"unknown variant: {variant!r}")
+    res_fits, res_tf = _resident_plan(
+        n_frames, n_k_tiles, win_p, hop_p, n_mel_p, t_overlap,
+        bpe_mat, bpe_wav,
+    )
+    if variant is None:
+        variant = "resident" if res_fits else "stream"
+    elif variant == "resident" and not res_fits and tile_f is None:
+        raise ValueError(
+            "resident variant does not fit VMEM for this shape"
+        )
     if tile_f is None:
-        tile_f = _auto_tile_f(
-            n_frames, win_p, hop_p, n_mel_p, t_overlap,
-            2 if c3d.dtype == jnp.bfloat16 else 4,
-            2 if wav2d.dtype == jnp.int16 else 4,
+        tile_f = res_tf if variant == "resident" else _auto_tile_f(
+            n_frames, win_p, hop_p, n_mel_p, t_overlap, bpe_mat, bpe_wav,
         )
     if n_frames % tile_f:
         raise ValueError(f"n_frames must be a multiple of {tile_f}")
@@ -204,6 +309,41 @@ def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
     # ``mode`` is static so precision flips re-key the jit cache; None only
     # appears when called outside any jit (resolved here at call time).
     precision = precision_for(mode or get_precision_mode())
+    out_spec = pl.BlockSpec((tile_f, n_mel_p), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_frames, n_mel_p), jnp.float32)
+
+    if variant == "resident":
+        kernel = functools.partial(
+            _kernel_resident, t_overlap=t_overlap, hop=hop, win=win,
+            n_k_tiles=n_k_tiles, precision=precision,
+        )
+        whole = lambda i: (0, 0, 0)  # noqa: E731 — constant: copied once
+        return pl.pallas_call(
+            kernel,
+            grid=(n_f_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # wav2d (manual DMA)
+                pl.BlockSpec((n_k_tiles, win_p, TILE_K), whole,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_k_tiles, win_p, TILE_K), whole,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_k_tiles, TILE_K, n_mel_p), whole,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((n_chunk_rows, hop_p), wav2d.dtype),  # chunk
+                pltpu.VMEM((tile_f, win_p), jnp.float32),  # frames
+                pltpu.SemaphoreType.DMA((1,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(wav2d, c3d, s3d, fb3d)
+
     kernel = functools.partial(
         _kernel, t_overlap=t_overlap, hop=hop, win=win, n_k_tiles=n_k_tiles,
         precision=precision,
@@ -217,9 +357,8 @@ def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
             pl.BlockSpec(memory_space=pl.ANY),  # s3d
             pl.BlockSpec(memory_space=pl.ANY),  # fb3d
         ],
-        out_specs=pl.BlockSpec((tile_f, n_mel_p), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_frames, n_mel_p), jnp.float32),
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((n_chunk_rows, hop_p), wav2d.dtype),  # chunk
             pltpu.VMEM((tile_f, win_p), jnp.float32),  # frames
