@@ -102,12 +102,46 @@ def perform_stft(
 
     API-parity port of ``perform_stft`` (lib.rs:388-396): default window is
     periodic hann / n_fft (lib.rs:407 — the 1/n_fft scale lives in the
-    window).  ``fft_module``/``parallel`` are accepted for parity; the former
-    must be None, the latter is meaningless on TPU (the MXU batches frames).
+    window).  ``parallel`` is accepted for parity but meaningless on TPU
+    (the MXU batches frames).
+
+    ``fft_module`` mirrors the reference's ``Option<&mut RealFFT>``
+    injection slot: pass a callable (or an object with a ``process``
+    method, RealFFT's shape) taking the batch of windowed zero-padded
+    frames ``(n_frames, n_fft) f32`` and returning the half-spectrum
+    ``(n_frames, n_fft//2+1)`` complex — e.g. ``jnp.fft.rfft`` routes the
+    transform through XLA's native FFT instead of the default DFT-GEMM.
+    The frames handed to it are bit-faithful to the reference's piecewise
+    framing (lib.rs:367-435, via ``reference_framing_oracle``).
     """
     del parallel
     if fft_module is not None:
-        raise ValueError("fft_module is not applicable to the TPU backend")
+        from .framing import reference_framing_oracle
+
+        w = (np.ascontiguousarray(window, np.float32) if window is not None
+             else default_stft_window(win_length, n_fft))
+        if len(w) != win_length:
+            raise ValueError(
+                f"window length {len(w)} != win_length {win_length} "
+                "(lib.rs:404)"
+            )
+        frames = reference_framing_oracle(
+            np.ascontiguousarray(wav, np.float32),
+            win_length, hop_length, n_fft, w,
+        )
+        fn = getattr(fft_module, "process", fft_module)
+        if not callable(fn):
+            raise TypeError(
+                "fft_module must be callable or have a .process method"
+            )
+        out = jnp.asarray(fn(frames))
+        want = (frames.shape[0], n_fft // 2 + 1)
+        if tuple(out.shape) != want:
+            raise ValueError(
+                f"fft_module returned shape {tuple(out.shape)}, "
+                f"expected {want}"
+            )
+        return out
     padded, c, s, n_frames, n_frames_pad = _prepare(
         wav, win_length, hop_length, n_fft, window, None
     )

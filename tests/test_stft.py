@@ -133,3 +133,46 @@ def test_inverse_stft_custom_window(rng):
     out = np.asarray(inverse_stft(spec, win, hop, n_fft, window=w, length=L))
     inner = slice(win, L - win)
     np.testing.assert_allclose(out[inner], wav[inner], atol=1e-4)
+
+
+def test_fft_module_injection(rng):
+    """perform_stft's fft_module slot (lib.rs:394's Option<RealFFT>
+    equivalent): an injected transform receives the reference-exact
+    windowed frames and its output IS the result — agreeing with the
+    default DFT-GEMM path when the module is a true rfft, and passing
+    through verbatim otherwise.  Objects with .process (RealFFT's shape)
+    work too; bad callables and wrong shapes are rejected."""
+    import jax.numpy as jnp
+
+    from msv_tpu.ops.stft import perform_stft
+
+    wav = (rng.standard_normal(1000) * 0.5).astype(np.float32)
+    win, hop, n_fft = 320, 80, 512
+    base = np.asarray(perform_stft(wav, win, hop, n_fft))
+
+    calls = {"n": 0}
+
+    def rfft_module(frames):
+        calls["n"] += 1
+        assert frames.shape[1] == n_fft
+        return np.fft.rfft(frames, axis=1)
+
+    via_mod = np.asarray(perform_stft(wav, win, hop, n_fft,
+                                      fft_module=rfft_module))
+    assert calls["n"] == 1
+    assert via_mod.shape == base.shape
+    np.testing.assert_allclose(via_mod, base, atol=2e-6)
+
+    class Module:  # RealFFT-shaped object
+        def process(self, frames):
+            return jnp.fft.rfft(jnp.asarray(frames), axis=1)
+
+    via_obj = np.asarray(perform_stft(wav, win, hop, n_fft,
+                                      fft_module=Module()))
+    np.testing.assert_allclose(via_obj, base, atol=2e-6)
+
+    with pytest.raises(TypeError):
+        perform_stft(wav, win, hop, n_fft, fft_module=object())
+    with pytest.raises(ValueError, match="shape"):
+        perform_stft(wav, win, hop, n_fft,
+                     fft_module=lambda f: f[:, : n_fft // 2])
