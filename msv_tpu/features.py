@@ -229,9 +229,17 @@ def log_mel_spectrogram(
                 prepare_wav2d(w, win_length, hop_length, n_pad)
             )
 
-        def _one(w):
+        def _batch(pb):
+            # ONE batched launch for all rows: the kernel runs a
+            # (B, frame_tiles) grid instead of B separate dispatches
+            # (and the resident variant then copies C/S/fb into VMEM
+            # once per BATCH, not once per clip)
+            wav3d = (jnp.stack([_wav2d(w) for w in pb]) if is_dev
+                     else jnp.asarray(np.stack([
+                         prepare_wav2d(np.asarray(w), win_length,
+                                       hop_length, n_pad) for w in pb])))
             return mel_spectrogram_pallas(
-                _wav2d(w),
+                wav3d,
                 c3d,
                 s3d,
                 fb3d,
@@ -240,17 +248,17 @@ def log_mel_spectrogram(
                 n_frames=n_pad,
                 interpret=interpret,
                 mode=precision,
-            )[:, :n_mel]
+            )[:, :, :n_mel]
 
         if shard_axis is not None:
-            # dp scale-out: each device runs the fused kernel over its
-            # local batch rows; the (replicated) operand closures ride in
-            # as constants and the output keeps the batch sharding
+            # dp scale-out: each device runs ONE batched fused-kernel
+            # launch over its local rows; the (replicated) operand
+            # closures ride in as constants and the output keeps the
+            # batch sharding
             from jax.sharding import PartitionSpec as P
 
             block = jax.shard_map(
-                lambda pb: jnp.stack([_one(pb[i])
-                                      for i in range(pb.shape[0])]),
+                _batch,
                 mesh=shard_mesh,
                 in_specs=(P(shard_axis, None),),
                 out_specs=P(shard_axis, None, None),
@@ -258,7 +266,7 @@ def log_mel_spectrogram(
             )
             out = block(padded)[:, :n_frames, :]
         else:
-            out = jnp.stack([_one(w) for w in padded])[:, :n_frames, :]
+            out = _batch(padded)[:, :n_frames, :]
     else:
         out = _features_core(
             jnp.asarray(padded),

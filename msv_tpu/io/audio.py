@@ -37,6 +37,10 @@ def _parse_wav_numpy(data: bytes, path: str):
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # fuzz: a flipped size byte truncates the
+                raise AudioReadError(  # body below the 16-byte PCM header
+                    f"{path}: truncated fmt chunk ({len(body)} bytes)"
+                )
             fmt = struct.unpack_from("<HHIIHH", body, 0)
             fmt_body = body
         elif cid == b"data":

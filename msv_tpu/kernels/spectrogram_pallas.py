@@ -50,11 +50,14 @@ _DB_SCALE = 20.0 / math.log(10.0)
 
 def _kernel(wav_ref, c_ref, s_ref, fb_ref, out_ref,
             chunk, frames, acc, cbuf, sbuf, fbbuf, sems, *,
-            t_overlap, hop, win, n_k_tiles, precision):
+            t_overlap, hop, win, n_k_tiles, precision, batched=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    i = pl.program_id(0)
+    if batched:  # grid (B, n_f_tiles): row b of the stacked batch
+        b, i = pl.program_id(0), pl.program_id(1)
+    else:
+        i = pl.program_id(0)
     n_chunk_rows = chunk.shape[0]  # tile_f + t_overlap - 1, rounded up to 8
     tile_f = frames.shape[0]
     win_p = frames.shape[1]
@@ -73,10 +76,9 @@ def _kernel(wav_ref, c_ref, s_ref, fb_ref, out_ref,
     # load + assemble the frame tile, overlapped with the first C/S/fb load.
     # Mosaic DMA alignment: copies must be (8k sublanes, 128m lanes), hence
     # the lane-padded (N_rows, hop_p) waveform layout from prepare_operands.
-    wav_dma = pltpu.make_async_copy(
-        wav_ref.at[pl.ds(i * tile_f, n_chunk_rows), :], chunk,
-        sems.at[6],
-    )
+    wav_src = (wav_ref.at[b, pl.ds(i * tile_f, n_chunk_rows), :] if batched
+               else wav_ref.at[pl.ds(i * tile_f, n_chunk_rows), :])
+    wav_dma = pltpu.make_async_copy(wav_src, chunk, sems.at[6])
     wav_dma.start()
     start_k(0, 0)
     wav_dma.wait()
@@ -121,14 +123,17 @@ def _kernel(wav_ref, c_ref, s_ref, fb_ref, out_ref,
     wait_k(n_k_tiles - 1, jax.lax.rem(jnp.int32(n_k_tiles), 2))
 
     x = acc[:]
-    out_ref[:] = jnp.where(
-        x > _AMIN, jnp.log(x) * _DB_SCALE, 20.0 * _LOG10_AMIN
-    )
+    db = jnp.where(x > _AMIN, jnp.log(x) * _DB_SCALE, 20.0 * _LOG10_AMIN)
+    if batched:
+        out_ref[0] = db
+    else:
+        out_ref[:] = db
 
 
 def _kernel_resident(wav_ref, c_ref, s_ref, fb_ref, out_ref,
                      chunk, frames, sems, *,
-                     t_overlap, hop, win, n_k_tiles, precision):
+                     t_overlap, hop, win, n_k_tiles, precision,
+                     batched=False):
     """VMEM-resident variant: C/S/fb arrive as whole constant-index
     Pallas blocks — the pipeline emitter copies them in ONCE and never
     re-streams them across the frame grid (round-4 VERDICT #2: the
@@ -139,14 +144,17 @@ def _kernel_resident(wav_ref, c_ref, s_ref, fb_ref, out_ref,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    i = pl.program_id(0)
+    if batched:  # grid (B, n_f_tiles): row b of the stacked batch
+        b, i = pl.program_id(0), pl.program_id(1)
+    else:
+        i = pl.program_id(0)
     n_chunk_rows = chunk.shape[0]
     tile_f = frames.shape[0]
     win_p = frames.shape[1]
 
-    wav_dma = pltpu.make_async_copy(
-        wav_ref.at[pl.ds(i * tile_f, n_chunk_rows), :], chunk, sems.at[0],
-    )
+    wav_src = (wav_ref.at[b, pl.ds(i * tile_f, n_chunk_rows), :] if batched
+               else wav_ref.at[pl.ds(i * tile_f, n_chunk_rows), :])
+    wav_dma = pltpu.make_async_copy(wav_src, chunk, sems.at[0])
     wav_dma.start()
     wav_dma.wait()
     if win_p > win:
@@ -172,9 +180,11 @@ def _kernel_resident(wav_ref, c_ref, s_ref, fb_ref, out_ref,
         part = jnp.dot(mag, fb_ref[k], precision=precision,
                        preferred_element_type=jnp.float32)
         acc = part if acc is None else acc + part
-    out_ref[:] = jnp.where(
-        acc > _AMIN, jnp.log(acc) * _DB_SCALE, 20.0 * _LOG10_AMIN
-    )
+    db = jnp.where(acc > _AMIN, jnp.log(acc) * _DB_SCALE, 20.0 * _LOG10_AMIN)
+    if batched:
+        out_ref[0] = db
+    else:
+        out_ref[:] = db
 
 
 def _resident_plan(n_frames, nk, win_p, hop_p, n_mel_p, t_overlap,
@@ -246,10 +256,15 @@ def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
                            variant=None):
     """Fused mel dB spectrogram.
 
-    wav2d: (n_frames + t_overlap - 1, hop) f32 — padded signal, reshaped.
+    wav2d: (n_frames + t_overlap - 1, hop) f32 — padded signal, reshaped;
+    or a stacked batch (B, rows, hop): one launch computes all B rows
+    over a (B, n_f_tiles) grid and returns (B, n_frames, n_mel_p) —
+    collapsing the ML frontend's per-clip dispatch loop into a single
+    kernel call (VERDICT r3 #2's batched-launch lever).
     c3d, s3d: (nk, win, TILE_K) pre-tiled windowed-DFT matrices.
     fb3d: (nk, TILE_K, n_mel_p) pre-tiled mel filterbank (n_mel_p % 128 == 0).
-    Returns (n_frames, n_mel_p) f32 dB.  Requires n_frames % tile_f == 0.
+    Returns (n_frames, n_mel_p) f32 dB (batch-leading when batched).
+    Requires n_frames % tile_f == 0.
     Use ``prepare_operands`` to build the tiled operands.
 
     Two schedules, identical numerics (``variant`` forces one; None
@@ -275,9 +290,13 @@ def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
         raise ValueError("pallas kernel requires win % hop == 0")
     if c3d.ndim != 3 or s3d.ndim != 3 or fb3d.ndim != 3:
         raise ValueError("operands must be pre-tiled (use prepare_operands)")
+    if wav2d.ndim not in (2, 3):
+        raise ValueError("wav2d must be (rows, hop) or batched (B, rows, hop)")
+    batched = wav2d.ndim == 3
+    n_batch = wav2d.shape[0] if batched else 1
     n_k_tiles = c3d.shape[0]
     win_p = c3d.shape[1]
-    hop_p = wav2d.shape[1]
+    hop_p = wav2d.shape[-1]
     n_mel_p = fb3d.shape[2]
     bpe_mat = 2 if c3d.dtype == jnp.bfloat16 else 4
     bpe_wav = 2 if wav2d.dtype == jnp.int16 else 4
@@ -309,19 +328,30 @@ def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
     # ``mode`` is static so precision flips re-key the jit cache; None only
     # appears when called outside any jit (resolved here at call time).
     precision = precision_for(mode or get_precision_mode())
-    out_spec = pl.BlockSpec((tile_f, n_mel_p), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((n_frames, n_mel_p), jnp.float32)
+    if batched:
+        grid = (n_batch, n_f_tiles)
+        out_spec = pl.BlockSpec((1, tile_f, n_mel_p), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_batch, n_frames, n_mel_p),
+                                         jnp.float32)
+        whole = lambda b, i: (0, 0, 0)  # noqa: E731 — constant: copied once
+        dims = ("arbitrary", "arbitrary")
+    else:
+        grid = (n_f_tiles,)
+        out_spec = pl.BlockSpec((tile_f, n_mel_p), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_frames, n_mel_p), jnp.float32)
+        whole = lambda i: (0, 0, 0)  # noqa: E731
+        dims = ("arbitrary",)
 
     if variant == "resident":
         kernel = functools.partial(
             _kernel_resident, t_overlap=t_overlap, hop=hop, win=win,
-            n_k_tiles=n_k_tiles, precision=precision,
+            n_k_tiles=n_k_tiles, precision=precision, batched=batched,
         )
-        whole = lambda i: (0, 0, 0)  # noqa: E731 — constant: copied once
         return pl.pallas_call(
             kernel,
-            grid=(n_f_tiles,),
+            grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # wav2d (manual DMA)
                 pl.BlockSpec((n_k_tiles, win_p, TILE_K), whole,
@@ -339,18 +369,18 @@ def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
                 pltpu.SemaphoreType.DMA((1,)),
             ],
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
+                dimension_semantics=dims,
             ),
             interpret=interpret,
         )(wav2d, c3d, s3d, fb3d)
 
     kernel = functools.partial(
         _kernel, t_overlap=t_overlap, hop=hop, win=win, n_k_tiles=n_k_tiles,
-        precision=precision,
+        precision=precision, batched=batched,
     )
     return pl.pallas_call(
         kernel,
-        grid=(n_f_tiles,),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # wav2d
             pl.BlockSpec(memory_space=pl.ANY),  # c3d
@@ -369,7 +399,7 @@ def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
             pltpu.SemaphoreType.DMA((7,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=dims,
         ),
         interpret=interpret,
     )(wav2d, c3d, s3d, fb3d)

@@ -194,3 +194,29 @@ def test_resident_plan_budget():
             win=1920, hop=480, n_frames=2048, interpret=True,
             variant="resident",
         )
+
+
+@pytest.mark.parametrize("variant", ["stream", "resident"])
+def test_batched_launch_matches_per_row(variant, rng):
+    """A stacked (B, rows, hop) input runs one (B, frame_tiles)-grid
+    launch whose rows are bit-identical to B separate launches — the
+    ML frontend's per-clip dispatch loop collapsed (VERDICT r3 #2)."""
+    sr = 16000
+    (wav2d, c_p, s_p, fb_p, n_mel), win, hop, n_frames, n_frames_pad = \
+        _operands(sr, rng)
+    rows = [wav2d]
+    for _ in range(2):
+        w = (rng.standard_normal(sr // 2) * 0.4).astype(np.float32)
+        padded = reflect_pad_center(w, win)
+        from msv_tpu.kernels.spectrogram_pallas import prepare_wav2d
+        rows.append(prepare_wav2d(padded, win, hop, n_frames_pad))
+    wav3d = jnp.asarray(np.stack(rows))
+    ops = [jnp.asarray(x) for x in (c_p, s_p, fb_p)]
+    kw = dict(win=win, hop=hop, n_frames=n_frames_pad, interpret=True,
+              tile_f=128, variant=variant)
+    got = np.asarray(mel_spectrogram_pallas(wav3d, *ops, **kw))
+    assert got.shape[0] == 3
+    for b in range(3):
+        want = np.asarray(mel_spectrogram_pallas(
+            jnp.asarray(rows[b]), *ops, **kw))
+        np.testing.assert_array_equal(got[b], want, err_msg=f"row {b}")

@@ -314,3 +314,23 @@ def test_mp3_decode_rejects_non_audio(tmp_path):
     with pytest.raises(AudioReadError) as ei:
         _mp3.decode(str(p))
     assert "junk.mp3" in str(ei.value)
+
+
+def test_truncated_fmt_chunk_is_clean_error(tmp_path):
+    """Extended fuzz (round 4) found a mutated WAV whose corrupted fmt
+    size truncates the chunk body below the 16-byte PCM header: the
+    parser raised a raw struct.error instead of AudioReadError."""
+    import struct
+
+    from msv_tpu.io.audio import open_audio_file
+    from msv_tpu.utils.errors import AudioReadError
+
+    # fmt claims size 14 -> body shorter than the <HHIIHH header needs
+    fmt_body = struct.pack("<HHIIH", 1, 1, 8000, 16000, 2)  # 14 bytes
+    data = (b"RIFF" + struct.pack("<I", 4 + 8 + 14 + 8 + 4) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 14) + fmt_body
+            + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00")
+    p = tmp_path / "trunc_fmt.wav"
+    p.write_bytes(data)
+    with pytest.raises(AudioReadError, match="truncated fmt chunk"):
+        open_audio_file(str(p))
