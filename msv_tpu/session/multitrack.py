@@ -387,6 +387,54 @@ class MultiTrack:
         smin = jnp.min(jnp.where(fmask, db, jnp.inf))
         return db, smin, smax
 
+    def _calc_spec_pallas_batch(self, ids, sr, n_frames_pad):
+        """Grouped add under the pallas engine: same-bucket tracks stack
+        into one (B, frame_tiles)-grid fused-kernel launch (batched rows
+        are bit-identical to per-track launches — pinned in
+        tests/test_pallas_kernel.py), with per-track masked dB min/max
+        and ONE host sync for the whole group."""
+        from ..config import get_engine, get_precision_mode
+        from ..kernels.spectrogram_pallas import (
+            mel_spectrogram_pallas,
+            prepare_wav2d,
+        )
+
+        import jax
+
+        jnp = self._jnp
+        tr0 = self.tracks[ids[0]]
+        win, hop = tr0.win_length, tr0.hop_length
+        preps = [self._prep_padded(self.tracks[i]) for i in ids]
+        rows = []
+        for (padded, _, _), i in zip(preps, ids):
+            tr = self.tracks[i]
+            if padded.dtype in (np.int16, np.int32):
+                padded = padded.astype(np.float32) * np.float32(tr.scale)
+            rows.append(prepare_wav2d(padded, win, hop, n_frames_pad))
+        c3, s3, fb3, n_mel = _dev_pallas_tiles(sr, win, tr0.n_fft)
+        interpret = (get_engine() == "pallas"
+                     and jax.default_backend() != "tpu")
+        db_b = mel_spectrogram_pallas(
+            jnp.asarray(np.stack(rows)), c3, s3, fb3,
+            win=win, hop=hop, n_frames=n_frames_pad,
+            interpret=interpret, mode=get_precision_mode(),
+        )[:, :, :n_mel]
+        n_valid = jnp.asarray(np.array([p[1] for p in preps], np.int32))
+        fmask = (jnp.arange(n_frames_pad)[None, :]
+                 < n_valid[:, None])[:, :, None]
+        smax_b = jnp.max(jnp.where(fmask, db_b, -jnp.inf), axis=(1, 2))
+        smin_b = jnp.min(jnp.where(fmask, db_b, jnp.inf), axis=(1, 2))
+        mm = np.asarray(jnp.stack([smin_b, smax_b]))  # one host sync
+        for b, id in enumerate(ids):
+            st = _TrackState()
+            st.spec_db = db_b[b]
+            st.n_frames = preps[b][1]
+            st.n_frames_pad = n_frames_pad
+            st.n_out = int(db_b.shape[2])
+            st.smin = float(mm[0, b])
+            st.smax = float(mm[1, b])
+            self._state[id] = st
+
     def _calc_spec_streaming(self, track, src, n_frames, id=None) -> _TrackState:
         """Long-track path: segmented streaming scans (overlapped transfers,
         O(chunk) device memory; SURVEY.md §5.g).
@@ -555,19 +603,37 @@ class MultiTrack:
         jnp = self._jnp
         use_mel = self.setting.freq_scale == FreqScale.MEL
         groups: dict[tuple, list[int]] = {}
+        pallas_groups: dict[tuple, list[int]] = {}
         singles: list[int] = []
         for id in id_list:
             tr = self.tracks[id]
             n_frames = n_frames_for(tr.n_samples, tr.win_length, tr.hop_length)
             streaming = n_frames > STREAMING_FRAME_THRESHOLD
-            if streaming or self._use_pallas(tr) or get_engine() == "pallas":
+            if streaming:
+                singles.append(id)
+                continue
+            n_frames_pad = round_up_to(max(n_frames, 1), FRAME_BUCKET)
+            if self._use_pallas(tr):
+                # same-bucket pallas tracks batch into ONE (B, tiles)-grid
+                # kernel launch (the per-track f32 scaling happens host-
+                # side, so carrier dtype/shift need not match in the key)
+                pallas_groups.setdefault((tr.sr, n_frames_pad), []).append(id)
+                continue
+            if get_engine() == "pallas":
+                # pallas engine but kernel-ineligible (linear scale or
+                # win % hop != 0): per-track XLA fallback, as before
                 singles.append(id)
                 continue
             dtype = (str(tr._wav_int.dtype) if tr._wav_int is not None else "f32")
-            n_frames_pad = round_up_to(max(n_frames, 1), FRAME_BUCKET)
             # shift in the key: a batch shares one carrier scale
             key = (tr.sr, n_frames_pad, dtype, tr._wav_shift)
             groups.setdefault(key, []).append(id)
+
+        for (sr, n_frames_pad), ids in pallas_groups.items():
+            if len(ids) == 1:
+                singles.extend(ids)
+                continue
+            self._calc_spec_pallas_batch(ids, sr, n_frames_pad)
 
         for key, ids in groups.items():
             if len(ids) == 1:

@@ -572,3 +572,45 @@ def test_get_spec_db_wire_formats(wav_dir):
     np.testing.assert_array_equal(mt.get_spec_db(0), exact)
     with pytest.raises(ValueError):
         mt.get_spec_db(0, wire="q7")
+
+
+def test_pallas_grouped_add_matches_individual(wav_dir, tmp_path, rng):
+    """Under the pallas engine, same-bucket tracks added together batch
+    into one kernel launch — per-track dB state and renders must be
+    bit-identical to adding each track alone (the batched kernel rows
+    are bit-equal to single launches), and mixed-bucket groups still
+    work (different sr falls into separate launches)."""
+    from msv_tpu.config import set_engine
+
+    # second 16 kHz file: same bucket as wav_dir[16000]
+    sr = 16000
+    t = np.arange(int(sr * 0.5)) / sr
+    x = 0.4 * np.sin(2 * np.pi * 700 * t) + 0.05 * rng.standard_normal(len(t))
+    p2 = str(tmp_path / "tone2_16k.wav")
+    write_wav(p2, x.astype(np.float32)[None, :], sr)
+
+    set_engine("pallas")
+    try:
+        mt_solo = MultiTrack()
+        mt_solo.add_tracks([0], [wav_dir[16000]])
+        mt_solo.add_tracks([1], [p2])
+        mt_solo.add_tracks([2], [wav_dir[8000]])
+
+        mt_grp = MultiTrack()
+        mt_grp.add_tracks([0, 1, 2], [wav_dir[16000], p2, wav_dir[8000]])
+
+        for tid in (0, 1, 2):
+            ss, sg = mt_solo._state[tid], mt_grp._state[tid]
+            assert (ss.smin, ss.smax) == (sg.smin, sg.smax), tid
+            np.testing.assert_array_equal(
+                np.asarray(ss.spec_db), np.asarray(sg.spec_db),
+                err_msg=f"track {tid}",
+            )
+        for tid in (0, 1, 2):
+            np.testing.assert_array_equal(
+                mt_grp.get_spec_image(tid, 60.0, 120),
+                mt_solo.get_spec_image(tid, 60.0, 120),
+                err_msg=f"track {tid}",
+            )
+    finally:
+        set_engine("auto")
