@@ -45,7 +45,7 @@ from ..render.resize import (
     resize_weights_range,
 )
 from ..utils import round_up_to
-from ..utils.errors import TrackNotFoundError
+from ..utils.errors import MsvError, TrackNotFoundError
 from ..utils.profiling import StageTimer, get_logger
 from ..utils.rounding import trunc_int
 
@@ -967,7 +967,18 @@ class MultiTrack:
             raise build.error
         if build.full is not None:
             return build.full
+        if block:
+            # done, no error, no full: the build was cancelled by a
+            # concurrent replace/remove/set_setting — the caller's
+            # track/setting snapshot is stale, and AdaptiveBuildPending
+            # would break the block=True contract (nothing is pending)
+            raise MsvError(
+                "adaptive full-dB build was invalidated by a concurrent "
+                "session mutation; re-issue the render"
+            )
         with build.lock:
+            if build.full is not None:  # published since the fast check
+                return build.full
             built = build.built
             parts = list(build.parts)
         if need_hi is not None and built >= need_hi and parts:
@@ -1025,7 +1036,13 @@ class MultiTrack:
             # frames, so no per-render pad/slice is needed) — per-render
             # widths would mint a new jit program per pan position, and
             # remote compiles run 40-700 s each
-            build.full = jnp.pad(full, ((0, w_fixed - nf), (0, 0)))
+            with build.lock:
+                build.full = jnp.pad(full, ((0, w_fixed - nf), (0, 0)))
+                # the segments are dead weight once `full` exists —
+                # keeping them would retain a second copy of the whole
+                # array on device (~90 MB/hour-track); publish + clear
+                # atomically so a prefix reader never sees neither
+                build.parts.clear()
         except Exception as e:  # surfaced to the next caller
             build.error = e
         finally:

@@ -174,6 +174,10 @@ async function load() {
     return;
   }
   tracks = d.tracks;
+  if (window._gen !== undefined && d.gen !== window._gen) {
+    clearImgCache();  // another client mutated the session: pixels stale
+  }
+  window._gen = d.gen;
   window._dbText = `${d.min_db.toFixed(1)} … ${d.max_db.toFixed(1)} dB`;
   document.getElementById('dbrange').textContent = window._dbText;
   const el = document.getElementById('tracks'); el.innerHTML = '';
@@ -484,6 +488,10 @@ class _Handler(BaseHTTPRequestHandler):
                             "max_sec": mt.get_max_sec(),
                             "max_db": mt.get_max_db(),
                             "min_db": mt.get_min_db(),
+                            # session generation: bumps on any mutation,
+                            # from ANY client — lets every client drop
+                            # its blob LRU when someone else mutates
+                            "gen": self._cache().gen,
                         }
                     ).encode()
                 self._send(200, "application/json", body)

@@ -362,6 +362,68 @@ def test_adaptive_background_build_progressive(reference_sample_paths):
         MultiTrack.ADAPTIVE_CHUNK = old_chunk
 
 
+def test_adaptive_build_releases_segments(reference_sample_paths):
+    """Once ``full`` is published the builder drops the per-segment
+    arrays — keeping them would retain a second device copy of the whole
+    dB plane (~90 MB for an hour track) for the life of the cache."""
+    from msv_tpu import MultiTrack
+
+    mt = MultiTrack()
+    mt.add_tracks([0], [reference_sample_paths[0]])
+    old_max, old_chunk = (MultiTrack.ADAPTIVE_MAX_FRAMES,
+                          MultiTrack.ADAPTIVE_CHUNK)
+    MultiTrack.ADAPTIVE_MAX_FRAMES = 64
+    MultiTrack.ADAPTIVE_CHUNK = 256
+    try:
+        sec = mt.tracks[0].sec
+        mt.get_adaptive_spec_image_crop(0, 50, 120, 0.0, sec + 1.0)
+        build = mt._adaptive_db[0]
+        assert build.done.is_set() and build.full is not None
+        assert build.parts == []
+    finally:
+        MultiTrack.ADAPTIVE_MAX_FRAMES = old_max
+        MultiTrack.ADAPTIVE_CHUNK = old_chunk
+
+
+def test_adaptive_blocking_cancelled_raises_clear_error(
+        reference_sample_paths):
+    """A block=True caller whose build was cancelled by a concurrent
+    session mutation gets a clear MsvError — NOT AdaptiveBuildPending,
+    which would break the blocking contract (nothing is pending)."""
+    from msv_tpu import MultiTrack
+    from msv_tpu.utils.errors import AdaptiveBuildPending, MsvError
+
+    mt = MultiTrack()
+    mt.add_tracks([0], [reference_sample_paths[0]])
+    old_max, old_chunk = (MultiTrack.ADAPTIVE_MAX_FRAMES,
+                          MultiTrack.ADAPTIVE_CHUNK)
+    MultiTrack.ADAPTIVE_MAX_FRAMES = 64
+    MultiTrack.ADAPTIVE_CHUNK = 256
+    try:
+        try:
+            mt.get_adaptive_spec_image_crop(0, 50, 120, 0.0, 40.0,
+                                            block=False)
+        except AdaptiveBuildPending:
+            pass
+        build = mt._adaptive_db[0]
+        mt._drop_adaptive(0)  # concurrent mutation: cancel + evict
+        build.thread.join(timeout=60)
+        assert not build.thread.is_alive()
+        # pin the cancelled-no-publish shape (the builder may have raced
+        # past its last cancel check on a fast host) and re-expose it to
+        # a blocking caller
+        build.full = None
+        build.error = None
+        mt._adaptive_db[0] = build
+        with pytest.raises(MsvError) as exc:
+            mt.get_adaptive_spec_image_crop(0, 50, 120, 0.0, 40.0)
+        assert not isinstance(exc.value, AdaptiveBuildPending)
+        assert "invalidated" in str(exc.value)
+    finally:
+        MultiTrack.ADAPTIVE_MAX_FRAMES = old_max
+        MultiTrack.ADAPTIVE_CHUNK = old_chunk
+
+
 def test_adaptive_cancel_stops_builder(reference_sample_paths):
     """Invalidating a track mid-build stops the background thread at the
     next segment boundary and never publishes a stale array."""

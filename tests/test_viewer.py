@@ -579,10 +579,15 @@ def test_viewer_render_cache_no_duplicate_renders(tmp_path, rng):
         st = json.loads(_get(base + "/api/stats")[1])["render_cache"]
         # 3 unique URLs rendered, 4 repeat fetches served from cache
         assert st["hits"] == 4 and st["misses"] == 3
+        # /api/tracks exposes the session generation so OTHER clients can
+        # drop their blob LRUs when this one mutates
+        gen0 = json.loads(_get(base + "/api/tracks")[1])["gen"]
         # mutation invalidates: the same URL renders fresh (the global dB
         # window may have moved, so cached pixels would be stale)
         _post(base + "/api/setting", {"win_ms": 25.0})
         _get(spec_url)
         assert calls["spec_crop"] == 3
+        gen1 = json.loads(_get(base + "/api/tracks")[1])["gen"]
+        assert gen1 > gen0
     finally:
         srv.shutdown()
