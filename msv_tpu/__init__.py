@@ -18,7 +18,11 @@ from .config import FreqScale, SpecSetting, StftParams, derive_stft_params
 from .config import get_precision_mode, set_precision_mode
 from .session import AudioTrack, MultiTrack
 from .render.colormap import get_colormap
-from .features import log_mel_spectrogram, log_mel_spectrogram_ragged
+from .features import (
+    log_mel_spectrogram,
+    log_mel_spectrogram_ragged,
+    whisper_log_mel,
+)
 
 __version__ = "0.3.0"
 
@@ -34,5 +38,6 @@ __all__ = [
     "get_colormap",
     "log_mel_spectrogram",
     "log_mel_spectrogram_ragged",
+    "whisper_log_mel",
     "__version__",
 ]

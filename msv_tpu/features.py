@@ -285,6 +285,103 @@ def log_mel_spectrogram(
     return out[0] if squeeze else out
 
 
+@functools.partial(
+    jax.jit, static_argnames=("win", "hop", "n_frames", "n_valid", "mode")
+)
+def _whisper_core(padded_b, c, s, fb, *, win, hop, n_frames, n_valid, mode):
+    """Whisper's exact feature math: mel on the POWER spectrum (|X|^2 @
+    fb — NOT (|X| @ fb)^2, so it needs its own core), log10 with a 1e-10
+    floor, per-clip dynamic-range clamp at max - 8, then (x + 4) / 4."""
+    from .config import precision_for
+
+    prec = precision_for(mode)
+
+    def one(padded):
+        frames = frame_device(padded, win, hop, n_frames)
+        re = jnp.dot(frames, c, precision=prec,
+                     preferred_element_type=jnp.float32)
+        im = jnp.dot(frames, s, precision=prec,
+                     preferred_element_type=jnp.float32)
+        mel = jnp.dot(re * re + im * im, fb, precision=prec,
+                      preferred_element_type=jnp.float32)
+        log_spec = jnp.log10(jnp.maximum(mel[:n_valid], 1e-10))
+        log_spec = jnp.maximum(log_spec, jnp.max(log_spec) - 8.0)
+        return ((log_spec + 4.0) / 4.0).T  # (n_mel, n_valid)
+
+    return jax.vmap(one)(padded_b)
+
+
+def whisper_log_mel(wav, sr: int = 16000, *, n_mel: int = 80,
+                    chunk_length: float = 30.0,
+                    precision: str | None = None):
+    """Drop-in Whisper input features: (B?, L) 16 kHz mono -> (B?, n_mel,
+    3000) f32, numerically matching ``transformers.WhisperFeatureExtractor``
+    (pinned in tests/test_features.py against the installed transformers).
+
+    The extractor's contract, TPU-first: clips pad/truncate to 30 s
+    (481 frames of silence still produce the -10 -> max-8 clamp floor),
+    centered reflect-pad STFT (hann 400, hop 160), the LAST frame dropped
+    (3001 -> 3000), mel = power spectrum @ slaney-normed slaney-scale
+    filterbank (fmin 0, fmax 8000), log10 clamped at 1e-10, per-CLIP
+    clamp at max - 8.0, then (x + 4) / 4.  ``n_mel=128`` gives
+    whisper-large-v3 features.  One fixed jit shape per (n_mel, B
+    bucket): the 30 s chunk makes every call identically shaped, the
+    natural batching regime for the MXU.
+
+    Unlike :func:`log_mel_spectrogram`, ``precision`` defaults to
+    'parity' (f32 HIGHEST): the point of this surface is bit-level
+    agreement with the reference extractor; pass precision='fast' for
+    bf16 operands when feeding a bf16 model anyway.
+
+    ``wav`` may be a device-resident jax array (padding then runs on
+    device with no host round-trip).
+    """
+    if sr != 16000:
+        raise ValueError(
+            f"whisper features are defined at 16 kHz, got sr={sr} "
+            "(resample first)"
+        )
+    if precision is None:
+        precision = "parity"
+    if precision not in ("fast", "parity"):
+        raise ValueError(f"unknown precision: {precision!r}")
+    win, hop, n_fft = 400, 160, 400
+    n_samples = int(round(chunk_length * sr))
+    n_valid = n_samples // hop  # 3000: whisper drops the last frame
+
+    is_dev = isinstance(wav, jax.Array)
+    xp = jnp if is_dev else np
+    wav = xp.asarray(wav, xp.float32)
+    squeeze = wav.ndim == 1
+    if squeeze:
+        wav = wav[None]
+    if wav.ndim != 2:
+        raise ValueError(f"wav must be (L,) or (B, L), got {wav.shape}")
+    # pad/truncate to the 30 s chunk (WhisperFeatureExtractor padding=
+    # 'max_length', truncation=True)
+    if wav.shape[1] >= n_samples:
+        wav = wav[:, :n_samples]
+    else:
+        wav = xp.pad(wav, ((0, 0), (0, n_samples - wav.shape[1])))
+
+    n_frames = n_frames_for(n_samples, win, hop)  # 3001
+    n_pad = round_up_to(n_frames, 128)
+    need = (n_pad - 1) * hop + win
+    half = win // 2
+    padded = xp.pad(wav, ((0, 0), (half, half)), mode="reflect")
+    padded = xp.pad(padded, ((0, 0), (0, need - padded.shape[1])))
+
+    window = hann(win, False)
+    c, s = windowed_dft_matrices(window, n_fft)
+    fb = calc_mel_fb(sr, n_fft, n_mel, 0.0, 8000.0, "slaney", np.float32)
+    out = _whisper_core(
+        jnp.asarray(padded), jnp.asarray(c), jnp.asarray(s),
+        jnp.asarray(fb), win=win, hop=hop, n_frames=n_pad,
+        n_valid=n_valid, mode=precision,
+    )
+    return out[0] if squeeze else out
+
+
 def log_mel_spectrogram_ragged(wavs, sr: int, *, top_db: float | None = None,
                                **kw):
     """Variable-length clips -> list of (n_frames_i, n_mel) f32 arrays.

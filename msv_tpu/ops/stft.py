@@ -33,18 +33,25 @@ FRAME_BUCKET = 256  # jit-cache frame-count granularity
 def frame_device(padded, win: int, hop: int, n_frames: int):
     """Device framing: (n_frames, win) view of a padded 1-D signal.
 
-    When win % hop == 0 (guaranteed for session-derived params,
-    config.derive_stft_params), frames are t_overlap static slices of a
-    (N', hop) reshape — no gather, fuses into the following GEMM.
-    Otherwise falls back to a gather.
+    With g = gcd(win, hop) the signal reshapes to g-wide rows and the
+    t-th piece of every frame is a stride-(hop/g) row slice — zero
+    gather, fuses into the following GEMM (TPU gathers run 10-30x
+    slower per element than streaming reads).  win % hop == 0 reduces to
+    the classic t_overlap slice-concat (g = hop).  A degenerate gcd
+    (win/g > 64 slices would bloat the trace) falls back to gather —
+    same decomposition as parallel/streaming.py's chunk framing.
     """
-    if win % hop == 0:
-        t_overlap = win // hop
-        n_rows = n_frames + t_overlap - 1
-        x2d = padded[: n_rows * hop].reshape(n_rows, hop)
+    import math
+
+    g = math.gcd(win, hop)
+    n_slices = win // g
+    if n_slices <= 64:
+        rph = hop // g
+        n_rows = (n_frames - 1) * rph + n_slices
+        x2d = padded[: n_rows * g].reshape(n_rows, g)
         parts = [
-            jax.lax.slice_in_dim(x2d, t, t + n_frames, axis=0)
-            for t in range(t_overlap)
+            x2d[t : t + (n_frames - 1) * rph + 1 : rph]
+            for t in range(n_slices)
         ]
         return jnp.concatenate(parts, axis=1)
     idx = np.arange(n_frames)[:, None] * hop + np.arange(win)[None, :]

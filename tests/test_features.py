@@ -252,3 +252,75 @@ def test_ragged_rejects_non_mono(rng):
         log_mel_spectrogram_ragged(
             [rng.standard_normal((2, 4000)).astype(np.float32)], 8000
         )
+
+
+# ---------------------------------------------------------------- whisper
+
+
+def test_whisper_log_mel_matches_transformers(rng):
+    """whisper_log_mel is a drop-in for transformers'
+    WhisperFeatureExtractor: same (n_mel, 3000) layout, numerically equal
+    within f32 FFT-vs-GEMM rounding (~1e-5 at feature scale) across
+    pad/truncate regimes, and bit-exact on silence (the clamp floor)."""
+    pytest.importorskip("transformers")
+    from transformers import WhisperFeatureExtractor
+
+    from msv_tpu import whisper_log_mel
+
+    fe = WhisperFeatureExtractor()
+    for L in (400, 16000 * 2, 16000 * 31):  # short / pad / truncate
+        x = (rng.standard_normal(L) * 0.2).astype(np.float32)
+        want = fe(x, sampling_rate=16000,
+                  return_tensors="np").input_features[0]
+        got = np.asarray(whisper_log_mel(x))
+        assert got.shape == want.shape == (80, 3000)
+        assert np.abs(got - want).max() < 1e-4
+
+    # whisper-large-v3 geometry (128 mel bands)
+    fe128 = WhisperFeatureExtractor(feature_size=128)
+    x = (rng.standard_normal(16000 * 5) * 0.1).astype(np.float32)
+    want = fe128(x, sampling_rate=16000,
+                 return_tensors="np").input_features[0]
+    got = np.asarray(whisper_log_mel(x, n_mel=128))
+    assert got.shape == (128, 3000)
+    assert np.abs(got - want).max() < 1e-4
+
+    # silence: pure clamp arithmetic, exactly equal
+    z = np.zeros(16000, np.float32)
+    want = fe(z, sampling_rate=16000, return_tensors="np").input_features[0]
+    np.testing.assert_array_equal(np.asarray(whisper_log_mel(z)), want)
+
+
+def test_whisper_log_mel_batch_and_device_input(rng):
+    """Batched (B, L) matches per-clip calls (the clamp is per CLIP, not
+    per batch), and a device-resident input takes the on-device pad path
+    to the same values."""
+    import jax.numpy as jnp
+
+    from msv_tpu import whisper_log_mel
+
+    xs = (rng.standard_normal((3, 16000)) * [[0.2], [0.01], [0.5]]).astype(
+        np.float32)
+    batch = np.asarray(whisper_log_mel(xs))
+    assert batch.shape == (3, 80, 3000)
+    for i in range(3):
+        np.testing.assert_array_equal(
+            batch[i], np.asarray(whisper_log_mel(xs[i])))
+    dev = np.asarray(whisper_log_mel(jnp.asarray(xs)))
+    np.testing.assert_allclose(dev, batch, atol=2e-6)
+
+
+def test_whisper_log_mel_validation(rng):
+    from msv_tpu import whisper_log_mel
+
+    with pytest.raises(ValueError, match="16 kHz"):
+        whisper_log_mel(np.zeros(100, np.float32), 22050)
+    with pytest.raises(ValueError, match="precision"):
+        whisper_log_mel(np.zeros(100, np.float32), precision="exact")
+    with pytest.raises(ValueError, match=r"\(L,\) or \(B, L\)"):
+        whisper_log_mel(np.zeros((1, 2, 3), np.float32))
+    # fast mode stays within a small bound of parity (bf16 operands)
+    x = (rng.standard_normal(8000) * 0.2).astype(np.float32)
+    a = np.asarray(whisper_log_mel(x))
+    b = np.asarray(whisper_log_mel(x, precision="fast"))
+    assert np.abs(a - b).max() < 0.02  # feature units (range is 2.0)

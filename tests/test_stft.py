@@ -176,3 +176,21 @@ def test_fft_module_injection(rng):
     with pytest.raises(ValueError, match="shape"):
         perform_stft(wav, win, hop, n_fft,
                      fft_module=lambda f: f[:, : n_fft // 2])
+
+
+def test_frame_device_gcd_decomposition_matches_gather(rng):
+    """frame_device's zero-gather gcd slice form is element-equal to the
+    direct gather indexing for win % hop != 0 geometries (whisper's
+    400/160 among them), and still exact when win % hop == 0."""
+    import jax.numpy as jnp
+
+    from msv_tpu.ops.stft import frame_device
+
+    for win, hop, n_frames in [(400, 160, 13), (300, 140, 7),
+                               (320, 160, 9), (251, 100, 5)]:
+        need = (n_frames - 1) * hop + win
+        x = rng.standard_normal(need + 3).astype(np.float32)
+        got = np.asarray(frame_device(jnp.asarray(x), win, hop, n_frames))
+        idx = (np.arange(n_frames)[:, None] * hop
+               + np.arange(win)[None, :])
+        np.testing.assert_array_equal(got, x[idx])
