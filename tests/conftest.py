@@ -46,7 +46,10 @@ def reference_sample_paths():
 
 @pytest.fixture()
 def rng():
-    return np.random.default_rng(20260816)
+    # MSV_TEST_SEED lets extended fuzz sessions sweep FRESH seeds over
+    # every randomized test (CI stays deterministic at the default)
+    return np.random.default_rng(int(os.environ.get("MSV_TEST_SEED",
+                                                    "20260816")))
 
 
 @pytest.fixture(autouse=True)
