@@ -324,9 +324,10 @@ def whisper_log_mel(wav, sr: int = 16000, *, n_mel: int = 80,
     (3001 -> 3000), mel = power spectrum @ slaney-normed slaney-scale
     filterbank (fmin 0, fmax 8000), log10 clamped at 1e-10, per-CLIP
     clamp at max - 8.0, then (x + 4) / 4.  ``n_mel=128`` gives
-    whisper-large-v3 features.  One fixed jit shape per (n_mel, B
-    bucket): the 30 s chunk makes every call identically shaped, the
-    natural batching regime for the MXU.
+    whisper-large-v3 features.  The 30 s chunk makes every call
+    identically shaped along time — one compiled program per (n_mel, B),
+    so keep the batch size constant in a pipeline (remote TPU compiles
+    are slow; same convention as log_mel_spectrogram).
 
     Unlike :func:`log_mel_spectrogram`, ``precision`` defaults to
     'parity' (f32 HIGHEST): the point of this surface is bit-level

@@ -324,3 +324,26 @@ def test_whisper_log_mel_validation(rng):
     a = np.asarray(whisper_log_mel(x))
     b = np.asarray(whisper_log_mel(x, precision="fast"))
     assert np.abs(a - b).max() < 0.02  # feature units (range is 2.0)
+
+
+def test_whisper_log_mel_dp_sharded_batch(rng):
+    """A P('dp')-sharded batch partitions through the whisper core under
+    GSPMD: output keeps the batch sharding (one clip per device here)
+    and is bit-equal to the host-batch result — the per-clip max-8 clamp
+    is local to each row, so no cross-device reduction is needed."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from msv_tpu import whisper_log_mel
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device mesh")
+    x = (rng.standard_normal((n_dev, 16000 * 3)) * 0.2).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    xd = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("dp")))
+    out = whisper_log_mel(xd)
+    assert {s.data.shape[0] for s in out.addressable_shards} == {1}
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(whisper_log_mel(x)))
