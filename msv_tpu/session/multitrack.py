@@ -364,8 +364,15 @@ class MultiTrack:
 
         jnp = self._jnp
         win, hop = track.win_length, track.hop_length
-        if padded.dtype in (np.int16, np.int32):
-            # the kernel consumes f32; scale on host for this path
+        if padded.dtype == np.int16 and track._wav_shift == 15:
+            # kernel-native PCM16: the chunk DMA ships int16 and the
+            # frame assembly scales by 2^-15 in-register (bit-equal to
+            # the f32 route, tests/test_pallas_kernel.py) — half the
+            # host->device bytes of the f32 conversion
+            pass
+        elif padded.dtype in (np.int16, np.int32):
+            # other carriers (int32, or non-2^-15 shifts): the kernel's
+            # in-assembly scale is fixed at 2^-15, so scale on host
             padded = padded.astype(np.float32) * np.float32(track.scale)
         c3, s3, fb3, n_mel = _dev_pallas_tiles(track.sr, win, track.n_fft)
         wav2d = prepare_wav2d(padded, win, hop, n_frames_pad)
@@ -408,7 +415,10 @@ class MultiTrack:
         rows = []
         for (padded, _, _), i in zip(preps, ids):
             tr = self.tracks[i]
-            if padded.dtype in (np.int16, np.int32):
+            if padded.dtype == np.int16 and tr._wav_shift == 15:
+                pass  # kernel-native PCM16 (see _calc_spec_pallas); the
+                # group key pins a uniform wire dtype for the stack
+            elif padded.dtype in (np.int16, np.int32):
                 padded = padded.astype(np.float32) * np.float32(tr.scale)
             rows.append(prepare_wav2d(padded, win, hop, n_frames_pad))
         c3, s3, fb3, n_mel = _dev_pallas_tiles(sr, win, tr0.n_fft)
@@ -580,15 +590,21 @@ class MultiTrack:
         with self.timer.stage("add_tracks.decode"):
             for id, path in zip(id_list, path_list):
                 track = AudioTrack(path, self.setting)
-                if track.sec > self.max_sec:
-                    self.max_sec = track.sec
-                    self.id_max_sec = id
                 self._ensure_sr_caches(track.sr, track.win_length, track.n_fft)
                 # re-adding an id replaces the track: drop the lazily-built
                 # envelope buffer or get_wav_image keeps drawing the OLD file
                 self._env_states.pop(id, None)
                 self._drop_adaptive(id)
                 self.tracks[id] = track
+            # recompute (not just raise) max_sec: REPLACING the longest
+            # track with a shorter file must lower it — a raise-only
+            # update left it stale (found by fresh-seed stateful fuzz;
+            # same recompute shape as remove_track / lib.rs:271-283)
+            best_id, best_sec = 0, 0.0
+            for tid, t in self.tracks.items():
+                if t.sec > best_sec:
+                    best_id, best_sec = tid, t.sec
+            self.id_max_sec, self.max_sec = best_id, best_sec
         with self.timer.stage("add_tracks.spec"):
             self._compute_specs(list(id_list))
         return self._update_db_state()
@@ -615,9 +631,15 @@ class MultiTrack:
             n_frames_pad = round_up_to(max(n_frames, 1), FRAME_BUCKET)
             if self._use_pallas(tr):
                 # same-bucket pallas tracks batch into ONE (B, tiles)-grid
-                # kernel launch (the per-track f32 scaling happens host-
-                # side, so carrier dtype/shift need not match in the key)
-                pallas_groups.setdefault((tr.sr, n_frames_pad), []).append(id)
+                # kernel launch.  PCM16 carriers ship as int16 (the kernel
+                # scales 2^-15 in assembly; half the wire bytes), so the
+                # stack's wire dtype is in the key; everything else is
+                # scaled to f32 host-side and batches freely
+                wire = ("i16" if (tr._wav_int is not None
+                                  and tr._wav_int.dtype == np.int16
+                                  and tr._wav_shift == 15) else "f32")
+                pallas_groups.setdefault(
+                    (tr.sr, n_frames_pad, wire), []).append(id)
                 continue
             if get_engine() == "pallas":
                 # pallas engine but kernel-ineligible (linear scale or
@@ -629,7 +651,7 @@ class MultiTrack:
             key = (tr.sr, n_frames_pad, dtype, tr._wav_shift)
             groups.setdefault(key, []).append(id)
 
-        for (sr, n_frames_pad), ids in pallas_groups.items():
+        for (sr, n_frames_pad, _wire), ids in pallas_groups.items():
             if len(ids) == 1:
                 singles.extend(ids)
                 continue

@@ -243,7 +243,10 @@ def test_col_windows_range_above_cache_limit(rng, monkeypatch):
 def test_envelope_tall_image_no_int16_wrap(rng):
     """nheight past 32767 must paint correctly (int32 row wire;
     ADVICE r2: int16 wrapped the arange and clip bound)."""
-    wav = rng.standard_normal(2000).astype(np.float32) * 0.5
+    # clip to |x| <= 2 so the middle-quarter band assertion below holds
+    # for ANY seed (a fresh-seed draw once exceeded 2.0 at 4.2 sigma)
+    wav = np.clip(rng.standard_normal(2000) * 0.5, -2.0, 2.0).astype(
+        np.float32)
     # amp range chosen well beyond the signal so every column's band is a
     # narrow mid-image stripe — int16 wrap produced garbage rows instead
     img = wav_to_image(wav, 8, 40000, (-8.0, 8.0))

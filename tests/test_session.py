@@ -614,3 +614,81 @@ def test_pallas_grouped_add_matches_individual(wav_dir, tmp_path, rng):
             )
     finally:
         set_engine("auto")
+
+
+def test_pallas_pcm16_ships_int16_carrier(wav_dir, tmp_path, rng):
+    """PCM16 tracks under the pallas engine upload their int16 carrier
+    (the kernel scales by 2^-15 in assembly — half the host->device
+    bytes); true-float tracks ship f32 and land in a SEPARATE batch
+    group (the stack's wire dtype is uniform).  Both bit-equal to the
+    XLA-engine state."""
+    import msv_tpu.session.multitrack as mtmod
+    from msv_tpu.config import set_engine
+    from msv_tpu.io.audio import write_wav
+    from msv_tpu.kernels import spectrogram_pallas as sp
+
+    sr = 16000
+    t = np.arange(int(sr * 0.5)) / sr
+    x2 = (0.4 * np.sin(2 * np.pi * 700 * t)
+          + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+    p2 = str(tmp_path / "tone2_16k.wav")  # PCM16: same bucket as wav_dir
+    write_wav(p2, x2[None], sr)
+    pf = str(tmp_path / "tonef_16k.wav")  # IEEE float: f32 carrier
+    write_wav(pf, (x2 * 0.77)[None], sr, bits=32)
+
+    seen = []
+    orig = sp.mel_spectrogram_pallas
+
+    def spy(wav2d, *a, **k):
+        seen.append((str(wav2d.dtype), wav2d.ndim))
+        return orig(wav2d, *a, **k)
+
+    set_engine("pallas")
+    try:
+        # the session imports the kernel inside each method, so patching
+        # the kernels module intercepts every launch
+        sp.mel_spectrogram_pallas = spy
+        try:
+            mt = MultiTrack()
+            mt.add_tracks([0, 1, 2],
+                          [wav_dir[16000], p2, pf])
+        finally:
+            sp.mel_spectrogram_pallas = orig
+        # one int16 batched launch (the two PCM16 tracks) + one f32 solo
+        assert ("int16", 3) in seen, seen
+        assert all(d == "int16" for d, n in seen if n == 3), seen
+        assert ("float32", 2) in seen, seen
+    finally:
+        set_engine("auto")
+
+    mt_x = MultiTrack()
+    mt_x.add_tracks([0, 1, 2], [wav_dir[16000], p2, pf])
+    for tid in (0, 1, 2):
+        sp_, sx = mt._state[tid], mt_x._state[tid]
+        # pallas k-tile accumulation differs from the XLA dot order by
+        # ~0.005 dB; the int16 wire itself is exact (scale commutes)
+        assert abs(sp_.smin - sx.smin) < 0.02 and abs(sp_.smax - sx.smax) < 0.02
+
+
+def test_replace_longest_track_with_shorter_lowers_max_sec(tmp_path, rng):
+    """Re-adding the id that holds id_max_sec with a SHORTER file must
+    lower max_sec (a raise-only update left it stale — found by
+    fresh-seed stateful fuzz, seed 7005 step 4)."""
+    from msv_tpu.io.audio import write_wav
+
+    sr = 8000
+    pl = str(tmp_path / "long.wav")
+    ps = str(tmp_path / "short.wav")
+    write_wav(pl, (0.3 * rng.standard_normal(sr)).astype(np.float32)[None], sr)
+    write_wav(ps, (0.3 * rng.standard_normal(int(sr * 0.6))
+                   ).astype(np.float32)[None], sr)
+    mt = MultiTrack()
+    mt.add_tracks([0, 1], [ps, pl])
+    assert mt.get_max_sec() == pytest.approx(1.0, abs=1e-3)
+    assert mt.id_max_sec == 1
+    mt.add_tracks([1], [ps])  # replace the longest with the short file
+    assert mt.get_max_sec() == pytest.approx(0.6, abs=1e-3)
+    # and duration getters agree with a fresh session
+    oracle = MultiTrack()
+    oracle.add_tracks([0, 1], [ps, ps])
+    assert mt.get_max_sec() == oracle.get_max_sec()
