@@ -76,6 +76,12 @@ def _build_parser():
         help="bands for --adaptive (default: auto — the largest count "
         "with no empty band at the smallest analysis scale)",
     )
+    r.add_argument(
+        "--channel", type=int, default=None,
+        help="render one source channel instead of the channel sum "
+        "(stereo support — the reference's lib.rs:42 TODO; applies to "
+        "every input file)",
+    )
 
     i = sub.add_parser("info", help="show decoded file + derived STFT params")
     i.add_argument("files", nargs="+")
@@ -94,6 +100,11 @@ def _build_parser():
     v.add_argument("--add-root", default=None,
                    help="restrict POST /api/add to this directory tree")
     v.add_argument("--freq-scale", choices=["mel", "linear"], default="mel")
+    v.add_argument(
+        "--channel", type=int, default=None,
+        help="open every track on one source channel (each track also "
+        "gets a live mix/ch selector in the UI)",
+    )
     return p
 
 
@@ -120,7 +131,17 @@ def _render_adaptive(args, setting):
 
     for f in args.files:
         wav2d, sr = open_audio_file(f)
-        wav = wav2d.sum(axis=0)
+        if args.channel is None:
+            wav = wav2d.sum(axis=0)
+        else:
+            if not (0 <= args.channel < wav2d.shape[0]):
+                from .utils.errors import AudioReadError
+
+                raise AudioReadError(
+                    f"{f}: channel {args.channel} out of range "
+                    f"(file has {wav2d.shape[0]})"
+                )
+            wav = np.ascontiguousarray(wav2d[args.channel])
         t0 = time.perf_counter()
         n = adaptive_frame_count(len(wav), sr, setting)
         parts = []
@@ -141,7 +162,9 @@ def _render_adaptive(args, setting):
         img = grey_to_rgb_array(
             lanczos3_resize(grey, args.height, max(nwidth, 1))
         )
-        stem = os.path.splitext(os.path.basename(f))[0]
+        stem = os.path.splitext(os.path.basename(f))[0] + (
+            "" if args.channel is None else f"_ch{args.channel}"
+        )
         out = os.path.join(args.outdir, f"spec_adaptive_{stem}.png")
         write_png(out, np.asarray(img), args.png_level)
         print(f"  {out}  {nwidth}x{args.height}  ({time.perf_counter()-t0:.2f}s)")
@@ -190,7 +213,7 @@ def _main(argv=None):
             else FreqScale.LINEAR
         )
         serve_viewer(args.files, args.port, setting, host=args.host,
-                     add_root=args.add_root)
+                     add_root=args.add_root, channel=args.channel)
         return 0
 
     if args.cmd == "serve":
@@ -228,13 +251,15 @@ def _main(argv=None):
 
     mt = MultiTrack(setting)
     t0 = time.perf_counter()
-    mt.add_tracks(list(range(len(args.files))), args.files)
+    mt.add_tracks(list(range(len(args.files))), args.files,
+                  channels=[args.channel] * len(args.files))
     t1 = time.perf_counter()
     print(f"loaded {len(args.files)} tracks in {t1 - t0:.3f}s "
           f"(db range [{mt.get_min_db():.1f}, {mt.get_max_db():.1f}])")
     crop = args.start is not None or args.end is not None
+    ch_sfx = "" if args.channel is None else f"_ch{args.channel}"
     for i, f in enumerate(args.files):
-        stem = os.path.splitext(os.path.basename(f))[0]
+        stem = os.path.splitext(os.path.basename(f))[0] + ch_sfx
         if crop:
             s0 = args.start or 0.0
             s1 = args.end if args.end is not None else mt.get_sec(i)

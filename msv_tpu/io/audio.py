@@ -302,20 +302,30 @@ def detect_scaled_int(x: np.ndarray):
     return v, s
 
 
-def open_audio_mono_ex(path: str, materialize: bool = True):
-    """Decode -> (mono_sum f32 (n_samples,), sr, raw_int | None, shift).
+def _check_channel(channel, n_ch: int, path: str) -> None:
+    if channel is not None and not (0 <= channel < n_ch):
+        raise AudioReadError(
+            f"{path}: channel {channel} out of range (file has {n_ch})"
+        )
 
-    The session's loader: channels are SUMMED to mono (lib.rs:42).
-    Whenever the mono signal is exactly ``raw_int * 2^-shift`` (int16 or
-    int32 carrier), it is returned in the INTEGER domain as the device
-    transfer format: the device applies the exact power-of-two scale,
-    bit-identical to summing scaled f32 channels, at half-or-better the
-    wire bytes and wirepack-compressible (parallel/wirepack.py).  Sources
-    covered: PCM16 WAV (shift 15, the historical path), FLAC of any bps
-    (exact decoder integers), and any f32-valued mono that is secretly a
-    scaled integer — 8/24/32-bit PCM, float WAVs converted from PCM,
-    rounded f32 channel sums (see :func:`detect_scaled_int`).  True
-    full-entropy float content returns raw_int=None, shift=0.
+
+def open_audio_mono_ex(path: str, materialize: bool = True, channel=None):
+    """Decode -> (mono f32 (n_samples,), sr, raw_int | None, shift, n_ch).
+
+    The session's loader.  ``channel=None`` SUMS channels to mono — the
+    reference's behavior (lib.rs:42, marked ``TODO: stereo support``
+    there); ``channel=k`` extracts channel k instead (our implementation
+    of that TODO — a capability extension).  Whenever the 1-D signal is
+    exactly ``raw_int * 2^-shift`` (int16 or int32 carrier), it is
+    returned in the INTEGER domain as the device transfer format: the
+    device applies the exact power-of-two scale, bit-identical to the f32
+    path, at half-or-better the wire bytes and wirepack-compressible
+    (parallel/wirepack.py).  Sources covered: PCM16 WAV (shift 15, the
+    historical path), FLAC of any bps (exact decoder integers), and any
+    f32-valued signal that is secretly a scaled integer — 8/24/32-bit
+    PCM, float WAVs converted from PCM, rounded f32 channel sums (see
+    :func:`detect_scaled_int`).  True full-entropy float content returns
+    raw_int=None, shift=0.  ``n_ch`` is the source channel count.
     """
     try:
         with open(path, "rb") as f:
@@ -324,26 +334,46 @@ def open_audio_mono_ex(path: str, materialize: bool = True):
             if head[:4] == b"fLaC":
                 # FLAC: the native decoder's exact integer samples (units
                 # of 2^-(bps-1)).  bps <= 16 re-scales to 2^-15 units by an
-                # integer shift (joining the classic WAV wire path); mono
-                # 17..25 bps ships the decoder integers as-is with
-                # shift = bps-1 (values still f32-representable, so the
-                # f32 contract is untouched).  Everything else falls to
-                # the f32 sum + scaled-int detection below.
+                # integer shift (joining the classic WAV wire path);
+                # 17..25 bps single-channel signals (mono sum of a mono
+                # file, or any extracted channel) ship the decoder
+                # integers as-is with shift = bps-1 (values still
+                # f32-representable, so the f32 contract is untouched).
+                # Everything else falls to the f32 sum + scaled-int
+                # detection below.
                 from . import _native_audio
 
                 wav2d, sr, raw, bps = _native_audio.decode_flac_ex(path)
+                n_ch = wav2d.shape[0]
+                _check_channel(channel, n_ch, path)
                 if raw is not None and 0 < bps <= 16:
-                    mono_i = raw.sum(axis=0, dtype=np.int32) << (16 - bps)
-                    mono = wav2d.sum(axis=0) if materialize else None
-                    return mono, int(sr), mono_i, 15
-                if raw is not None and raw.shape[0] == 1 and 16 < bps <= 25:
-                    mono = wav2d.sum(axis=0) if materialize else None
-                    return mono, int(sr), np.ascontiguousarray(raw[0]), bps - 1
-                mono = wav2d.sum(axis=0)
+                    if channel is None:
+                        mono_i = raw.sum(axis=0, dtype=np.int32) << (16 - bps)
+                        mono = wav2d.sum(axis=0) if materialize else None
+                    else:
+                        # one channel of bps<=16 fits the narrow int16 lane
+                        mono_i = (raw[channel] << (16 - bps)).astype(np.int16)
+                        mono = (
+                            np.ascontiguousarray(wav2d[channel])
+                            if materialize else None
+                        )
+                    return mono, int(sr), mono_i, 15, n_ch
+                if raw is not None and 16 < bps <= 25 and (
+                    channel is not None or raw.shape[0] == 1
+                ):
+                    k = channel if channel is not None else 0
+                    mono = (
+                        np.ascontiguousarray(wav2d[k]) if materialize
+                        else None
+                    )
+                    return (mono, int(sr), np.ascontiguousarray(raw[k]),
+                            bps - 1, n_ch)
+                mono = (wav2d.sum(axis=0) if channel is None
+                        else np.ascontiguousarray(wav2d[channel]))
                 det = detect_scaled_int(mono)
                 if det is not None:
-                    return mono, int(sr), det[0], det[1]
-                return mono, int(sr), None, 0
+                    return mono, int(sr), det[0], det[1], n_ch
+                return mono, int(sr), None, 0, n_ch
             if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
                 head_data = f.read(1 << 18)  # header probe, not a slurp
                 info = _probe_fmt(head_data)
@@ -352,12 +382,17 @@ def open_audio_mono_ex(path: str, materialize: bool = True):
                 ):
                     data = head_data + f.read()
                     n_ch = info[1]
+                    _check_channel(channel, n_ch, path)
                     raw = _data_chunk(data)
                     if raw is not None:
                         i16 = np.frombuffer(
                             raw[: len(raw) - (len(raw) % (2 * n_ch))], "<i2"
                         )
-                        if n_ch == 1:
+                        if channel is not None and n_ch > 1:
+                            mono_i = np.ascontiguousarray(
+                                i16.reshape(-1, n_ch)[:, channel]
+                            )
+                        elif n_ch == 1:
                             mono_i = np.ascontiguousarray(i16)
                         else:
                             mono_i = i16.reshape(-1, n_ch).sum(
@@ -368,19 +403,27 @@ def open_audio_mono_ex(path: str, materialize: bool = True):
                             if materialize
                             else None
                         )
-                        return mono, _probe_sr(head_data), mono_i, 15
+                        return mono, _probe_sr(head_data), mono_i, 15, n_ch
     except OSError as e:
         raise AudioReadError(f"{path}: {e}") from e
     except struct.error as e:
         raise AudioReadError(f"{path}: truncated WAV header ({e})") from e
     wav2d, sr, raw_i16 = open_audio_file_ex(path)
-    mono = wav2d.sum(axis=0)
-    if raw_i16 is not None:
-        return mono, sr, raw_i16, 15
+    n_ch = wav2d.shape[0]
+    _check_channel(channel, n_ch, path)
+    if channel is not None:
+        mono = np.ascontiguousarray(wav2d[channel])
+        # raw_i16 only exists for mono PCM16 sources (channel 0 == sum)
+        if raw_i16 is not None:
+            return mono, sr, raw_i16, 15, n_ch
+    else:
+        mono = wav2d.sum(axis=0)
+        if raw_i16 is not None:
+            return mono, sr, raw_i16, 15, n_ch
     det = detect_scaled_int(mono)
     if det is not None:
-        return mono, sr, det[0], det[1]
-    return mono, sr, None, 0
+        return mono, sr, det[0], det[1], n_ch
+    return mono, sr, None, 0, n_ch
 
 
 def _probe_fmt(data: bytes):

@@ -219,17 +219,27 @@ def _dev_horizontal_weights(w_valid: int, nwidth: int, w_total: int, out_w_b: in
 
 
 class AudioTrack:
-    """Loaded track + derived STFT params (lib.rs:30-62)."""
+    """Loaded track + derived STFT params (lib.rs:30-62).
 
-    def __init__(self, path: str, setting: SpecSetting):
+    ``channel=None`` sums channels to mono (the reference's behavior,
+    lib.rs:42); ``channel=k`` views channel k alone — our implementation
+    of the reference's ``TODO: stereo support`` marker on that line.
+    """
+
+    def __init__(self, path: str, setting: SpecSetting, channel=None):
         from ..io.audio import open_audio_mono_ex
 
-        # SUM-to-mono (lib.rs:42).  For integer sources the f32 mono is
-        # LAZY: at hour scale it is ~700 MB and seconds of conversion on
-        # the single host core, and the device pipelines only consume the
-        # integer form — only the audio-export/deep-zoom paths ever ask.
-        mono, sr, raw_int, shift = open_audio_mono_ex(path, materialize=False)
+        # SUM-to-mono (lib.rs:42) or single-channel extraction.  For
+        # integer sources the f32 mono is LAZY: at hour scale it is
+        # ~700 MB and seconds of conversion on the single host core, and
+        # the device pipelines only consume the integer form — only the
+        # audio-export/deep-zoom paths ever ask.
+        mono, sr, raw_int, shift, n_ch = open_audio_mono_ex(
+            path, materialize=False, channel=channel
+        )
         self.path = path
+        self.channel = channel if channel is None else int(channel)
+        self.n_channels = int(n_ch)
         self._mono_f32 = mono  # None when raw_int carries the samples
         # integer-domain transfer fast path: mono == raw_int * 2^-shift
         # exactly (PCM16 / FLAC integers / detected scaled-int floats);
@@ -284,7 +294,7 @@ class AudioTrack:
 
     def reload(self, setting: SpecSetting) -> None:
         """Re-derive params after a setting change (lib.rs:57-61)."""
-        self.__init__(self.path, setting)
+        self.__init__(self.path, setting, channel=self.channel)
 
 
 class _TrackState:
@@ -578,18 +588,24 @@ class MultiTrack:
         except KeyError:
             raise TrackNotFoundError(id) from None
 
-    def add_tracks(self, id_list, path_list) -> bool:
+    def add_tracks(self, id_list, path_list, channels=None) -> bool:
         """Add tracks and recompute state (lib.rs:170-191).
 
         ``path_list`` may be a list of paths or, for reference-FFI parity,
-        one newline-joined string (lib.rs:171-173).  Returns whether the
-        global dB range / max_sr changed (=> all greys renormalized).
+        one newline-joined string (lib.rs:171-173).  ``channels`` (an
+        optional per-track list of int | None) selects a single source
+        channel instead of the default sum-to-mono — the reference's
+        ``TODO: stereo support`` (lib.rs:42) as an extension.  Returns
+        whether the global dB range / max_sr changed (=> all greys
+        renormalized).
         """
         if isinstance(path_list, str):
             path_list = path_list.split("\n")
+        if channels is None:
+            channels = [None] * len(path_list)
         with self.timer.stage("add_tracks.decode"):
-            for id, path in zip(id_list, path_list):
-                track = AudioTrack(path, self.setting)
+            for id, path, ch in zip(id_list, path_list, channels):
+                track = AudioTrack(path, self.setting, channel=ch)
                 self._ensure_sr_caches(track.sr, track.win_length, track.n_fft)
                 # re-adding an id replaces the track: drop the lazily-built
                 # envelope buffer or get_wav_image keeps drawing the OLD file
@@ -1298,6 +1314,15 @@ class MultiTrack:
 
         return os.path.basename(self._track(id).path)
 
+    def get_n_channels(self, id: int) -> int:
+        """Source channel count (extension; the reference sums to mono
+        unconditionally, lib.rs:42)."""
+        return self._track(id).n_channels
+
+    def get_channel(self, id: int):
+        """Selected channel (int) or None for the sum-to-mono default."""
+        return self._track(id).channel
+
     def set_setting(self, setting: SpecSetting) -> bool:
         """Change settings and reload every track (AudioTrack::reload,
         lib.rs:57-61 — declared but never wired in the reference; here it is
@@ -1305,6 +1330,7 @@ class MultiTrack:
         self.setting = setting
         ids = sorted(self.tracks)
         paths = [self.tracks[i].path for i in ids]
+        chans = [self.tracks[i].channel for i in ids]
         self.tracks.clear()
         self._state.clear()
         self._env_states.clear()
@@ -1318,7 +1344,7 @@ class MultiTrack:
         self.max_sec, self.id_max_sec, self.max_sr = 0.0, 0, 0
         if not ids:
             return self._update_db_state()
-        return self.add_tracks(ids, paths)
+        return self.add_tracks(ids, paths, channels=chans)
 
     # --------------------------------------------------------- checkpoint
 
@@ -1329,7 +1355,9 @@ class MultiTrack:
         import json
 
         manifest = {
-            "version": 1,
+            # v2 adds per-track channel selection; v1 manifests (plain
+            # path strings) still load
+            "version": 2,
             "setting": {
                 "win_ms": self.setting.win_ms,
                 "t_overlap": self.setting.t_overlap,
@@ -1337,7 +1365,10 @@ class MultiTrack:
                 "freq_scale": self.setting.freq_scale.value,
                 "db_range": self.setting.db_range,
             },
-            "tracks": {str(i): t.path for i, t in self.tracks.items()},
+            "tracks": {
+                str(i): {"path": t.path, "channel": t.channel}
+                for i, t in self.tracks.items()
+            },
             "max_db": self.max_db if np.isfinite(self.max_db) else None,
             "min_db": self.min_db if np.isfinite(self.min_db) else None,
         }
@@ -1361,5 +1392,10 @@ class MultiTrack:
         mt = cls(setting)
         ids = sorted(int(k) for k in m["tracks"])
         if ids:
-            mt.add_tracks(ids, [m["tracks"][str(i)] for i in ids])
+            ent = [m["tracks"][str(i)] for i in ids]
+            # v1: plain path strings; v2: {"path", "channel"} objects
+            paths = [e if isinstance(e, str) else e["path"] for e in ent]
+            chans = [None if isinstance(e, str) else e.get("channel")
+                     for e in ent]
+            mt.add_tracks(ids, paths, channels=chans)
         return mt

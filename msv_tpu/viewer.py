@@ -183,7 +183,16 @@ async function load() {
   const el = document.getElementById('tracks'); el.innerHTML = '';
   for (const t of tracks) {
     const div = document.createElement('div'); div.className = 'track';
+    // channel selector (stereo support — the reference sums to mono,
+    // lib.rs:42 TODO): "mix" = channel sum, else one source channel
+    const chSel = t.n_channels > 1
+      ? `<select data-chsel="${t.id}" style="vertical-align:middle">
+           <option value=""${t.channel === null ? ' selected' : ''}>mix</option>
+           ${Array.from({length: t.n_channels}, (_, c) =>
+             `<option value="${c}"${t.channel === c ? ' selected' : ''}>ch ${c}</option>`).join('')}
+         </select>` : '';
     div.innerHTML = `<div class="name">#${t.id} ${t.filename} — ${t.sr} Hz, ${t.sec.toFixed(2)} s
+        ${chSel}
         <audio controls preload="none" src="/api/audio/${t.id}" style="height:20px;vertical-align:middle"></audio>
         <button data-rm="${t.id}">&#10005;</button></div>
       <div class="imgs" id="box${t.id}" style="position:relative;height:${H + WH}px">
@@ -254,6 +263,17 @@ document.getElementById('tracks').addEventListener('click', async ev => {
   if (rm === null || rm === undefined) return;
   await fetch('/api/remove', {method:'POST', body: JSON.stringify({id: +rm})});
   clearImgCache();
+  load();
+});
+document.getElementById('tracks').addEventListener('change', async ev => {
+  const cs = ev.target.getAttribute && ev.target.getAttribute('data-chsel');
+  if (cs === null || cs === undefined) return;
+  const v = ev.target.value;
+  const channel = v === '' ? null : +v;
+  const r = await fetch('/api/channel',
+    {method:'POST', body: JSON.stringify({id: +cs, channel})});
+  if (!r.ok) { alert(await r.text()); return; }
+  clearImgCache();  // the track's pixels (and maybe the dB window) changed
   load();
 });
 load();
@@ -482,6 +502,10 @@ class _Handler(BaseHTTPRequestHandler):
                                     "filename": mt.get_filename(i),
                                     "sec": mt.get_sec(i),
                                     "sr": mt.get_sr(i),
+                                    # stereo support (extension over
+                                    # lib.rs:42's sum-to-mono TODO)
+                                    "channel": mt.get_channel(i),
+                                    "n_channels": mt.get_n_channels(i),
                                 }
                                 for i in sorted(mt.tracks)
                             ],
@@ -756,9 +780,15 @@ class _Handler(BaseHTTPRequestHandler):
                             f"error: path outside --add-root ({rroot})".encode(),
                         )
                         return
+                ch = body.get("channel")
+                if ch is not None:
+                    ch = int(ch)
+                    if not (0 <= ch <= 255):
+                        raise ValueError("channel out of range")
                 with self.lock.write():
                     tid = int(body["id"])
-                    changed = mt.add_tracks([tid], [req_path])
+                    changed = mt.add_tracks([tid], [req_path],
+                                            channels=[ch])
                 self._cache().bump_gen()  # dB window/track set changed
                 self._send(
                     200, "application/json",
@@ -767,6 +797,30 @@ class _Handler(BaseHTTPRequestHandler):
             elif url.path == "/api/remove":
                 with self.lock.write():
                     changed = mt.remove_track(int(body["id"]))
+                self._cache().bump_gen()
+                self._send(
+                    200, "application/json",
+                    json.dumps({"ok": True, "changed": bool(changed)}).encode(),
+                )
+            elif url.path == "/api/channel":
+                # switch a loaded track's channel view (sum-to-mono when
+                # channel is null) — re-adds the track's OWN path, so no
+                # filesystem path crosses the wire and --add-root is moot
+                ch = body.get("channel")
+                if ch is not None:
+                    ch = int(ch)
+                with self.lock.write():
+                    tid = int(body["id"])
+                    tr_path = mt.get_path(tid)
+                    if ch is not None and not (
+                        0 <= ch < mt.get_n_channels(tid)
+                    ):
+                        raise ValueError(
+                            f"channel {ch} out of range "
+                            f"(track has {mt.get_n_channels(tid)})"
+                        )
+                    changed = mt.add_tracks([tid], [tr_path],
+                                            channels=[ch])
                 self._cache().bump_gen()
                 self._send(
                     200, "application/json",
@@ -812,7 +866,8 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve_viewer(paths, port: int = 8080, setting=None,
-                 host: str = "127.0.0.1", add_root: str | None = None):
+                 host: str = "127.0.0.1", add_root: str | None = None,
+                 channel: int | None = None):
     """Load tracks and serve the viewer UI.  Blocks.
 
     Binds loopback by default: POST /api/add takes filesystem paths and
@@ -843,7 +898,8 @@ def serve_viewer(paths, port: int = 8080, setting=None,
         def _load():
             try:
                 with lock.write():
-                    mt.add_tracks(list(range(len(paths))), list(paths))
+                    mt.add_tracks(list(range(len(paths))), list(paths),
+                                  channels=[channel] * len(paths))
             except Exception as e:  # surface instead of dying silently
                 load_err.append(e)
                 handler.load_error = str(e)

@@ -148,7 +148,7 @@ def test_mono_ex_integer_sum_stereo(tmp_path, rng):
     p = str(tmp_path / "st.wav")
     write_wav(p, x, 16000)
 
-    mono, sr, raw, shift = open_audio_mono_ex(p)
+    mono, sr, raw, shift, _nch = open_audio_mono_ex(p)
     assert sr == 16000 and raw is not None and raw.dtype == np.int32
     assert shift == 15
 
@@ -166,7 +166,7 @@ def test_mono_ex_mono_keeps_i16(tmp_path, rng):
     x = (rng.standard_normal((1, 3000)) * 0.3).astype(np.float32)
     p = str(tmp_path / "m.wav")
     write_wav(p, x, 8000)
-    mono, sr, raw, shift = open_audio_mono_ex(p)
+    mono, sr, raw, shift, _nch = open_audio_mono_ex(p)
     assert raw is not None and raw.dtype == np.int16 and shift == 15
     np.testing.assert_array_equal(
         raw.astype(np.float32) * np.float32(2.0**-15), mono
@@ -181,7 +181,7 @@ def test_mono_ex_float_source_no_raw(tmp_path, rng):
     x = (rng.standard_normal((1, 2000)) * 0.3).astype(np.float32)
     p = str(tmp_path / "f.wav")
     write_wav(p, x, 8000, bits=32)
-    mono, sr, raw, shift = open_audio_mono_ex(p)
+    mono, sr, raw, shift, _nch = open_audio_mono_ex(p)
     assert raw is None and shift == 0
     np.testing.assert_array_equal(mono, x[0])
 
@@ -195,7 +195,7 @@ def test_mono_ex_float_sum_detected_scaled_int(tmp_path, rng):
     x = (rng.standard_normal((2, 2000)) * 0.3).astype(np.float32)
     p = str(tmp_path / "f2.wav")
     write_wav(p, x, 8000, bits=32)
-    mono, sr, raw, shift = open_audio_mono_ex(p)
+    mono, sr, raw, shift, _nch = open_audio_mono_ex(p)
     expect = x[0] + x[1]
     np.testing.assert_array_equal(mono, expect)
     if raw is not None:
@@ -328,7 +328,7 @@ def test_wav_24bit_gets_integer_carrier(tmp_path, rng):
     with open(p, "wb") as f:
         f.write(hdr + raw24)
 
-    mono, sr, raw, shift = open_audio_mono_ex(p)
+    mono, sr, raw, shift, _nch = open_audio_mono_ex(p)
     assert sr == 16000 and raw is not None and shift == 23
     np.testing.assert_array_equal(raw, k)
     np.testing.assert_array_equal(

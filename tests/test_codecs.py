@@ -205,7 +205,7 @@ def test_flac_integer_domain_loader(tmp_path, rng):
     path = str(tmp_path / "st.flac")
     with open(path, "wb") as f:
         f.write(encode_flac(pcm, 16000, mode="fixed2", stereo_mode="mid_side"))
-    mono, sr, raw, shift = open_audio_mono_ex(path)
+    mono, sr, raw, shift, _nch = open_audio_mono_ex(path)
     assert sr == 16000 and raw is not None and raw.dtype == np.int32
     assert shift == 15
     np.testing.assert_array_equal(raw, pcm.sum(axis=0))
@@ -223,7 +223,7 @@ def test_flac_8bit_integer_rescale(tmp_path, rng):
     path = str(tmp_path / "m8.flac")
     with open(path, "wb") as f:
         f.write(encode_flac(pcm, 8000, bps=8, mode="verbatim"))
-    mono, sr, raw, shift = open_audio_mono_ex(path)
+    mono, sr, raw, shift, _nch = open_audio_mono_ex(path)
     assert raw is not None and shift == 15
     np.testing.assert_array_equal(raw, pcm[0] << 8)  # 2^-15 units
     np.testing.assert_array_equal(
