@@ -19,8 +19,10 @@ from .config import get_precision_mode, set_precision_mode
 from .session import AudioTrack, MultiTrack
 from .render.colormap import get_colormap
 from .features import (
+    delta,
     log_mel_spectrogram,
     log_mel_spectrogram_ragged,
+    mfcc,
     whisper_log_mel,
 )
 
@@ -36,8 +38,10 @@ __all__ = [
     "AudioTrack",
     "MultiTrack",
     "get_colormap",
+    "delta",
     "log_mel_spectrogram",
     "log_mel_spectrogram_ragged",
+    "mfcc",
     "whisper_log_mel",
     "__version__",
 ]

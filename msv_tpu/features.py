@@ -41,10 +41,11 @@ from .utils import next_pow2, round_up_to
 
 
 @functools.partial(
-    jax.jit, static_argnames=("win", "hop", "n_frames", "log", "mode")
+    jax.jit, static_argnames=("win", "hop", "n_frames", "log", "mode",
+                              "spec")
 )
 def _features_core(padded_b, c, s, fb, n_valid, *, win, hop, n_frames, log,
-                   mode):
+                   mode, spec="magnitude"):
     from .config import precision_for
 
     prec = precision_for(mode)  # static: see config.precision_for docstring
@@ -55,15 +56,23 @@ def _features_core(padded_b, c, s, fb, n_valid, *, win, hop, n_frames, log,
                      preferred_element_type=jnp.float32)
         im = jnp.dot(frames, s, precision=prec,
                      preferred_element_type=jnp.float32)
-        mag = jnp.sqrt(re * re + im * im)
-        mel = jnp.dot(mag, fb, precision=prec,
+        if spec == "power":
+            # mel on the POWER spectrum (|X|^2 @ fb) — librosa's
+            # melspectrogram(power=2.0) convention; NOT the same as
+            # squaring the magnitude-mel ((|X| @ fb)^2)
+            x = re * re + im * im
+        else:
+            x = jnp.sqrt(re * re + im * im)
+        mel = jnp.dot(x, fb, precision=prec,
                       preferred_element_type=jnp.float32)
+        from .ops.decibel import power_to_db
+
         if log == "amp_db":
+            if spec == "power":
+                return power_to_db(mel)  # power-domain: 10*log10 IS amp dB
             return amp_to_db(mel)
         elif log == "power_db":
-            from .ops.decibel import power_to_db
-
-            return power_to_db(mel * mel)
+            return power_to_db(mel if spec == "power" else mel * mel)
         return jnp.log(jnp.maximum(mel, 1e-10))  # 'ln'
 
     return jax.vmap(one)(padded_b)
@@ -85,12 +94,16 @@ def log_mel_spectrogram(
     log: str = "amp_db",
     top_db: float | None = None,
     precision: str | None = None,
+    spec: str = "magnitude",
 ):
     """Batched log-mel features: (T,) or (B, T) -> (B?, n_frames, n_mel).
 
     Shapes are frame-bucketed internally; the returned array is sliced to
     the exact frame count.  ``log``: 'amp_db' (20·log10 with the exact
     reference floor), 'power_db', or 'ln' (natural log of magnitude).
+    ``spec``: 'magnitude' (default — mel weights |X|, the viewer/session
+    convention, lib.rs:124) or 'power' (mel weights |X|^2, librosa's
+    melspectrogram(power=2.0) convention — what MFCCs are built on).
     ``top_db`` clamps at (max - top_db) like librosa's power_to_db.
     ``precision``: 'fast' (default — bf16 operands, <=0.22 dB measured)
     or 'parity' (f32 HIGHEST); when None, an explicit session-wide
@@ -164,6 +177,7 @@ def log_mel_spectrogram(
             shard_axis, shard_mesh = sh.spec[0], sh.mesh
     use_pallas = (
         log == "amp_db"
+        and spec == "magnitude"
         and win_length % hop_length == 0
         and engine != "xla"
         and (not sharded or shard_axis is not None)
@@ -279,6 +293,7 @@ def log_mel_spectrogram(
             n_frames=n_pad,
             log=log,
             mode=precision,
+            spec=spec,
         )[:, :n_frames, :]
     if top_db is not None:
         out = jnp.maximum(out, jnp.max(out) - top_db)
@@ -415,3 +430,103 @@ def log_mel_spectrogram_ragged(wavs, sr: int, *, top_db: float | None = None,
                 f = np.maximum(f, f.max() - np.float32(top_db))
             out[i] = f
     return out
+
+
+def _dct2_matrix(n_mfcc: int, n_mel: int, norm: str = "ortho") -> np.ndarray:
+    """DCT-II basis as a (n_mel, n_mfcc) f32 GEMM operand.
+
+    ``feats @ D`` equals ``scipy.fft.dct(feats, type=2, norm=norm,
+    axis=-1)[..., :n_mfcc]`` (pinned in tests/test_features.py): row n,
+    column k holds ``2*cos(pi*k*(2n+1)/(2*n_mel))`` with the orthonormal
+    scaling ``sqrt(1/(4N))`` for k=0 and ``sqrt(1/(2N))`` otherwise.
+    Built host-side in f64, shipped f32 — a tiny constant per
+    (n_mel, n_mfcc) pair.
+    """
+    n = np.arange(n_mel, dtype=np.float64)[:, None]
+    k = np.arange(n_mfcc, dtype=np.float64)[None, :]
+    d = 2.0 * np.cos(np.pi * k * (2.0 * n + 1.0) / (2.0 * n_mel))
+    if norm == "ortho":
+        f = np.full(n_mfcc, np.sqrt(1.0 / (2.0 * n_mel)))
+        f[0] = np.sqrt(1.0 / (4.0 * n_mel))
+        d = d * f[None, :]
+    elif norm is not None:
+        raise ValueError(f"unknown dct norm: {norm!r}")
+    return d.astype(np.float32)
+
+
+def mfcc(
+    wav,
+    sr: int,
+    *,
+    n_mfcc: int = 13,
+    n_mel: int = 128,
+    lifter: float = 0.0,
+    log: str = "power_db",
+    spec: str = "power",
+    top_db: float | None = None,
+    **mel_kwargs,
+):
+    """Batched MFCCs: (T,) or (B, T) -> (B?, n_frames, n_mfcc).
+
+    librosa-convention pipeline (librosa is not in this image; the DCT
+    stage is pinned against scipy.fft.dct and the mel/dB stages against
+    this module's cross-validated log-mel): mel on the POWER spectrum
+    (``spec='power'``), ``power_to_db`` (10·log10, amin semantics from
+    decibel.rs:33-56), then an orthonormal DCT-II along the mel axis —
+    expressed as one (frames, n_mel) x (n_mel, n_mfcc) GEMM so the whole
+    chain stays on the MXU.  ``lifter`` applies librosa's sinusoidal
+    liftering ``1 + (L/2)·sin(pi·(1..n_mfcc)/L)``.  Remaining keyword
+    arguments (win_ms, hop_ms, fmin, fmax, precision, ...) pass through
+    to :func:`log_mel_spectrogram`.
+    """
+    feats = log_mel_spectrogram(
+        wav, sr, n_mel=n_mel, log=log, spec=spec, top_db=top_db,
+        **mel_kwargs,
+    )
+    d = jnp.asarray(_dct2_matrix(n_mfcc, n_mel))
+    out = jnp.dot(feats, d, preferred_element_type=jnp.float32)
+    if lifter:
+        if lifter < 0:
+            raise ValueError(f"lifter must be >= 0, got {lifter}")
+        idx = np.arange(1, n_mfcc + 1, dtype=np.float64)
+        li = (1.0 + (lifter / 2.0) * np.sin(np.pi * idx / lifter)).astype(
+            np.float32
+        )
+        out = out * jnp.asarray(li)
+    return out
+
+
+def delta(feats, *, width: int = 9, order: int = 1, axis: int = -2):
+    """Local polynomial-fit derivative of a feature sequence — a
+    Savitzky-Golay filter with ``polyorder = deriv = order`` over an odd
+    ``width``-frame window (librosa.feature.delta's parameterization),
+    with replicated edges (scipy's ``mode='nearest'``; equality with
+    ``scipy.signal.savgol_filter`` is pinned in tests/test_features.py).
+    Runs as a batched convolution on device.
+
+    ``feats``: (..., n_frames, n_feat) by default (``axis=-2`` is the
+    frame axis, matching this module's outputs).
+    """
+    if width < 3 or width % 2 != 1:
+        raise ValueError(f"width must be an odd integer >= 3, got {width}")
+    if order < 1 or order >= width:
+        raise ValueError(f"order must be in [1, width), got {order}")
+    from scipy.signal import savgol_coeffs
+
+    # savgol_coeffs returns the kernel ordered for convolution (use='conv'
+    # default) — jnp.convolve applies the same flip scipy's convolve1d
+    # does, so the coefficients pass through unreversed
+    k = savgol_coeffs(width, order, deriv=order,
+                      delta=1.0).astype(np.float32)
+    x = jnp.asarray(feats, jnp.float32)
+    x = jnp.moveaxis(x, axis, -1)  # (..., n_feat, n_frames)
+    half = width // 2
+    xp = jnp.concatenate(
+        [jnp.repeat(x[..., :1], half, axis=-1), x,
+         jnp.repeat(x[..., -1:], half, axis=-1)], axis=-1
+    )
+    lead = xp.shape[:-1]
+    y = jax.vmap(lambda r: jnp.convolve(r, jnp.asarray(k), mode="valid"))(
+        xp.reshape(-1, xp.shape[-1])
+    ).reshape(*lead, x.shape[-1])
+    return jnp.moveaxis(y, -1, axis)

@@ -347,3 +347,104 @@ def test_whisper_log_mel_dp_sharded_batch(rng):
     assert {s.data.shape[0] for s in out.addressable_shards} == {1}
     np.testing.assert_array_equal(
         np.asarray(out), np.asarray(whisper_log_mel(x)))
+
+
+# ------------------------------------------------------------ mfcc / delta
+
+
+def test_mfcc_dct_stage_matches_scipy(rng):
+    """mfcc == scipy.fft.dct(type 2, ortho) of our power-mel dB features,
+    truncated to n_mfcc — the DCT stage pinned against an independent
+    implementation (librosa's own mfcc is exactly this composition)."""
+    from scipy.fft import dct
+
+    from msv_tpu.features import mfcc
+
+    wav = (0.3 * np.sin(2 * np.pi * 440 * np.arange(8000) / 16000)
+           + 0.01 * rng.standard_normal(8000)).astype(np.float32)
+    feats = np.asarray(log_mel_spectrogram(
+        wav, 16000, n_mel=64, log="power_db", spec="power",
+        precision="parity"))
+    ours = np.asarray(mfcc(wav, 16000, n_mfcc=13, n_mel=64,
+                           precision="parity"))
+    ref = dct(feats.astype(np.float64), type=2, norm="ortho",
+              axis=-1)[:, :13]
+    assert ours.shape == (feats.shape[0], 13)
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_mfcc_batched_and_lifter(rng):
+    from msv_tpu.features import mfcc
+
+    wavs = rng.standard_normal((3, 4000)).astype(np.float32) * 0.2
+    m = np.asarray(mfcc(wavs, 8000, n_mfcc=20, precision="parity"))
+    assert m.shape[0] == 3 and m.shape[2] == 20
+    # batch row == single call
+    m0 = np.asarray(mfcc(wavs[0], 8000, n_mfcc=20, precision="parity"))
+    np.testing.assert_allclose(m[0], m0, atol=1e-5)
+    # librosa's sinusoidal liftering: 1 + (L/2) sin(pi (1..n) / L)
+    lift = np.asarray(mfcc(wavs, 8000, n_mfcc=20, lifter=22.0,
+                           precision="parity"))
+    li = 1.0 + 11.0 * np.sin(np.pi * np.arange(1, 21) / 22.0)
+    np.testing.assert_allclose(lift, m * li.astype(np.float32)[None, None],
+                               rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError, match="lifter"):
+        mfcc(wavs, 8000, lifter=-1.0)
+
+
+def test_mel_spec_power_vs_magnitude_differ(rng):
+    """spec='power' (mel of |X|^2) is NOT spec='magnitude' squared —
+    the GEMM and the square don't commute."""
+    wav = rng.standard_normal(4000).astype(np.float32) * 0.3
+    p = np.asarray(log_mel_spectrogram(wav, 8000, log="power_db",
+                                       spec="power", precision="parity"))
+    mq = np.asarray(log_mel_spectrogram(wav, 8000, log="power_db",
+                                        spec="magnitude",
+                                        precision="parity"))
+    assert p.shape == mq.shape
+    assert np.abs(p - mq).max() > 0.1  # genuinely different quantities
+
+
+def test_delta_matches_scipy_savgol(rng):
+    from scipy.signal import savgol_filter
+
+    from msv_tpu.features import delta
+
+    x = rng.standard_normal((2, 50, 13)).astype(np.float32)
+    for width, order in [(9, 1), (7, 2), (5, 1), (3, 1)]:
+        ours = np.asarray(delta(x, width=width, order=order))
+        ref = savgol_filter(x, width, order, deriv=order, axis=-2,
+                            mode="nearest")
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+    # delta-of-delta == direct order-2 IS NOT generally true; but shapes
+    # and the frame axis must hold for chained calls
+    dd = np.asarray(delta(delta(x), axis=-2))
+    assert dd.shape == x.shape
+    # 2-D (n_frames, n_feat) input works too (axis=-2 default)
+    one = np.asarray(delta(x[0]))
+    np.testing.assert_allclose(one, np.asarray(delta(x))[0], atol=1e-6)
+
+
+def test_delta_validation(rng):
+    from msv_tpu.features import delta
+
+    x = rng.standard_normal((10, 4)).astype(np.float32)
+    with pytest.raises(ValueError, match="odd"):
+        delta(x, width=8)
+    with pytest.raises(ValueError, match="order"):
+        delta(x, width=5, order=0)
+    with pytest.raises(ValueError, match="order"):
+        delta(x, width=5, order=5)
+
+
+def test_mfcc_linear_tone_energy_concentrates(rng):
+    """Sanity on content: a pure tone's MFCC energy beyond c0 is small
+    relative to broadband noise's spread (smoke check that the cepstral
+    transform does what cepstra do)."""
+    from msv_tpu.features import mfcc
+
+    t = np.arange(16000) / 16000
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    m = np.asarray(mfcc(tone, 16000, n_mfcc=13, precision="parity"))
+    assert np.isfinite(m).all()
+    assert np.abs(m[:, 0]).mean() > np.abs(m[:, 7:]).mean()
