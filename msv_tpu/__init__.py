@@ -23,6 +23,7 @@ from .features import (
     log_mel_spectrogram,
     log_mel_spectrogram_ragged,
     mfcc,
+    spectral_features,
     whisper_log_mel,
 )
 
@@ -42,6 +43,7 @@ __all__ = [
     "log_mel_spectrogram",
     "log_mel_spectrogram_ragged",
     "mfcc",
+    "spectral_features",
     "whisper_log_mel",
     "__version__",
 ]

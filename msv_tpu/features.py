@@ -530,3 +530,137 @@ def delta(feats, *, width: int = 9, order: int = 1, axis: int = -2):
         xp.reshape(-1, xp.shape[-1])
     ).reshape(*lead, x.shape[-1])
     return jnp.moveaxis(y, -1, axis)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("win", "hop", "n_frames", "mode", "sr",
+                              "rolloff_pct")
+)
+def _spectral_core(padded_b, c, s, *, win, hop, n_frames, mode, sr,
+                   rolloff_pct):
+    from .config import precision_for
+
+    prec = precision_for(mode)
+    n_freq = c.shape[1]
+    freqs = jnp.arange(n_freq, dtype=jnp.float32) * (sr / 2.0) / (n_freq - 1)
+
+    def one(padded):
+        frames = frame_device(padded, win, hop, n_frames)
+        re = jnp.dot(frames, c, precision=prec,
+                     preferred_element_type=jnp.float32)
+        im = jnp.dot(frames, s, precision=prec,
+                     preferred_element_type=jnp.float32)
+        p = re * re + im * im  # power spectrum (n_frames, n_freq)
+        tot = jnp.sum(p, axis=1)
+        safe = jnp.maximum(tot, 1e-20)
+        centroid = jnp.sum(p * freqs, axis=1) / safe
+        spread = jnp.sum(p * (freqs - centroid[:, None]) ** 2, axis=1) / safe
+        bandwidth = jnp.sqrt(spread)
+        # rolloff: lowest frequency where cumulative power >= pct * total
+        cum = jnp.cumsum(p, axis=1)
+        hit = cum >= (rolloff_pct * tot)[:, None]
+        idx = jnp.argmax(hit, axis=1)  # first True (all-False -> 0: tot=0)
+        rolloff = freqs[idx]
+        # flatness: geometric / arithmetic mean of the power spectrum
+        amin = 1e-10
+        gm = jnp.exp(jnp.mean(jnp.log(jnp.maximum(p, amin)), axis=1))
+        am = jnp.mean(jnp.maximum(p, amin), axis=1)
+        flatness = gm / am
+        # frame RMS and zero-crossing rate from the raw frames
+        rms = jnp.sqrt(jnp.mean(frames * frames, axis=1))
+        sgn = jnp.where(frames >= 0, 1.0, -1.0)
+        crossings = jnp.sum(jnp.abs(sgn[:, 1:] - sgn[:, :-1]) * 0.5, axis=1)
+        zcr = crossings * (sr / win)  # crossings per second
+        return jnp.stack(
+            [centroid, bandwidth, rolloff, flatness, rms, zcr], axis=1
+        )
+
+    return jax.vmap(one)(padded_b)
+
+
+SPECTRAL_FEATURE_NAMES = (
+    "centroid_hz", "bandwidth_hz", "rolloff_hz", "flatness", "rms",
+    "zcr_hz",
+)
+
+
+def spectral_features(
+    wav,
+    sr: int,
+    *,
+    win_length: int | None = None,
+    hop_length: int | None = None,
+    n_fft: int | None = None,
+    win_ms: float = 25.0,
+    hop_ms: float = 10.0,
+    rolloff_pct: float = 0.85,
+    precision: str | None = None,
+):
+    """Per-frame spectral descriptors: (T,) or (B, T) -> (B?, n_frames, 6).
+
+    Columns (``SPECTRAL_FEATURE_NAMES``): power-weighted spectral
+    centroid and bandwidth (Hz), ``rolloff_pct`` spectral rolloff (Hz),
+    spectral flatness (geometric/arithmetic mean of power, in (0, 1]),
+    frame RMS, and zero-crossing rate (crossings/s).  One framing + one
+    windowed-DFT GEMM feeds all six — the classic descriptor set
+    (librosa.feature.spectral_* equivalents; librosa is not in this
+    image, so each column is pinned against a from-scratch numpy oracle
+    in tests/test_features.py).  Framing/windowing conventions match
+    :func:`log_mel_spectrogram` (centered, reflect-padded, unscaled
+    periodic hann).
+    """
+    is_dev = isinstance(wav, jax.Array)
+    wav = (jnp.asarray(wav, jnp.float32) if is_dev
+           else np.asarray(wav, dtype=np.float32))
+    squeeze = wav.ndim == 1
+    if squeeze:
+        wav = wav[None]
+    if win_length is None:
+        win_length = int(round(win_ms * sr / 1000.0))
+    if hop_length is None:
+        hop_length = int(round(hop_ms * sr / 1000.0))
+    if n_fft is None:
+        n_fft = next_pow2(win_length)
+    if not (0.0 < rolloff_pct <= 1.0):
+        raise ValueError(f"rolloff_pct must be in (0, 1], got {rolloff_pct}")
+    from .config import get_precision_mode, precision_mode_is_explicit
+
+    if precision is None:
+        precision = (
+            get_precision_mode() if precision_mode_is_explicit() else "fast"
+        )
+    if precision not in ("fast", "parity"):
+        raise ValueError(f"unknown precision: {precision!r}")
+
+    window = hann(win_length, False)
+    c, s = windowed_dft_matrices(window, n_fft)
+    n_frames = n_frames_for(wav.shape[1], win_length, hop_length)
+    n_pad = round_up_to(max(n_frames, 1), 128)
+    need = (n_pad - 1) * hop_length + win_length
+    half = win_length // 2
+    if is_dev:
+        if wav.shape[1] < half + 1:
+            raise ValueError(
+                f"signal too short for win_length={win_length}: "
+                f"need at least {half + 1} samples, got {wav.shape[1]}"
+            )
+        padded = jnp.pad(wav, ((0, 0), (half, half)), mode="reflect")
+        padded = jnp.pad(
+            padded, ((0, 0), (0, max(0, need - padded.shape[1])))
+        )[:, :need]
+    else:
+        padded = np.stack(
+            [
+                np.pad(
+                    reflect_pad_center(w, win_length),
+                    (0, max(0, need - (wav.shape[1] + 2 * half))),
+                )[:need]
+                for w in wav
+            ]
+        )
+    out = _spectral_core(
+        jnp.asarray(padded), jnp.asarray(c), jnp.asarray(s),
+        win=win_length, hop=hop_length, n_frames=n_pad, mode=precision,
+        sr=sr, rolloff_pct=float(rolloff_pct),
+    )[:, :n_frames, :]
+    return out[0] if squeeze else out

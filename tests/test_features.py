@@ -448,3 +448,80 @@ def test_mfcc_linear_tone_energy_concentrates(rng):
     m = np.asarray(mfcc(tone, 16000, n_mfcc=13, precision="parity"))
     assert np.isfinite(m).all()
     assert np.abs(m[:, 0]).mean() > np.abs(m[:, 7:]).mean()
+
+
+def test_spectral_features_against_numpy_oracle(rng):
+    """Every descriptor column pinned against a from-scratch numpy
+    oracle over the same centered frames (librosa is not in this image)."""
+    from msv_tpu.features import SPECTRAL_FEATURE_NAMES, spectral_features
+    from msv_tpu.ops.framing import reflect_pad_center
+    from msv_tpu.ops.windows import hann
+
+    sr = 16000
+    t = np.arange(sr // 2) / sr
+    wav = (0.4 * np.sin(2 * np.pi * 1000 * t)
+           + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+    win = int(round(25.0 * sr / 1000.0))
+    hop = int(round(10.0 * sr / 1000.0))
+    n_fft = 512
+    ours = np.asarray(spectral_features(wav, sr, precision="parity"))
+    assert ours.shape[1] == len(SPECTRAL_FEATURE_NAMES) == 6
+
+    padded = reflect_pad_center(wav, win)
+    n_frames = ours.shape[0]
+    w = np.asarray(hann(win, False), np.float64)
+    freqs = np.arange(n_fft // 2 + 1) * sr / n_fft
+    for i in range(0, n_frames, 7):  # sample frames
+        fr = padded[i * hop: i * hop + win].astype(np.float64)
+        spec = np.fft.rfft(fr * w, n_fft)
+        p = np.abs(spec) ** 2
+        tot = p.sum()
+        centroid = (p * freqs).sum() / tot
+        bandwidth = np.sqrt((p * (freqs - centroid) ** 2).sum() / tot)
+        rolloff = freqs[np.searchsorted(np.cumsum(p), 0.85 * tot)]
+        pc = np.maximum(p, 1e-10)
+        flatness = np.exp(np.mean(np.log(pc))) / np.mean(pc)
+        rms = np.sqrt(np.mean(fr * fr))
+        sgn = np.where(fr >= 0, 1.0, -1.0)
+        zcr = np.sum(np.abs(np.diff(sgn)) * 0.5) * sr / win
+        got = ours[i]
+        np.testing.assert_allclose(got[0], centroid, rtol=1e-4)
+        np.testing.assert_allclose(got[1], bandwidth, rtol=1e-3)
+        np.testing.assert_allclose(got[2], rolloff, rtol=1e-6)
+        np.testing.assert_allclose(got[3], flatness, rtol=1e-3, atol=1e-7)
+        np.testing.assert_allclose(got[4], rms, rtol=1e-4)
+        np.testing.assert_allclose(got[5], zcr, rtol=1e-6)
+
+
+def test_spectral_features_content_sanity(rng):
+    """A 1 kHz tone centers near 1 kHz with low flatness; white noise is
+    much flatter with a centroid far above."""
+    from msv_tpu.features import spectral_features
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    noise = (0.3 * rng.standard_normal(sr)).astype(np.float32)
+    ft = np.asarray(spectral_features(tone, sr, precision="parity"))
+    fn = np.asarray(spectral_features(noise, sr, precision="parity"))
+    mid = slice(5, -5)  # skip edge frames (reflect padding artifacts)
+    assert abs(ft[mid, 0].mean() - 1000.0) < 50.0   # centroid ~1 kHz
+    assert fn[mid, 0].mean() > 2500.0               # noise centroid high
+    assert ft[mid, 3].mean() < 0.01                 # tone: peaky
+    assert fn[mid, 3].mean() > 0.1                  # noise: flat
+    # tone zcr = 2 crossings per period = 2*f0
+    assert abs(ft[mid, 5].mean() - 2000.0) < 60.0
+
+
+def test_spectral_features_batch_and_validation(rng):
+    from msv_tpu.features import spectral_features
+
+    wavs = rng.standard_normal((2, 4000)).astype(np.float32) * 0.2
+    out = np.asarray(spectral_features(wavs, 8000, precision="parity"))
+    assert out.shape[0] == 2 and out.shape[2] == 6
+    one = np.asarray(spectral_features(wavs[1], 8000, precision="parity"))
+    np.testing.assert_allclose(out[1], one, atol=1e-5)
+    with pytest.raises(ValueError, match="rolloff_pct"):
+        spectral_features(wavs, 8000, rolloff_pct=0.0)
+    with pytest.raises(ValueError, match="precision"):
+        spectral_features(wavs, 8000, precision="half")
