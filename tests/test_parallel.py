@@ -37,13 +37,35 @@ def setup():
     return p, window, c, s, mel_fb
 
 
-def _assert_db_close(got, expect, cap=2.5e-3, tight=1e-4):
-    """dB parity assertion with the measured shape of f32 error: ulp-level
-    almost everywhere (99.9% within ``tight``), with rare near-null bins
-    where log10 amplifies cancellation (capped at ``cap`` — still ~200x
-    below one grey quantization step of 120/255 dB)."""
-    d = np.abs(np.asarray(got, np.float64) - np.asarray(expect, np.float64))
-    assert d.max() <= cap, f"max dB diff {d.max():.2e} > {cap}"
+def _assert_db_close(got, expect, cap=2.5e-3, tight=1e-4,
+                     amp_err_ulps=50.0):
+    """dB parity assertion with the measured shape of f32 error.
+
+    Two computation orders of the same STFT differ by a roughly constant
+    ABSOLUTE amplitude error (summation-order noise, a few ulp of the
+    frame scale — measured 2-4e-9 on 0.027-peak spectra, i.e. ~2.5x
+    eps*max_amp).  In dB that error is amplified by 10^(depth/20) where
+    depth = dB below the global max: near-invisible at the signal,
+    unbounded at true spectral NULLS whose |X| is itself cancellation
+    residue (fresh-seed fuzz produced 0.03-0.07 dB at bins 88 dB down).
+    So the per-bin allowance is max(cap, 8.686*ulps*eps*10^(depth/20)):
+    flat ``cap`` (~1/200 of a 120/255 grey step) for visible bins, the
+    amplitude-derived curve past ~33 dB depth — with ``amp_err_ulps``=50
+    a ~20x margin over the measured constant.  p99.9 must still be
+    ulp-level ``tight``."""
+    got = np.asarray(got, np.float64)
+    expect = np.asarray(expect, np.float64)
+    d = np.abs(got - expect)
+    depth = expect.max() - expect
+    allowed = np.maximum(
+        cap, 8.686 * amp_err_ulps * 1.19e-7 * 10.0 ** (depth / 20.0)
+    )
+    worst = (d - allowed).max()
+    assert worst <= 0, (
+        f"dB diff exceeds depth-scaled allowance by {worst:.2e} "
+        f"(worst bin: diff {d.ravel()[(d - allowed).argmax()]:.2e} at "
+        f"depth {depth.ravel()[(d - allowed).argmax()]:.1f} dB)"
+    )
     assert np.quantile(d, 0.999) <= tight, (
         f"p99.9 dB diff {np.quantile(d, 0.999):.2e} > {tight}"
     )
@@ -81,7 +103,9 @@ def test_sharded_matches_single_device(setup, rng, n_dp, n_sp):
         _reference_db(wavs[b], p, window, mel_fb).max() for b in range(B)
     )
     assert float(gmax) == pytest.approx(emax, abs=1e-4)
-    assert float(gmin) == pytest.approx(emin, abs=2.5e-3)
+    # gmin is the DEEPEST null -> depth-scaled noise (see
+    # _assert_db_close); 0.05 dB ~ 10x margin, ~1/10 grey step
+    assert float(gmin) == pytest.approx(emin, abs=0.05)
 
 
 def test_streaming_matches_oneshot(setup, rng):
@@ -94,7 +118,7 @@ def test_streaming_matches_oneshot(setup, rng):
     assert n_frames == expect.shape[0]
     _assert_db_close(np.asarray(db)[:n_frames], expect)
     assert gmax == pytest.approx(expect.max(), abs=1e-4)
-    assert gmin == pytest.approx(expect.min(), abs=2.5e-3)
+    assert gmin == pytest.approx(expect.min(), abs=0.05)  # deepest null
 
 
 def test_streaming_linear_no_mel(setup, rng):
@@ -133,10 +157,12 @@ def test_streaming_fft_impl_matches_dft(setup, rng):
         impl="fft",
     )
     assert n == n2
-    np.testing.assert_allclose(
-        np.asarray(db_f)[:n], np.asarray(db_d)[:n], atol=1e-4, rtol=1e-5
-    )
-    assert abs(lo_d - lo_f) < 2e-3 and abs(hi_d - hi_f) < 2e-3
+    # same depth-scaled allowance as the oracle comparisons: rfft and the
+    # DFT GEMM accumulate in different orders, so deep-null bins carry
+    # log-amplified ulp noise (fresh-seed fuzz hit 2/77385 bins past a
+    # flat 1e-4 atol)
+    _assert_db_close(np.asarray(db_f)[:n], np.asarray(db_d)[:n], cap=1e-4)
+    assert abs(lo_d - lo_f) < 0.05 and abs(hi_d - hi_f) < 2e-3  # lo = deepest null
 
 
 def test_streaming_i16_transfer_format(setup):
@@ -178,7 +204,7 @@ def test_streaming_pallas_impl_matches_dft(setup, rng):
     np.testing.assert_allclose(
         np.asarray(db_p)[:n], np.asarray(db_d)[:n], atol=1e-4, rtol=1e-4
     )
-    assert abs(lo_d - lo_p) < 2e-3 and abs(hi_d - hi_p) < 2e-3
+    assert abs(lo_d - lo_p) < 0.05 and abs(hi_d - hi_p) < 2e-3  # lo = deepest null
 
 
 def test_streaming_pallas_validation(setup):
@@ -330,7 +356,7 @@ def test_streaming_non_divisible_hop(rng, win, hop):
         np.asarray(db)[:n_frames], expect, atol=1e-4, rtol=1e-5
     )
     assert gmax == pytest.approx(expect.max(), abs=1e-4)
-    assert gmin == pytest.approx(expect.min(), abs=2.5e-3)
+    assert gmin == pytest.approx(expect.min(), abs=0.05)  # deepest null
 
 
 def test_session_streams_all_long_tracks(tmp_path, monkeypatch, rng):
