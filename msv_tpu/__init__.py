@@ -18,6 +18,7 @@ from .config import FreqScale, SpecSetting, StftParams, derive_stft_params
 from .config import get_precision_mode, set_precision_mode
 from .session import AudioTrack, MultiTrack
 from .render.colormap import get_colormap
+from .ops.reconstruct import griffin_lim, mel_to_linear
 from .features import (
     delta,
     log_mel_spectrogram,
@@ -39,6 +40,8 @@ __all__ = [
     "AudioTrack",
     "MultiTrack",
     "get_colormap",
+    "griffin_lim",
+    "mel_to_linear",
     "delta",
     "log_mel_spectrogram",
     "log_mel_spectrogram_ragged",

@@ -30,6 +30,28 @@ from .windows import default_stft_window
 FRAME_BUCKET = 256  # jit-cache frame-count granularity
 
 
+@functools.lru_cache(maxsize=1)
+def _complex_transfer_ok() -> bool:
+    """Whether this backend can execute + fetch complex64.
+
+    The axon TPU relay raises UNIMPLEMENTED on any complex64 execution
+    while reporting platform 'tpu' exactly like healthy hardware — and a
+    trial complex op is DESTRUCTIVE there (measured: after the failed op,
+    every new program on the client raises), so detection must be
+    passive: the axon plugin still appears under its own name in the
+    backend registry.  Anything unexpected defaults to True (real
+    TPU/CPU/GPU complex support is table stakes).
+    """
+    if jax.default_backend() != "tpu":
+        return True
+    try:
+        from jax._src import xla_bridge
+
+        return "axon" not in xla_bridge.backends()
+    except Exception:
+        return True
+
+
 def frame_device(padded, win: int, hop: int, n_frames: int):
     """Device framing: (n_frames, win) view of a padded 1-D signal.
 
@@ -161,6 +183,17 @@ def perform_stft(
         n_frames=n_frames_pad,
         mode=get_precision_mode(),
     )
+    if not _complex_transfer_ok():
+        # the axon TPU relay cannot execute/transfer complex64 buffers
+        # (UNIMPLEMENTED at fetch; discovered driving griffin_lim, and
+        # indistinguishable from a healthy TPU by platform name — hence
+        # the probe).  The production pipelines are all-real (re/im GEMM
+        # pair), so only this parity surface needs complex: assemble it
+        # on HOST.
+        out = np.empty((n_frames, re.shape[1]), np.complex64)
+        out.real = np.asarray(jax.device_get(re[:n_frames]))
+        out.imag = np.asarray(jax.device_get(im[:n_frames]))
+        return out
     out = jax.lax.complex(re, im)[:n_frames]
     return out
 
@@ -185,11 +218,26 @@ def inverse_stft(
     because the forward pass baked 1/n_fft into the window and the inverse
     rDFT applies 1/n_fft again, the OLA normalizer here uses the UNscaled
     hann so the roundtrip is the identity.
+
+    ``spec`` may be complex (n_frames, n_freq), or a ``(re, im)`` pair of
+    real arrays — the form to use on the axon TPU relay, which cannot
+    execute/transfer complex64 buffers (perform_stft returns host complex
+    there; host complex input is split on host, never uploaded).
     """
     from .dft import inverse_rdft, n_pad_split
 
-    spec = jnp.asarray(spec)
-    n_frames = spec.shape[0]
+    if isinstance(spec, tuple):
+        spec = (jnp.asarray(spec[0], jnp.float32),
+                jnp.asarray(spec[1], jnp.float32))
+        n_frames = spec[0].shape[0]
+    elif isinstance(spec, np.ndarray):
+        # split complex on HOST: uploading complex64 breaks on axon
+        spec = (jnp.asarray(np.ascontiguousarray(spec.real, np.float32)),
+                jnp.asarray(np.ascontiguousarray(spec.imag, np.float32)))
+        n_frames = spec[0].shape[0]
+    else:
+        spec = jnp.asarray(spec)
+        n_frames = spec.shape[0]
     if window is None:
         window = default_stft_window(win_length, n_fft)
     syn = np.ascontiguousarray(window, dtype=np.float32)  # matched window
