@@ -83,3 +83,61 @@ def test_render_time_crop_out_of_range(wav_path, tmp_path, capsys):
                  "--end", "200"]) == 0
     assert not os.path.exists(os.path.join(out, "spec_tone.png"))
     assert "nothing to render" in capsys.readouterr().out
+
+
+def test_reconstruct_from_db_export(wav_path, tmp_path, capsys):
+    """render --save-db -> reconstruct: the dB export comes back as a WAV
+    whose dominant pitch is the source tone, at the original scale."""
+    from msv_tpu.io.audio import open_audio_file
+
+    out = str(tmp_path / "out")
+    assert main(["render", wav_path, "-o", out, "--save-db",
+                 "--no-wav"]) == 0
+    npy = os.path.join(out, "db_tone.npy")
+    assert os.path.exists(npy)
+    recon = str(tmp_path / "recon.wav")
+    assert main(["reconstruct", npy, "--sr", "8000", "-o", recon,
+                 "--n-iter", "16"]) == 0
+    assert "GL iters" in capsys.readouterr().out
+    w, sr = open_audio_file(recon)
+    assert sr == 8000 and w.shape[0] == 1
+    y = w[0]
+    f = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+    assert abs(f.argmax() * sr / len(y) - 440.0) < 3.0
+    # absolute scale preserved through dB -> amp -> GL (source rms 0.283)
+    assert 0.2 < float(np.sqrt((y * y).mean())) < 0.35
+
+
+def test_reconstruct_audio_roundtrip_and_normalize(wav_path, tmp_path):
+    """Audio input runs the analysis->resynthesis roundtrip at the
+    source length; --normalize peaks the output at 0.9."""
+    from msv_tpu.io.audio import open_audio_file
+
+    recon = str(tmp_path / "rt.wav")
+    assert main(["reconstruct", wav_path, "-o", recon, "--n-iter", "8",
+                 "--normalize"]) == 0
+    w, sr = open_audio_file(recon)
+    assert sr == 8000 and w.shape[1] == 8000  # exact source length
+    assert abs(float(np.abs(w).max()) - 0.9) < 2e-4  # PCM16 quantization
+
+
+def test_reconstruct_errors(wav_path, tmp_path, capsys):
+    """Clean `error:` lines (exit 1), never tracebacks."""
+    out = str(tmp_path / "out")
+    assert main(["render", wav_path, "-o", out, "--save-db",
+                 "--no-wav"]) == 0
+    npy = os.path.join(out, "db_tone.npy")
+    assert main(["reconstruct", npy]) == 1
+    assert "--sr is required" in capsys.readouterr().err
+    assert main(["reconstruct", npy, "--sr", "16000"]) == 1
+    assert "wrong --sr" in capsys.readouterr().err
+    assert main(["reconstruct", npy, "--sr", "8000",
+                 "--momentum", "2"]) == 1
+    assert "momentum" in capsys.readouterr().err
+    assert main(["reconstruct", str(tmp_path / "nope.npy"),
+                 "--sr", "8000"]) == 1
+    assert "error:" in capsys.readouterr().err
+    bad = str(tmp_path / "bad.npy")
+    np.save(bad, np.zeros(5, np.int32))
+    assert main(["reconstruct", bad, "--sr", "8000"]) == 1
+    assert "2-D float" in capsys.readouterr().err
