@@ -19,6 +19,7 @@ from .config import get_precision_mode, set_precision_mode
 from .session import AudioTrack, MultiTrack
 from .render.colormap import get_colormap
 from .ops.reconstruct import griffin_lim, mel_to_linear
+from .ops.resample import resample, resample_poly
 from .features import (
     delta,
     log_mel_spectrogram,
@@ -42,6 +43,8 @@ __all__ = [
     "get_colormap",
     "griffin_lim",
     "mel_to_linear",
+    "resample",
+    "resample_poly",
     "delta",
     "log_mel_spectrogram",
     "log_mel_spectrogram_ragged",

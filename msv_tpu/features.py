@@ -355,7 +355,7 @@ def whisper_log_mel(wav, sr: int = 16000, *, n_mel: int = 80,
     if sr != 16000:
         raise ValueError(
             f"whisper features are defined at 16 kHz, got sr={sr} "
-            "(resample first)"
+            "(convert first: msv_tpu.resample(wav, sr, 16000))"
         )
     if precision is None:
         precision = "parity"

@@ -12,8 +12,14 @@ from .stft import perform_stft, stft_magnitude, inverse_stft
 from .dft import inverse_rdft, windowed_dft_matrices
 from .framing import n_frames_for, reflect_pad_center
 from .multires import multires_mel_spec_db
+from .resample import resample, resample_poly
+from .reconstruct import griffin_lim, mel_to_linear
 
 __all__ = [
+    "resample",
+    "resample_poly",
+    "griffin_lim",
+    "mel_to_linear",
     "hann",
     "cosine_window",
     "hamming",
