@@ -21,6 +21,8 @@ from .render.colormap import get_colormap
 from .ops.reconstruct import griffin_lim, mel_to_linear
 from .ops.resample import resample, resample_poly
 from .features import (
+    chroma_filterbank,
+    chroma_stft,
     delta,
     log_mel_spectrogram,
     log_mel_spectrogram_ragged,
@@ -45,6 +47,8 @@ __all__ = [
     "mel_to_linear",
     "resample",
     "resample_poly",
+    "chroma_filterbank",
+    "chroma_stft",
     "delta",
     "log_mel_spectrogram",
     "log_mel_spectrogram_ragged",

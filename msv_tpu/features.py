@@ -636,6 +636,19 @@ def spectral_features(
     c, s = windowed_dft_matrices(window, n_fft)
     n_frames = n_frames_for(wav.shape[1], win_length, hop_length)
     n_pad = round_up_to(max(n_frames, 1), 128)
+    padded = _pad_batch(wav, win_length, hop_length, n_pad, is_dev)
+    out = _spectral_core(
+        jnp.asarray(padded), jnp.asarray(c), jnp.asarray(s),
+        win=win_length, hop=hop_length, n_frames=n_pad, mode=precision,
+        sr=sr, rolloff_pct=float(rolloff_pct),
+    )[:, :n_frames, :]
+    return out[0] if squeeze else out
+
+
+def _pad_batch(wav, win_length: int, hop_length: int, n_pad: int,
+               is_dev: bool):
+    """Centered reflect pad + zero-extend a (B, T) batch to the bucketed
+    frame count's sample need (shared by the feature cores)."""
     need = (n_pad - 1) * hop_length + win_length
     half = win_length // 2
     if is_dev:
@@ -645,22 +658,149 @@ def spectral_features(
                 f"need at least {half + 1} samples, got {wav.shape[1]}"
             )
         padded = jnp.pad(wav, ((0, 0), (half, half)), mode="reflect")
-        padded = jnp.pad(
+        return jnp.pad(
             padded, ((0, 0), (0, max(0, need - padded.shape[1])))
         )[:, :need]
-    else:
-        padded = np.stack(
-            [
-                np.pad(
-                    reflect_pad_center(w, win_length),
-                    (0, max(0, need - (wav.shape[1] + 2 * half))),
-                )[:need]
-                for w in wav
-            ]
+    return np.stack(
+        [
+            np.pad(
+                reflect_pad_center(w, win_length),
+                (0, max(0, need - (wav.shape[1] + 2 * half))),
+            )[:need]
+            for w in wav
+        ]
+    )
+
+
+def chroma_filterbank(
+    sr: int,
+    n_fft: int,
+    *,
+    n_chroma: int = 12,
+    tuning: float = 0.0,
+    ctroct: float = 5.0,
+    octwidth: float = 2.0,
+    base_c: bool = True,
+) -> np.ndarray:
+    """Chroma (pitch-class) filterbank -> (n_fft//2+1, n_chroma) f32.
+
+    Host-side constant builder in the repo convention (bins as ROWS so
+    application is one ``spec @ fb`` GEMM).  The design follows the
+    classic Ellis chromagram (librosa.filters.chroma; librosa is not in
+    this image): each FFT bin's pitch measured in fractional chroma bins
+    above A0 (27.5 Hz), a Gaussian of one-bin-gap width around each of
+    the ``n_chroma`` classes with wrap-around distance, per-bin L2
+    normalization, and a log-frequency Gaussian envelope centered
+    ``ctroct`` octaves up (soft-ignores very low/high bins).  ``base_c``
+    rotates class 0 to C (otherwise A).
+    """
+    if n_chroma < 2:
+        raise ValueError(f"n_chroma must be >= 2, got {n_chroma}")
+    n_freq = n_fft // 2 + 1
+    freqs = np.arange(1, n_fft, dtype=np.float64) * sr / n_fft  # skip DC
+    a0 = 27.5 * 2.0 ** (tuning / n_chroma)
+    frqbins = n_chroma * np.log2(freqs / a0)
+    frqbins = np.concatenate([[frqbins[0] - 1.5 * n_chroma], frqbins])
+    binwidth = np.concatenate(
+        [np.maximum(frqbins[1:] - frqbins[:-1], 1.0), [1.0]]
+    )
+    d = frqbins[None, :] - np.arange(n_chroma, dtype=np.float64)[:, None]
+    half = round(n_chroma / 2)
+    d = np.remainder(d + half + 10 * n_chroma, n_chroma) - half
+    wts = np.exp(-0.5 * (2.0 * d / binwidth[None, :]) ** 2)
+    wts /= np.maximum(np.sqrt((wts**2).sum(axis=0)), 1e-30)[None, :]
+    if octwidth is not None and octwidth > 0:
+        wts *= np.exp(
+            -0.5 * ((frqbins / n_chroma - ctroct) / octwidth) ** 2
+        )[None, :]
+    if base_c:
+        wts = np.roll(wts, -3 * (n_chroma // 12), axis=0)
+    return np.ascontiguousarray(wts[:, :n_freq].T, dtype=np.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("win", "hop", "n_frames", "mode", "norm")
+)
+def _chroma_core(padded_b, c, s, fb, *, win, hop, n_frames, mode, norm):
+    from .config import precision_for
+
+    prec = precision_for(mode)
+
+    def one(padded):
+        frames = frame_device(padded, win, hop, n_frames)
+        re = jnp.dot(frames, c, precision=prec,
+                     preferred_element_type=jnp.float32)
+        im = jnp.dot(frames, s, precision=prec,
+                     preferred_element_type=jnp.float32)
+        ch = jnp.dot(re * re + im * im, fb, precision=prec,
+                     preferred_element_type=jnp.float32)
+        if norm == "inf":
+            ch = ch / jnp.maximum(ch.max(axis=-1, keepdims=True), 1e-30)
+        elif norm == "l2":
+            ch = ch / jnp.maximum(
+                jnp.sqrt((ch * ch).sum(axis=-1, keepdims=True)), 1e-30
+            )
+        return ch
+
+    return jax.vmap(one)(padded_b)
+
+
+def chroma_stft(
+    wav,
+    sr: int,
+    *,
+    n_chroma: int = 12,
+    win_length: int | None = None,
+    hop_length: int | None = None,
+    n_fft: int | None = None,
+    win_ms: float = 25.0,
+    hop_ms: float = 10.0,
+    tuning: float = 0.0,
+    norm: str = "inf",
+    precision: str | None = None,
+):
+    """Chromagram: (T,) or (B, T) -> (B?, n_frames, n_chroma).
+
+    Power spectrum projected onto pitch classes (one more GEMM after the
+    windowed-DFT pair) and normalized per frame (``norm``: 'inf' — the
+    librosa default, each frame's max is 1 — 'l2', or 'none').  Class 0
+    is C.  Framing/windowing conventions match
+    :func:`log_mel_spectrogram` (centered, reflect-padded, unscaled
+    periodic hann); pinned against a from-scratch numpy oracle and
+    pitch-class semantics in tests/test_features.py.
+    """
+    is_dev = isinstance(wav, jax.Array)
+    wav = (jnp.asarray(wav, jnp.float32) if is_dev
+           else np.asarray(wav, dtype=np.float32))
+    squeeze = wav.ndim == 1
+    if squeeze:
+        wav = wav[None]
+    if win_length is None:
+        win_length = int(round(win_ms * sr / 1000.0))
+    if hop_length is None:
+        hop_length = int(round(hop_ms * sr / 1000.0))
+    if n_fft is None:
+        n_fft = next_pow2(win_length)
+    if norm not in ("inf", "l2", "none"):
+        raise ValueError(f"unknown norm: {norm!r}")
+    from .config import get_precision_mode, precision_mode_is_explicit
+
+    if precision is None:
+        precision = (
+            get_precision_mode() if precision_mode_is_explicit() else "fast"
         )
-    out = _spectral_core(
+    if precision not in ("fast", "parity"):
+        raise ValueError(f"unknown precision: {precision!r}")
+
+    window = hann(win_length, False)
+    c, s = windowed_dft_matrices(window, n_fft)
+    fb = chroma_filterbank(sr, n_fft, n_chroma=n_chroma, tuning=tuning)
+    n_frames = n_frames_for(wav.shape[1], win_length, hop_length)
+    n_pad = round_up_to(max(n_frames, 1), 128)
+    padded = _pad_batch(wav, win_length, hop_length, n_pad, is_dev)
+    out = _chroma_core(
         jnp.asarray(padded), jnp.asarray(c), jnp.asarray(s),
-        win=win_length, hop=hop_length, n_frames=n_pad, mode=precision,
-        sr=sr, rolloff_pct=float(rolloff_pct),
+        jnp.asarray(fb), win=win_length, hop=hop_length, n_frames=n_pad,
+        mode=precision, norm=norm,
     )[:, :n_frames, :]
     return out[0] if squeeze else out

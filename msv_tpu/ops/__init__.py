@@ -7,7 +7,8 @@ waveform envelope.
 
 from .windows import hann, cosine_window, hamming, blackman, blackman_harris
 from .mel import hz_to_mel, mel_to_hz, calc_mel_fb, calc_mel_fb_default
-from .decibel import amp_to_db, power_to_db, db_to_amp, db_to_power
+from .decibel import (amp_to_db, power_to_db, db_to_amp, db_to_power,
+                      a_weighting)
 from .stft import perform_stft, stft_magnitude, inverse_stft
 from .dft import inverse_rdft, windowed_dft_matrices
 from .framing import n_frames_for, reflect_pad_center
@@ -16,6 +17,7 @@ from .resample import resample, resample_poly
 from .reconstruct import griffin_lim, mel_to_linear
 
 __all__ = [
+    "a_weighting",
     "resample",
     "resample_poly",
     "griffin_lim",

@@ -66,3 +66,20 @@ def test_max_reference_mode():
     tiny = jnp.asarray([0.0, 0.0])
     out2 = np.asarray(amp_to_db(tiny, ref_value="max"))
     assert out2[0] == pytest.approx(0.0, abs=1e-3)  # log_amin - log_amin
+
+
+def test_a_weighting_iec_anchors():
+    """IEC 61672-1 table anchors (formula-exact to the rounded table
+    within 0.2 dB) + shape/floor behavior."""
+    from msv_tpu.ops.decibel import a_weighting
+
+    freqs = [31.5, 100.0, 1000.0, 8000.0, 10000.0]
+    want = [-39.4, -19.1, 0.0, -1.1, -2.5]
+    got = a_weighting(freqs)
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, want, atol=0.2)
+    # monotone rolloff below 1 kHz; floored at min_db incl. f=0
+    lo = a_weighting(np.linspace(0.0, 1000.0, 101), min_db=-80.0)
+    assert lo[0] == -80.0 and (np.diff(lo) >= 0).all()
+    unfloored = a_weighting([1.0], min_db=None)
+    assert unfloored[0] < -100.0

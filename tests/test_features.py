@@ -527,3 +527,66 @@ def test_spectral_features_batch_and_validation(rng):
         spectral_features(wavs, 8000, rolloff_pct=0.0)
     with pytest.raises(ValueError, match="precision"):
         spectral_features(wavs, 8000, precision="half")
+
+
+def test_chroma_pure_tones_land_in_their_pitch_class(rng):
+    """C5/A4/E4 tones put the frame max in classes 0/9/4 (base C)."""
+    from msv_tpu.features import chroma_stft
+
+    sr = 22050
+    t = np.arange(sr) / sr
+    for hz, cls in [(523.25, 0), (440.0, 9), (329.63, 4)]:
+        wav = (0.5 * np.sin(2 * np.pi * hz * t)).astype(np.float32)
+        ch = np.asarray(chroma_stft(wav, sr))
+        assert ch.shape[1] == 12
+        mid = ch[10:-10]  # skip edge frames
+        assert (mid.argmax(axis=1) == cls).mean() > 0.95
+        # inf norm: every frame max is exactly 1
+        np.testing.assert_allclose(ch.max(axis=1), 1.0, rtol=1e-6)
+    # octave invariance: A3 maps to the same class as A4
+    wav = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    ch = np.asarray(chroma_stft(wav, sr))
+    assert (ch[10:-10].argmax(axis=1) == 9).mean() > 0.95
+
+
+def test_chroma_matches_numpy_oracle(rng):
+    """Full pipeline vs numpy rfft power @ filterbank on the same
+    centered frames (parity precision)."""
+    from msv_tpu.features import chroma_filterbank, chroma_stft
+    from msv_tpu.ops.framing import reflect_pad_center
+    from msv_tpu.ops.windows import hann
+
+    sr = 16000
+    t = np.arange(sr // 2) / sr
+    wav = (0.4 * np.sin(2 * np.pi * 523.25 * t)
+           + 0.1 * rng.standard_normal(len(t))).astype(np.float32)
+    win = int(round(25.0 * sr / 1000.0))
+    hop = int(round(10.0 * sr / 1000.0))
+    n_fft = 512
+    ours = np.asarray(chroma_stft(wav, sr, precision="parity",
+                                  norm="none"))
+    fb = chroma_filterbank(sr, n_fft).astype(np.float64)
+    padded = reflect_pad_center(wav, win)
+    w = np.asarray(hann(win, False), np.float64)
+    for i in range(0, ours.shape[0], 5):
+        fr = padded[i * hop: i * hop + win].astype(np.float64)
+        p = np.abs(np.fft.rfft(fr * w, n_fft)) ** 2
+        np.testing.assert_allclose(ours[i], p @ fb, rtol=1e-4, atol=1e-6)
+
+
+def test_chroma_norms_batch_and_validation(rng):
+    from msv_tpu.features import chroma_stft
+
+    wav = rng.standard_normal((2, 8000)).astype(np.float32)
+    l2 = np.asarray(chroma_stft(wav, 16000, norm="l2"))
+    assert l2.shape[0] == 2 and l2.shape[2] == 12
+    np.testing.assert_allclose(
+        np.sqrt((l2 * l2).sum(axis=2)), 1.0, rtol=1e-5)
+    raw = np.asarray(chroma_stft(wav, 16000, norm="none"))
+    assert (raw >= 0).all() and raw.max() != pytest.approx(1.0)
+    with pytest.raises(ValueError, match="norm"):
+        chroma_stft(wav, 16000, norm="max")
+    with pytest.raises(ValueError, match="n_chroma"):
+        from msv_tpu.features import chroma_filterbank
+
+        chroma_filterbank(16000, 512, n_chroma=1)
