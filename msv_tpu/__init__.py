@@ -20,6 +20,7 @@ from .session import AudioTrack, MultiTrack
 from .render.colormap import get_colormap
 from .ops.reconstruct import griffin_lim, mel_to_linear
 from .ops.resample import resample, resample_poly
+from .ops.hpss import hpss, hpss_masks
 from .features import (
     chroma_filterbank,
     chroma_stft,
@@ -47,6 +48,8 @@ __all__ = [
     "mel_to_linear",
     "resample",
     "resample_poly",
+    "hpss",
+    "hpss_masks",
     "chroma_filterbank",
     "chroma_stft",
     "delta",

@@ -15,8 +15,11 @@ from .framing import n_frames_for, reflect_pad_center
 from .multires import multires_mel_spec_db
 from .resample import resample, resample_poly
 from .reconstruct import griffin_lim, mel_to_linear
+from .hpss import hpss, hpss_masks
 
 __all__ = [
+    "hpss",
+    "hpss_masks",
     "a_weighting",
     "resample",
     "resample_poly",

@@ -1,0 +1,189 @@
+"""Harmonic/percussive source separation (median-filtering HPSS).
+
+Another loop the reference's display-only pipeline never closes: the
+session computes magnitudes to LOOK at; here the same STFT machinery
+separates what the eye sees — horizontal ridges (harmonics) from
+vertical ones (transients) — and plays each back.  Fitzgerald-2010 /
+Driedger-2014 median-filter HPSS in the librosa convention (librosa is
+not in this image; the filter + mask stages are pinned against
+scipy.ndimage + a from-scratch softmask oracle in tests/test_hpss.py).
+
+TPU-first shape: ONE jitted program does framing -> windowed-DFT GEMMs
+-> time/freq median filters (k statically-unrolled shifted slices +
+``jnp.sort``; no gathers) -> soft/hard Wiener masks -> two inverse-rDFT
+GEMMs -> overlap-add.  Phase rides the masked re/im pair, so the axon
+relay's missing complex64 support never matters.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dft import inverse_rdft, n_pad_split, windowed_dft_matrices
+from .reconstruct import _ola_constants
+from .stft import frame_device
+from .windows import default_stft_window
+
+
+def _median_axis(x, k: int, axis: int):
+    """Running median of odd width ``k`` along ``axis``, symmetric edge
+    padding (scipy.ndimage 'reflect') — k shifted slices + one sort."""
+    h = k // 2
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (h, h)
+    xp = jnp.pad(x, pad, mode="symmetric")
+    n = x.shape[axis]
+    win = jnp.stack(
+        [jax.lax.slice_in_dim(xp, j, j + n, axis=axis) for j in range(k)],
+        axis=0,
+    )
+    return jnp.sort(win, axis=0)[h]
+
+
+def _softmask(x, x_ref, power: float):
+    """librosa.util.softmask(split_zeros=False): Wiener-style ratio of
+    ``power``-th powers, computed on max-normalized operands so large
+    magnitudes never overflow; 0 where both inputs underflow."""
+    z = jnp.maximum(x, x_ref)
+    bad = z < jnp.float32(np.finfo(np.float32).tiny)
+    zs = jnp.where(bad, 1.0, z)
+    if np.isinf(power):
+        return jnp.where(bad, 0.0, (x > x_ref).astype(jnp.float32))
+    xn = (x / zs) ** power
+    rn = (x_ref / zs) ** power
+    return jnp.where(bad, 0.0, xn / (xn + rn))
+
+
+def _check_args(kernel_time: int, kernel_freq: int, margin):
+    if kernel_time < 1 or kernel_time % 2 == 0:
+        raise ValueError(f"kernel_time must be odd >= 1, got {kernel_time}")
+    if kernel_freq < 1 or kernel_freq % 2 == 0:
+        raise ValueError(f"kernel_freq must be odd >= 1, got {kernel_freq}")
+    mh, mp = margin if isinstance(margin, tuple) else (margin, margin)
+    if mh < 1.0 or mp < 1.0:
+        raise ValueError(f"margins must be >= 1, got {margin}")
+    return float(mh), float(mp)
+
+
+def hpss_masks(mag, *, kernel_time: int = 31, kernel_freq: int = 31,
+               power: float = 2.0, margin: float | tuple = 1.0):
+    """(n_frames, n_freq) magnitude -> (harmonic_mask, percussive_mask).
+
+    Median-filter the magnitude along time (suppresses transients ->
+    harmonic enhancement) and along frequency (suppresses tones ->
+    percussive enhancement), then convert to soft Wiener masks
+    (``power``; ``np.inf`` = hard binary masks).  ``margin`` (scalar or
+    ``(margin_harm, margin_perc)``) > 1 carves a residual: masks then
+    sum to < 1 and H + P no longer reconstructs the input.
+    """
+    mh, mp = _check_args(kernel_time, kernel_freq, margin)
+    mag = jnp.asarray(mag, jnp.float32)
+    if mag.ndim != 2:
+        raise ValueError(f"mag must be (n_frames, n_freq), got {mag.shape}")
+    if mag.shape[0] <= kernel_time // 2 or mag.shape[1] <= kernel_freq // 2:
+        raise ValueError(
+            f"spectrogram {mag.shape} too small for kernels "
+            f"({kernel_time}, {kernel_freq}): symmetric padding needs "
+            "dim > kernel//2 (use a longer signal or smaller kernels)"
+        )
+    harm = _median_axis(mag, kernel_time, axis=0)
+    perc = _median_axis(mag, kernel_freq, axis=1)
+    mask_h = _softmask(harm, perc * jnp.float32(mh), power)
+    mask_p = _softmask(perc, harm * jnp.float32(mp), power)
+    return mask_h, mask_p
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("win", "hop", "n_fft", "n_frames", "length", "kt",
+                     "kf", "power", "mh", "mp"),
+)
+def _hpss_core(padded, c, s, syn, idx, wsq, *, win, hop, n_fft, n_frames,
+               length, kt, kf, power, mh, mp):
+    pl, _ = n_pad_split(n_fft, win)
+    half = win // 2
+    total = (n_frames - 1) * hop + win
+
+    frames = frame_device(padded, win, hop, n_frames)
+    re = jnp.dot(frames, c, precision=jax.lax.Precision.HIGHEST,
+                 preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, s, precision=jax.lax.Precision.HIGHEST,
+                 preferred_element_type=jnp.float32)
+    mag = jnp.sqrt(re * re + im * im)
+    harm = _median_axis(mag, kt, axis=0)
+    perc = _median_axis(mag, kf, axis=1)
+    mask_h = _softmask(harm, perc * jnp.float32(mh), power)
+    mask_p = _softmask(perc, harm * jnp.float32(mp), power)
+
+    def istft(m):
+        fr = inverse_rdft((re * m, im * m), n_fft)[:, pl:pl + win]
+        sig = jnp.zeros(total, jnp.float32).at[idx].add(
+            (fr * syn[None, :]).ravel()
+        )
+        return (sig / wsq)[half:half + length]
+
+    return istft(mask_h), istft(mask_p)
+
+
+def hpss(
+    wav,
+    win_length: int,
+    hop_length: int,
+    n_fft: int,
+    *,
+    kernel_time: int = 31,
+    kernel_freq: int = 31,
+    power: float = 2.0,
+    margin: float | tuple = 1.0,
+    window=None,
+):
+    """Split ``wav`` into (harmonic, percussive) float32 signals of the
+    same length.
+
+    STFT conventions match :func:`msv_tpu.ops.stft.perform_stft`
+    (centered, reflect padding; ``window`` defaults to the session's
+    hann/n_fft — the scale cancels through the masked roundtrip).  With
+    the default ``margin=1.0`` the soft masks sum to one wherever the
+    spectrogram is nonzero, so ``harmonic + percussive`` reconstructs
+    the input to OLA rounding.  See :func:`hpss_masks` for the
+    separation parameters.
+    """
+    wav = np.asarray(wav, np.float32)
+    if wav.ndim != 1:
+        raise ValueError(f"wav must be 1-D, got {wav.shape}")
+    half = win_length // 2
+    if len(wav) < half + 1:
+        raise ValueError(
+            f"signal too short for win_length={win_length}: need at "
+            f"least {half + 1} samples, got {len(wav)}"
+        )
+    mh, mp = _check_args(kernel_time, kernel_freq, margin)
+    if window is None:
+        window = default_stft_window(win_length, n_fft)
+    window = np.ascontiguousarray(window, dtype=np.float32)
+    c, s = windowed_dft_matrices(window, n_fft)
+
+    from .framing import n_frames_for, reflect_pad_center
+
+    n_frames = n_frames_for(len(wav), win_length, hop_length)
+    if n_frames <= kernel_time // 2 or n_fft // 2 + 1 <= kernel_freq // 2:
+        raise ValueError(
+            f"spectrogram ({n_frames}, {n_fft // 2 + 1}) too small for "
+            f"kernels ({kernel_time}, {kernel_freq}): symmetric padding "
+            "needs dim > kernel//2 (longer signal or smaller kernels)"
+        )
+    need = (n_frames - 1) * hop_length + win_length
+    padded = np.pad(
+        reflect_pad_center(wav, win_length),
+        (0, max(0, need - (len(wav) + 2 * half))),
+    )[:need]
+    idx, wsq, _ = _ola_constants(n_frames, win_length, hop_length, window)
+    return _hpss_core(
+        jnp.asarray(padded), jnp.asarray(c), jnp.asarray(s),
+        jnp.asarray(window), jnp.asarray(idx), jnp.asarray(wsq),
+        win=win_length, hop=hop_length, n_fft=n_fft, n_frames=n_frames,
+        length=len(wav), kt=int(kernel_time), kf=int(kernel_freq),
+        power=float(power), mh=float(mh), mp=float(mp),
+    )

@@ -141,3 +141,23 @@ def test_reconstruct_errors(wav_path, tmp_path, capsys):
     np.save(bad, np.zeros(5, np.int32))
     assert main(["reconstruct", bad, "--sr", "8000"]) == 1
     assert "2-D float" in capsys.readouterr().err
+
+
+def test_hpss_cli(wav_path, tmp_path, capsys):
+    """hpss writes harmonic + percussive WAVs that sum to the input."""
+    from msv_tpu.io.audio import open_audio_file
+
+    out = str(tmp_path / "sep")
+    assert main(["hpss", wav_path, "-o", out]) == 0
+    assert "separated" in capsys.readouterr().out
+    h, sr = open_audio_file(os.path.join(out, "tone_harmonic.wav"))
+    p, _ = open_audio_file(os.path.join(out, "tone_percussive.wav"))
+    x, _ = open_audio_file(wav_path)
+    assert sr == 8000
+    # sum reconstructs through PCM16 quantization (2/32768 per part)
+    np.testing.assert_allclose(h[0] + p[0], x[0], atol=3e-4)
+    # a pure tone is (almost) all harmonic
+    assert float(np.sqrt(np.mean(p[0] ** 2))) < 0.02
+    # error paths stay clean
+    assert main(["hpss", wav_path, "-o", out, "--margin", "0.2"]) == 1
+    assert main(["hpss", wav_path, "-o", out, "--channel", "5"]) == 1
