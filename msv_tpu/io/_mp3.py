@@ -21,6 +21,7 @@ round-trips to exactly the original sample count.
 import ctypes
 import ctypes.util
 import os
+import threading
 
 import numpy as np
 
@@ -34,13 +35,24 @@ _MPG123_ENC_FLOAT_32 = 0x200
 
 _LIB = None
 _TRIED = False
+_LOAD_LOCK = threading.Lock()
 
 
 def _load():
+    """Thread-safe lazy load (double-checked: ``_TRIED`` publishes only
+    AFTER ``_LIB`` — concurrent decoder threads, e.g. the data-pipeline
+    pool, must never observe the latch without the handle)."""
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
-    _TRIED = True
+    with _LOAD_LOCK:
+        if not _TRIED:
+            _LIB = _load_impl()
+            _TRIED = True
+    return _LIB
+
+
+def _load_impl():
     for name in ("libmpg123.so.0", "libmpg123.so",
                  ctypes.util.find_library("mpg123")):
         if not name:
@@ -79,8 +91,7 @@ def _load():
     lib.mpg123_delete.argtypes = [c.c_void_p]
     lib.mpg123_delete.restype = None
     lib.mpg123_init()  # no-op in modern builds; required by older ones
-    _LIB = lib
-    return _LIB
+    return lib
 
 
 def available() -> bool:

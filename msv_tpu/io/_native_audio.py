@@ -8,18 +8,30 @@ output either way (parity-tested).
 
 import ctypes
 import os
+import threading
 
 import numpy as np
 
 _LIB = None
 _TRIED = False
+_LOAD_LOCK = threading.Lock()
 
 
 def _load():
+    """Thread-safe lazy load (double-checked: ``_TRIED`` publishes only
+    AFTER ``_LIB`` — concurrent decoder threads, e.g. the data-pipeline
+    pool, must never observe the latch without the handle)."""
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
-    _TRIED = True
+    with _LOAD_LOCK:
+        if not _TRIED:
+            _LIB = _load_impl()
+            _TRIED = True
+    return _LIB
+
+
+def _load_impl():
     so = os.path.join(os.path.dirname(__file__), "..", "native", "libmsv_native.so")
     so = os.path.abspath(so)
     if not os.path.exists(so):
@@ -45,10 +57,9 @@ def _load():
         lib.msv_free_ptr.restype = None
         lib.msv_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
         lib.msv_free.restype = None
-        _LIB = lib
+        return lib
     except OSError:
-        _LIB = None
-    return _LIB
+        return None
 
 
 def _call_decoder(fn, path: str):

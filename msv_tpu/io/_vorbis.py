@@ -14,6 +14,7 @@ the decoder output.
 import ctypes
 import ctypes.util
 import os
+import threading
 
 import numpy as np
 
@@ -24,6 +25,7 @@ _OVFILE_BYTES = 8192
 
 _LIB = None
 _TRIED = False
+_LOAD_LOCK = threading.Lock()
 
 
 class _VorbisInfoHead(ctypes.Structure):
@@ -37,10 +39,20 @@ class _VorbisInfoHead(ctypes.Structure):
 
 
 def _load():
+    """Thread-safe lazy load (double-checked: ``_TRIED`` publishes only
+    AFTER ``_LIB`` — concurrent decoder threads, e.g. the data-pipeline
+    pool, must never observe the latch without the handle)."""
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
-    _TRIED = True
+    with _LOAD_LOCK:
+        if not _TRIED:
+            _LIB = _load_impl()
+            _TRIED = True
+    return _LIB
+
+
+def _load_impl():
     for name in ("libvorbisfile.so.3", "libvorbisfile.so",
                  ctypes.util.find_library("vorbisfile")):
         if not name:
@@ -69,8 +81,7 @@ def _load():
     lib.ov_pcm_total.restype = ctypes.c_int64
     lib.ov_clear.argtypes = [ctypes.c_void_p]
     lib.ov_clear.restype = ctypes.c_int
-    _LIB = lib
-    return _LIB
+    return lib
 
 
 def available() -> bool:

@@ -325,3 +325,27 @@ def test_mp3_in_session(tmp_path, rng):
     mt.add_tracks([0], [os.path.join(FIXTURES, "sine440_16k.mp3")])
     img = mt.get_spec_image(0, 100.0, 120)
     assert img.shape[0] == 120 and img.shape[2] == 3 and img.shape[1] > 0
+
+
+@pytest.mark.parametrize("modname", ["_mp3", "_vorbis", "_native_audio"])
+def test_lazy_loader_thread_safety(monkeypatch, modname):
+    """Concurrent first-touch from decoder threads must all see the same
+    fully-initialized handle (regression: _TRIED was published before
+    _LIB, so a racing thread returned None and the codec 'vanished' —
+    found driving the data-pipeline thread pool)."""
+    import concurrent.futures
+    import importlib
+    import threading
+
+    mod = importlib.import_module(f"msv_tpu.io.{modname}")
+    monkeypatch.setattr(mod, "_TRIED", False)
+    monkeypatch.setattr(mod, "_LIB", None)
+    barrier = threading.Barrier(8)
+
+    def go(_):
+        barrier.wait()
+        return mod._load()
+
+    with concurrent.futures.ThreadPoolExecutor(8) as ex:
+        results = list(ex.map(go, range(8)))
+    assert all(r is results[0] for r in results)
