@@ -21,6 +21,7 @@ from .render.colormap import get_colormap
 from .ops.reconstruct import griffin_lim, mel_to_linear
 from .ops.resample import resample, resample_poly
 from .ops.hpss import hpss, hpss_masks
+from .ops.pitch import yin
 from .features import (
     chroma_filterbank,
     chroma_stft,
@@ -50,6 +51,7 @@ __all__ = [
     "resample_poly",
     "hpss",
     "hpss_masks",
+    "yin",
     "chroma_filterbank",
     "chroma_stft",
     "delta",

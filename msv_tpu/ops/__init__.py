@@ -16,8 +16,10 @@ from .multires import multires_mel_spec_db
 from .resample import resample, resample_poly
 from .reconstruct import griffin_lim, mel_to_linear
 from .hpss import hpss, hpss_masks
+from .pitch import yin
 
 __all__ = [
+    "yin",
     "hpss",
     "hpss_masks",
     "a_weighting",

@@ -36,6 +36,7 @@ _PAGE = """<!DOCTYPE html>
  <span id="dbrange" style="color:#888;font-size:12px"></span>
  <label style="margin-left:14px"><input id="showwav" type="checkbox" checked> waveform</label>
  <label style="margin-left:14px" title="adaptive multi-resolution STFT (transients from short windows, harmonics from long ones)"><input id="adaptive" type="checkbox"> adaptive</label>
+ <label style="margin-left:14px" title="YIN f0 contour drawn on the spectrogram (cyan; gaps where the frame is unvoiced)"><input id="pitch" type="checkbox"> pitch</label>
  amp&plusmn;<input id="amp" type="number" value="1.0" min="0.05" max="4" step="0.05" style="width:56px">
  <input id="addpath" placeholder="/path/to/file.wav" style="margin-left:14px;width:220px">
  <button id="addbtn">add</button>
@@ -156,6 +157,33 @@ function fetchView(t, force) {
   wimg.style.display = showWav ? 'block' : 'none';
   if (showWav) stage(wimg, wavUrl(vis0, vis1), wavUrl(c0, c1));
   document.getElementById('spacer' + t.id).style.width = totalPx + 'px';
+  // f0 overlay (ops/pitch.py YIN via /api/pitch): drawn for the visible
+  // window only; "rel" mirrors the cursor readout's mapping so the
+  // contour lands exactly where /api/freq would report that Hz
+  const pcv = document.getElementById('pitch' + t.id);
+  if (document.getElementById('pitch').checked) {
+    const melq = adaptive ? '&mel=1' : '';
+    fetch(`/api/pitch/${t.id}?start=${vis0 / pps}&end=${vis1 / pps}` + melq)
+      .then(r => r.ok ? r.json() : null).then(d => {
+        if (!d || (state[t.id] || {}).gen !== gen) return;
+        pcv.width = Math.max(vis1 - vis0, 1); pcv.height = H;
+        pcv.style.left = vis0 + 'px';
+        const ctx = pcv.getContext('2d');
+        ctx.clearRect(0, 0, pcv.width, H);
+        ctx.strokeStyle = 'rgba(80,230,255,0.9)'; ctx.lineWidth = 1.5;
+        ctx.beginPath();
+        let pen = false;   // lift the pen over unvoiced / out-of-band
+        for (let i = 0; i < d.f0.length; i++) {
+          if (d.ap[i] > 0.25 || d.rel[i] <= 0 || d.rel[i] >= 1) { pen = false; continue; }
+          const x = (d.t0 + i * d.hop_s) * pps - vis0;
+          const y = (1 - d.rel[i]) * H;
+          if (pen) ctx.lineTo(x, y); else { ctx.moveTo(x, y); pen = true; }
+        }
+        ctx.stroke();
+      }).catch(() => {});
+  } else if (pcv.width) {
+    pcv.getContext('2d').clearRect(0, 0, pcv.width, pcv.height);
+  }
 }
 
 function refresh() {
@@ -198,6 +226,7 @@ async function load() {
       <div class="imgs" id="box${t.id}" style="position:relative;height:${H + WH}px">
         <div id="spacer${t.id}" style="height:1px"></div>
         <img id="spec${t.id}" style="position:absolute;top:0;left:0">
+        <canvas id="pitch${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
         <img id="wav${t.id}" style="position:absolute;top:${H}px;left:0">
       </div>`;
     el.appendChild(div);
@@ -226,6 +255,7 @@ document.getElementById('zoom').addEventListener('change', e => {
 });
 document.getElementById('showwav').addEventListener('change', refresh);
 document.getElementById('adaptive').addEventListener('change', refresh);
+document.getElementById('pitch').addEventListener('change', refresh);
 document.getElementById('amp').addEventListener('change', refresh);
 document.getElementById('addbtn').addEventListener('click', async () => {
   const path = document.getElementById('addpath').value.trim();
@@ -393,7 +423,7 @@ class _RWLock:
 
 # image endpoints whose responses are pure functions of (session gen, URL)
 _CACHEABLE = ("/api/spec/", "/api/wav/", "/api/spec_crop/",
-              "/api/wav_crop/", "/api/adaptive_crop/")
+              "/api/wav_crop/", "/api/adaptive_crop/", "/api/pitch/")
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -748,6 +778,63 @@ class _Handler(BaseHTTPRequestHandler):
                     else:
                         hz = mt.get_frequency_hz(tid, rel)
                 self._send(200, "application/json", json.dumps({"hz": hz}).encode())
+            elif url.path.startswith("/api/pitch/"):
+                # f0 contour over a bounded time window (ops/pitch.py
+                # YIN): {"t0", "hop_s", "f0": Hz, "ap", "rel"} — "rel"
+                # is the 0..1 display position mirroring /api/freq's
+                # cursor mapping, so the client overlay lands exactly
+                # where the readout would report that Hz.  Cacheable:
+                # rides the render LRU keyed by session generation.
+                import numpy as _np
+
+                from .config import FreqScale
+                from .ops.mel import hz_to_mel
+                from .ops.pitch import yin
+
+                tid = int(url.path.rsplit("/", 1)[1])
+                fmin = qf("fmin", 65.0, 10.0, 4000.0)
+                fmax = qf("fmax", 2093.0, 20.0, 20000.0)
+                s0 = qf("start", 0.0, 0.0, 1e7)
+                s1 = qf("end", s0 + 30.0, 0.0, 1e7)
+                force_mel = q.get("mel", ["0"])[0] == "1"
+                with self.lock.read():
+                    tr = mt._track(tid)
+                    sr = tr.sr
+                    a = min(max(0, int(s0 * sr)), tr.n_samples)
+                    # bound the compute: 120 s of audio per request (the
+                    # client asks per-viewport; a hostile span must not
+                    # pin the device)
+                    b = min(tr.n_samples, int(s1 * sr), a + 120 * sr)
+                    wav = tr.wav_slice(a, b)
+                    scale_linear = (mt.setting.freq_scale
+                                    == FreqScale.LINEAR) and not force_mel
+                if len(wav) < 1:
+                    self._send(200, "application/json", json.dumps(
+                        {"t0": a / sr, "hop_s": 512 / sr, "f0": [],
+                         "ap": [], "rel": []}).encode())
+                    return
+                fmax_eff = min(fmax, sr / 2.0 * 0.99)
+                if fmax_eff <= fmin:
+                    raise ValueError(
+                        f"fmin {fmin} too high for sr {sr}")
+                f0, ap = yin(wav, sr, fmin=fmin, fmax=fmax_eff,
+                             with_aperiodicity=True)
+                f0 = _np.asarray(f0)
+                ap = _np.asarray(ap)
+                half_sr = _np.float32(sr) / _np.float32(2.0)
+                if scale_linear:
+                    rel = f0 / float(half_sr)
+                else:
+                    rel = _np.asarray(hz_to_mel(f0.astype(_np.float32))
+                                      ) / float(hz_to_mel(half_sr))
+                body = json.dumps({
+                    "t0": a / sr, "hop_s": 512 / sr,
+                    "f0": [round(float(v), 2) for v in f0],
+                    "ap": [round(float(v), 3) for v in ap],
+                    "rel": [round(float(v), 4) for v in rel],
+                }).encode()
+                self._cache().put(self.path, "application/json", body)
+                self._send(200, "application/json", body)
             else:
                 self._send(404, "text/plain", b"not found")
         except Exception as e:  # surface errors to the client, keep serving

@@ -591,3 +591,35 @@ def test_viewer_render_cache_no_duplicate_renders(tmp_path, rng):
         assert gen1 > gen0
     finally:
         srv.shutdown()
+
+
+def test_pitch_endpoint(viewer_url):
+    """/api/pitch returns the 440 Hz contour with display-space rel
+    mirroring /api/freq's mapping, honors bounds, and is cacheable."""
+    code, body = _get(viewer_url + "/api/pitch/0?start=0&end=1")
+    assert code == 200
+    d = json.loads(body)
+    assert set(d) == {"t0", "hop_s", "f0", "ap", "rel"}
+    assert d["t0"] == 0.0 and len(d["f0"]) == len(d["ap"]) == len(d["rel"])
+    f0 = np.array(d["f0"][4:-4])
+    ap = np.array(d["ap"][4:-4])
+    assert np.median(np.abs(f0 - 440.0)) < 5.0
+    assert np.median(ap) < 0.05  # clean tone: confidently voiced
+    # rel mirrors the cursor mapping: /api/freq at that rel reads ~f0
+    mid = len(d["rel"]) // 2
+    code, fbody = _get(viewer_url + f"/api/freq/0?rel={d['rel'][mid]}")
+    assert code == 200
+    assert json.loads(fbody)["hz"] == pytest.approx(d["f0"][mid], rel=0.01)
+    # empty window past the end
+    code, body = _get(viewer_url + "/api/pitch/0?start=500&end=501")
+    assert code == 200 and json.loads(body)["f0"] == []
+    # hostile fmin for the rate -> 500 with a message, not a crash
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(viewer_url + "/api/pitch/0?fmin=3900&fmax=20000")
+    assert e.value.code == 500
+    # unknown id
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(viewer_url + "/api/pitch/7")
+    assert e.value.code == 500
