@@ -22,6 +22,7 @@ from .ops.reconstruct import griffin_lim, mel_to_linear
 from .ops.resample import resample, resample_poly
 from .ops.hpss import hpss, hpss_masks
 from .ops.pitch import yin
+from .ops.cqt import cqt, cqt_frequencies
 from .features import (
     chroma_filterbank,
     chroma_stft,
@@ -52,6 +53,8 @@ __all__ = [
     "hpss",
     "hpss_masks",
     "yin",
+    "cqt",
+    "cqt_frequencies",
     "chroma_filterbank",
     "chroma_stft",
     "delta",

@@ -17,8 +17,11 @@ from .resample import resample, resample_poly
 from .reconstruct import griffin_lim, mel_to_linear
 from .hpss import hpss, hpss_masks
 from .pitch import yin
+from .cqt import cqt, cqt_frequencies
 
 __all__ = [
+    "cqt",
+    "cqt_frequencies",
     "yin",
     "hpss",
     "hpss_masks",
