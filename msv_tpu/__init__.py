@@ -23,6 +23,7 @@ from .ops.resample import resample, resample_poly
 from .ops.hpss import hpss, hpss_masks
 from .ops.pitch import yin
 from .ops.cqt import cqt, cqt_frequencies
+from .ops.loudness import integrated_loudness
 from .features import (
     chroma_filterbank,
     chroma_stft,
@@ -55,6 +56,7 @@ __all__ = [
     "yin",
     "cqt",
     "cqt_frequencies",
+    "integrated_loudness",
     "chroma_filterbank",
     "chroma_stft",
     "delta",

@@ -18,8 +18,11 @@ from .reconstruct import griffin_lim, mel_to_linear
 from .hpss import hpss, hpss_masks
 from .pitch import yin
 from .cqt import cqt, cqt_frequencies
+from .loudness import integrated_loudness, k_weighting_coeffs
 
 __all__ = [
+    "integrated_loudness",
+    "k_weighting_coeffs",
     "cqt",
     "cqt_frequencies",
     "yin",

@@ -1,0 +1,182 @@
+"""Loudness metering — ITU-R BS.1770-4 / EBU R128.
+
+K-weighted, gated program loudness (LUFS): the number broadcast chains
+normalize to.  Two pieces the rest of the framework didn't have yet:
+
+* **IIR on a TPU.**  The K-weighting pre-filter is two biquads — a
+  sequential recurrence, the one shape the MXU hates.  A biquad is a
+  2-state linear recurrence s[n] = A s[n-1] + u[n], and linear
+  recurrences compose associatively ((A2,u2)o(A1,u1) =
+  (A2A1, A2 u1 + u2)), so the whole filter runs as ONE
+  ``jax.lax.associative_scan`` — log-depth, vectorized, no per-sample
+  loop.  The FIR half (b0,b1,b2) is a plain stencil.
+* **Coefficient design for ANY rate.**  The standard tabulates 48 kHz
+  coefficients; we re-derive them from the analog prototypes (shelf
+  f0=1681.97 Hz G=+4 dB Q=0.7072; high-pass f0=38.14 Hz Q=0.5003 —
+  the pyloudnorm-standard parametrization) via the bilinear transform,
+  and the 48 kHz case reproduces the BS.1770-4 table to 1e-6
+  (pinned in tests/test_loudness.py, next to a scipy.signal.lfilter
+  oracle for the filtering itself).
+
+Gating per the spec: 400 ms blocks at 75 % overlap, absolute gate at
+-70 LUFS, relative gate 10 LU under the absolutely-gated mean.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=16)
+def k_weighting_coeffs(sr: int):
+    """((b, a) shelf, (b, a) highpass) f64 biquad coefficients for
+    ``sr``; a[0] == 1."""
+    if sr < 1000:
+        raise ValueError(f"sample rate too low for K-weighting: {sr}")
+    # stage 1: spherical-head high shelf
+    db, f0, q = 3.999843853973347, 1681.974450955533, 0.7071752369554196
+    k = math.tan(math.pi * f0 / sr)
+    vh = 10.0 ** (db / 20.0)
+    vb = vh ** 0.4996667741545416
+    a0 = 1.0 + k / q + k * k
+    shelf_b = np.array([
+        (vh + vb * k / q + k * k) / a0,
+        2.0 * (k * k - vh) / a0,
+        (vh - vb * k / q + k * k) / a0,
+    ])
+    shelf_a = np.array([
+        1.0, 2.0 * (k * k - 1.0) / a0, (1.0 - k / q + k * k) / a0,
+    ])
+    # stage 2: rumble high-pass
+    f0, q = 38.13547087602444, 0.5003270373238773
+    k = math.tan(math.pi * f0 / sr)
+    a0 = 1.0 + k / q + k * k
+    hp_b = np.array([1.0, -2.0, 1.0])
+    hp_a = np.array([
+        1.0, 2.0 * (k * k - 1.0) / a0, (1.0 - k / q + k * k) / a0,
+    ])
+    return (shelf_b, shelf_a), (hp_b, hp_a)
+
+
+def _pole_scan(x, p: float):
+    """y[n] = p y[n-1] + x[n] as a scalar associative scan.
+
+    For |p| < 1 every partial product in the scan tree is p^L <= 1, so
+    unlike the 2x2 state-matrix form there is no transient growth or
+    inter-state cancellation — this stays f32-accurate even for the
+    K-weighting high-pass's poles at radius 0.995 (the matrix form
+    diverged measurably within ~2k samples there)."""
+    pv = jnp.full_like(x, jnp.float32(p))
+
+    def combine(l, r):
+        pl, ul = l
+        pr, ur = r
+        return pr * pl, pr * ul + ur
+
+    _, y = jax.lax.associative_scan(combine, (pv, x))
+    return y
+
+
+def _biquad_scan(x, b, a):
+    """One biquad (a[0]=1) as associative scans.
+
+    Real (or near-real) poles: numerator stencil, then two cascaded
+    first-order pole scans — the well-conditioned form (see
+    :func:`_pole_scan`).  Complex poles (used by the shelf stage, pole
+    radius 0.86): the 2x2 state-matrix scan, fine at that damping."""
+    b0, b1, b2 = (float(v) for v in b)
+    a1, a2 = float(a[1]), float(a[2])
+    disc = a1 * a1 - 4.0 * a2
+    if disc >= -1e-6:
+        # z^2 + a1 z + a2 = (z - p)(z - q); clamp a hair-negative
+        # discriminant (the 48 kHz high-pass: -1.5e-8) to a double pole —
+        # a <=1e-4 pole shift, far below f32 filtering noise
+        root = math.sqrt(max(disc, 0.0)) / 2.0
+        p, q = -a1 / 2.0 + root, -a1 / 2.0 - root
+        fir = (b0 * x
+               + jnp.float32(b1) * jnp.pad(x[:-1], (1, 0))
+               + jnp.float32(b2) * jnp.pad(x[:-2], (2, 0)))
+        return _pole_scan(_pole_scan(fir, p), q)
+
+    n = x.shape[0]
+    # s[n] = A s[n-1] + u[n];  A = [[-a1, 1], [-a2, 0]],
+    # u[n] = [(b1 - a1 b0) x, (b2 - a2 b0) x];  y[n] = b0 x[n] + s1[n-1]
+    A = jnp.broadcast_to(
+        jnp.array([[-a1, 1.0], [-a2, 0.0]], jnp.float32), (n, 2, 2)
+    )
+    u = jnp.stack([jnp.float32(b1 - a1 * b0) * x,
+                   jnp.float32(b2 - a2 * b0) * x], axis=-1)
+
+    def combine(l, r):
+        al, ul = l
+        ar, ur = r
+        return ar @ al, jnp.einsum("...ij,...j->...i", ar, ul) + ur
+
+    _, s = jax.lax.associative_scan(combine, (A, u))
+    s1 = jnp.concatenate([jnp.zeros(1, jnp.float32), s[:-1, 0]])
+    return jnp.float32(b0) * x + s1
+
+
+@functools.partial(jax.jit, static_argnames=("sr",))
+def _k_weight(x, *, sr):
+    (sb, sa), (hb, ha) = k_weighting_coeffs(sr)
+    return _biquad_scan(_biquad_scan(x, sb, sa), hb, ha)
+
+
+# surround weighting, BS.1770-4 table 3: L/R/C 1.0, Ls/Rs 1.41 (LFE
+# excluded upstream — pass it no row)
+_CH_WEIGHTS = (1.0, 1.0, 1.0, 1.41, 1.41)
+
+
+def integrated_loudness(wav, sr: int) -> float:
+    """Gated integrated loudness in LUFS of (T,) mono or (n_ch, T)
+    multichannel audio (channel order L R C Ls Rs; omit the LFE row).
+
+    Returns ``-inf`` for silence / nothing above the -70 LUFS absolute
+    gate.  The filtering (two scanned biquads per channel) runs on
+    device; block powers and the two-stage gate are cheap host math on
+    the fetched weighted signal.  The scan materializes ~6 f32 per
+    sample — meter program material (seconds to minutes); chunk
+    hour-scale audio externally.
+    """
+    wav = np.asarray(wav, np.float32)
+    if wav.ndim == 1:
+        wav = wav[None]
+    if wav.ndim != 2:
+        raise ValueError(f"wav must be (T,) or (n_ch, T), got {wav.shape}")
+    if wav.shape[0] > len(_CH_WEIGHTS):
+        raise ValueError(
+            f"{wav.shape[0]} channels: BS.1770 weights cover up to 5 "
+            "(L R C Ls Rs, LFE excluded)"
+        )
+    block = int(round(0.400 * sr))
+    hop = block // 4  # 75 % overlap
+    if wav.shape[1] < block:
+        raise ValueError(
+            f"need at least one 400 ms block ({block} samples), got "
+            f"{wav.shape[1]}"
+        )
+    n_blocks = 1 + (wav.shape[1] - block) // hop
+
+    z = np.zeros(n_blocks, np.float64)
+    for ch in range(wav.shape[0]):
+        y = np.asarray(_k_weight(jnp.asarray(wav[ch]), sr=sr),
+                       np.float64)
+        cs = np.concatenate([[0.0], np.cumsum(y * y)])
+        starts = np.arange(n_blocks) * hop
+        ms = (cs[starts + block] - cs[starts]) / block
+        z += _CH_WEIGHTS[ch] * ms
+
+    with np.errstate(divide="ignore"):
+        lb = -0.691 + 10.0 * np.log10(np.maximum(z, 1e-30))
+    abs_gated = z[lb > -70.0]
+    if abs_gated.size == 0:
+        return float("-inf")
+    rel_thresh = (-0.691 + 10.0 * math.log10(abs_gated.mean())) - 10.0
+    final = z[(lb > -70.0) & (lb > rel_thresh)]
+    if final.size == 0:
+        return float("-inf")
+    return -0.691 + 10.0 * math.log10(float(final.mean()))
