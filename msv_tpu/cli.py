@@ -85,6 +85,9 @@ def _build_parser():
 
     i = sub.add_parser("info", help="show decoded file + derived STFT params")
     i.add_argument("files", nargs="+")
+    i.add_argument("--loudness", action="store_true",
+                   help="also measure BS.1770-4 integrated loudness "
+                   "(LUFS) over the file's own channels")
 
     h = sub.add_parser(
         "hpss",
@@ -399,10 +402,21 @@ def _main(argv=None):
         for f in args.files:
             wav, sr = open_audio_file(f)
             p = derive_stft_params(sr, SpecSetting())
+            extra = ""
+            if args.loudness:
+                from .ops.loudness import integrated_loudness
+                from .utils.errors import MsvError
+
+                try:
+                    lufs = integrated_loudness(wav, sr)
+                except ValueError as e:
+                    raise MsvError(f"{f}: {e}") from e
+                extra = (" loudness=-inf" if lufs == float("-inf")
+                         else f" loudness={lufs:.2f}LUFS")
             print(
                 f"{f}: sr={sr} ch={wav.shape[0]} samples={wav.shape[1]} "
                 f"sec={wav.shape[1]/sr:.3f} win={p.win_length} "
-                f"hop={p.hop_length} n_fft={p.n_fft}"
+                f"hop={p.hop_length} n_fft={p.n_fft}" + extra
             )
         return 0
 

@@ -126,6 +126,33 @@ def _k_weight(x, *, sr):
     return _biquad_scan(_biquad_scan(x, sb, sa), hb, ha)
 
 
+_CHUNK = 1 << 21      # ~2M samples per scan launch (~50 MB scan state)
+_WARMUP = 8192        # slowest pole 0.995^8192 = e^-41: past f32 noise
+
+
+def _k_weight_chunked(x: np.ndarray, sr: int):
+    """Yield K-weighted spans host-side with bounded device memory.
+
+    Chunks overlap by ``_WARMUP`` samples whose output is discarded —
+    the filters' state has fully forgotten anything older (slowest pole
+    radius 0.995), so the stitched result equals the one-scan answer to
+    f32 noise (pinned in tests).  Every launch is the same padded shape:
+    ONE compiled program regardless of file length."""
+    n = len(x)
+    if n <= _CHUNK:
+        yield np.asarray(_k_weight(jnp.asarray(x), sr=sr))
+        return
+    span = _CHUNK + _WARMUP
+    for a in range(0, n, _CHUNK):
+        w0 = max(0, a - _WARMUP)
+        seg = x[w0:w0 + span]
+        pad = span - len(seg)
+        if pad:
+            seg = np.pad(seg, (0, pad))
+        y = np.asarray(_k_weight(jnp.asarray(seg), sr=sr))
+        yield y[a - w0: a - w0 + min(_CHUNK, n - a)]
+
+
 # surround weighting, BS.1770-4 table 3: L/R/C 1.0, Ls/Rs 1.41 (LFE
 # excluded upstream — pass it no row)
 _CH_WEIGHTS = (1.0, 1.0, 1.0, 1.41, 1.41)
@@ -137,10 +164,10 @@ def integrated_loudness(wav, sr: int) -> float:
 
     Returns ``-inf`` for silence / nothing above the -70 LUFS absolute
     gate.  The filtering (two scanned biquads per channel) runs on
-    device; block powers and the two-stage gate are cheap host math on
-    the fetched weighted signal.  The scan materializes ~6 f32 per
-    sample — meter program material (seconds to minutes); chunk
-    hour-scale audio externally.
+    device in fixed-size chunks with discarded warm-up overlap (see
+    :func:`_k_weight_chunked`), and the host keeps only the f64 power
+    cumsum at 100 ms grid points — hour-scale files meter in bounded
+    memory with one compiled scan program.
     """
     wav = np.asarray(wav, np.float32)
     if wav.ndim == 1:
@@ -152,22 +179,35 @@ def integrated_loudness(wav, sr: int) -> float:
             f"{wav.shape[0]} channels: BS.1770 weights cover up to 5 "
             "(L R C Ls Rs, LFE excluded)"
         )
-    block = int(round(0.400 * sr))
-    hop = block // 4  # 75 % overlap
+    hop = int(round(0.100 * sr))   # 75 % overlap
+    block = 4 * hop                # 400 ms, kept on the hop grid
     if wav.shape[1] < block:
         raise ValueError(
             f"need at least one 400 ms block ({block} samples), got "
             f"{wav.shape[1]}"
         )
     n_blocks = 1 + (wav.shape[1] - block) // hop
+    n_grid = n_blocks + 3          # cs at 0, hop, ..., (n_blocks+3)*hop
 
     z = np.zeros(n_blocks, np.float64)
     for ch in range(wav.shape[0]):
-        y = np.asarray(_k_weight(jnp.asarray(wav[ch]), sr=sr),
-                       np.float64)
-        cs = np.concatenate([[0.0], np.cumsum(y * y)])
-        starts = np.arange(n_blocks) * hop
-        ms = (cs[starts + block] - cs[starts]) / block
+        # streamed block powers: per chunk, fold the local f64 power
+        # cumsum into the global hop-grid samples — O(n_blocks) host
+        # memory however long the file is
+        csg = np.zeros(n_grid + 1, np.float64)
+        off, pos = 0.0, 0
+        for y in _k_weight_chunked(wav[ch], sr):
+            y2 = y.astype(np.float64)
+            y2 *= y2
+            lcs = np.concatenate([[0.0], np.cumsum(y2)])
+            g0 = -(-pos // hop)
+            g1 = min((pos + len(y)) // hop, n_grid)
+            if g1 >= g0:
+                gs = np.arange(g0, g1 + 1)
+                csg[gs] = off + lcs[gs * hop - pos]
+            off += lcs[-1]
+            pos += len(y)
+        ms = (csg[4:4 + n_blocks] - csg[:n_blocks]) / block
         z += _CH_WEIGHTS[ch] * ms
 
     with np.errstate(divide="ignore"):

@@ -222,6 +222,7 @@ async function load() {
     div.innerHTML = `<div class="name">#${t.id} ${t.filename} — ${t.sr} Hz, ${t.sec.toFixed(2)} s
         ${chSel}
         <audio controls preload="none" src="/api/audio/${t.id}" style="height:20px;vertical-align:middle"></audio>
+        <button data-lufs="${t.id}" title="BS.1770 integrated loudness of this track's mix">LUFS</button>
         <button data-rm="${t.id}">&#10005;</button></div>
       <div class="imgs" id="box${t.id}" style="position:relative;height:${H + WH}px">
         <div id="spacer${t.id}" style="height:1px"></div>
@@ -289,6 +290,17 @@ async function loadSetting() {
 }
 loadSetting();
 document.getElementById('tracks').addEventListener('click', async ev => {
+  const lu = ev.target.getAttribute && ev.target.getAttribute('data-lufs');
+  if (lu !== null && lu !== undefined) {
+    ev.target.textContent = '…';
+    try {
+      const d = await (await fetch(`/api/loudness/${lu}`)).json();
+      ev.target.replaceWith(Object.assign(document.createElement('span'),
+        {textContent: d.lufs === null ? 'silence' : `${d.lufs} LUFS`,
+         style: 'color:#aac;font-size:12px;margin:0 4px'}));
+    } catch (e) { ev.target.textContent = 'LUFS?'; }
+    return;
+  }
   const rm = ev.target.getAttribute && ev.target.getAttribute('data-rm');
   if (rm === null || rm === undefined) return;
   await fetch('/api/remove', {method:'POST', body: JSON.stringify({id: +rm})});
@@ -423,7 +435,8 @@ class _RWLock:
 
 # image endpoints whose responses are pure functions of (session gen, URL)
 _CACHEABLE = ("/api/spec/", "/api/wav/", "/api/spec_crop/",
-              "/api/wav_crop/", "/api/adaptive_crop/", "/api/pitch/")
+              "/api/wav_crop/", "/api/adaptive_crop/", "/api/pitch/",
+              "/api/loudness/")
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -832,6 +845,26 @@ class _Handler(BaseHTTPRequestHandler):
                     "f0": [round(float(v), 2) for v in f0],
                     "ap": [round(float(v), 3) for v in ap],
                     "rel": [round(float(v), 4) for v in rel],
+                }).encode()
+                self._cache().put(self.path, "application/json", body)
+                self._send(200, "application/json", body)
+            elif url.path.startswith("/api/loudness/"):
+                # BS.1770 integrated loudness of the track's mono view —
+                # the SAME signal /api/audio plays (channel sum or the
+                # selected channel), so the number matches what you hear.
+                # On-demand (client button) + LRU-cached; the chunked
+                # K-weighting keeps memory bounded at any track length.
+                from .ops.loudness import integrated_loudness
+
+                tid = int(url.path.rsplit("/", 1)[1])
+                with self.lock.read():
+                    tr = mt._track(tid)
+                    wav = tr.wav_slice(0, tr.n_samples)
+                    sr = tr.sr
+                lufs = integrated_loudness(wav, sr)
+                body = json.dumps({
+                    "lufs": None if lufs == float("-inf")
+                    else round(lufs, 2)
                 }).encode()
                 self._cache().put(self.path, "application/json", body)
                 self._send(200, "application/json", body)

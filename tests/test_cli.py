@@ -161,3 +161,13 @@ def test_hpss_cli(wav_path, tmp_path, capsys):
     # error paths stay clean
     assert main(["hpss", wav_path, "-o", out, "--margin", "0.2"]) == 1
     assert main(["hpss", wav_path, "-o", out, "--channel", "5"]) == 1
+
+
+def test_info_loudness(wav_path, capsys):
+    """info --loudness appends the BS.1770 figure; too-short files get a
+    clean error."""
+    assert main(["info", wav_path, "--loudness"]) == 0
+    out = capsys.readouterr().out
+    assert "loudness=" in out and "LUFS" in out
+    lufs = float(out.split("loudness=")[1].split("LUFS")[0])
+    assert -16.0 < lufs < -8.0  # 0.4 amplitude 440 Hz tone

@@ -91,3 +91,21 @@ def test_multichannel_weighting_and_validation(rng):
         integrated_loudness(x[:1000], sr)
     with pytest.raises(ValueError, match="wav must be"):
         integrated_loudness(np.zeros((1, 2, 3), np.float32), sr)
+
+
+def test_chunked_filtering_matches_one_scan(monkeypatch, rng):
+    """The bounded-memory chunked K-weighting (warm-up overlap
+    discarded) equals the single-scan answer to f32 noise, and the
+    integrated measurement is unchanged — the hour-scale path."""
+    import msv_tpu.ops.loudness as L
+
+    sr = 16000
+    x = (0.3 * rng.standard_normal(5 * sr)).astype(np.float32)
+    whole = integrated_loudness(x, sr)
+    y_whole = np.asarray(L._k_weight(x, sr=sr))
+    monkeypatch.setattr(L, "_CHUNK", 16384)
+    monkeypatch.setattr(L, "_WARMUP", 8192)
+    y_chunks = np.concatenate(list(L._k_weight_chunked(x, sr)))
+    assert y_chunks.shape == y_whole.shape
+    np.testing.assert_allclose(y_chunks, y_whole, atol=2e-5)
+    assert abs(integrated_loudness(x, sr) - whole) < 1e-6

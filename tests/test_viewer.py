@@ -623,3 +623,18 @@ def test_pitch_endpoint(viewer_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(viewer_url + "/api/pitch/7")
     assert e.value.code == 500
+
+
+def test_loudness_endpoint(viewer_url):
+    """/api/loudness meters the track's mono view; silence returns
+    null, unknown ids 500."""
+    code, body = _get(viewer_url + "/api/loudness/0")
+    assert code == 200
+    d = json.loads(body)
+    # 0.4 amplitude 440 Hz sine: -0.691 + 10 log10(0.08) + K(440 Hz)
+    assert d["lufs"] is not None and -13.0 < d["lufs"] < -9.0
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(viewer_url + "/api/loudness/9")
+    assert e.value.code == 500
