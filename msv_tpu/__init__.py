@@ -28,6 +28,8 @@ from .features import (
     chroma_filterbank,
     chroma_stft,
     delta,
+    onset_detect,
+    onset_strength,
     log_mel_spectrogram,
     log_mel_spectrogram_ragged,
     mfcc,
@@ -60,6 +62,8 @@ __all__ = [
     "chroma_filterbank",
     "chroma_stft",
     "delta",
+    "onset_detect",
+    "onset_strength",
     "log_mel_spectrogram",
     "log_mel_spectrogram_ragged",
     "mfcc",

@@ -804,3 +804,113 @@ def chroma_stft(
         mode=precision, norm=norm,
     )[:, :n_frames, :]
     return out[0] if squeeze else out
+
+
+def onset_strength(
+    wav,
+    sr: int,
+    *,
+    n_mel: int = 128,
+    win_ms: float = 25.0,
+    hop_ms: float = 10.0,
+    lag: int = 1,
+    precision: str | None = None,
+):
+    """Spectral-flux onset envelope: (T,) or (B, T) -> (B?, n_frames).
+
+    Mean over mel bands of the positive log-power increase
+    ``max(0, dB[t] - dB[t - lag])`` (the classic superflux-family
+    novelty; a global level change shifts both terms, so the reference
+    choice cancels).  Stays on device until fetched.  First ``lag``
+    frames are 0.
+    """
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    # top_db=80 is load-bearing: without the clamp, near-floor mel bands
+    # wobble by tens of dB frame-to-frame (log of leakage noise) and the
+    # band-mean flux of a STEADY tone drowns real onsets
+    s_db = log_mel_spectrogram(
+        wav, sr, n_mel=n_mel, win_ms=win_ms, hop_ms=hop_ms,
+        spec="power", log="power_db", top_db=80.0, precision=precision,
+    )
+    diff = jnp.maximum(
+        s_db[..., lag:, :] - s_db[..., :-lag, :], 0.0
+    ).mean(axis=-1)
+    pad = [(0, 0)] * (diff.ndim - 1) + [(lag, 0)]
+    env = jnp.pad(diff, pad)
+    # frames whose window crosses the signal END see the reflection's
+    # time-reversal corner — a broadband burst that reads as a large
+    # fake onset (measured: the final frame of a steady tone dominates
+    # the whole envelope).  Zero them; the matching START corner is the
+    # genuine signal-begins onset and stays.
+    n = wav.shape[-1] if hasattr(wav, "shape") else len(wav)
+    win = int(round(win_ms * sr / 1000.0))
+    hop = int(round(hop_ms * sr / 1000.0))
+    first_bad = max(0, int(np.floor((n - win / 2) / hop)) + 1)
+    if first_bad < env.shape[-1]:
+        mask = (jnp.arange(env.shape[-1]) < first_bad)
+        env = env * mask.astype(env.dtype)
+    return env
+
+
+def _peak_pick(env: np.ndarray, pre_max: int, post_max: int, pre_avg: int,
+               post_avg: int, delta: float, wait: int) -> np.ndarray:
+    """Greedy novelty peak picking (the standard librosa-style rule):
+    a frame is an onset iff it is the max of [i-pre_max, i+post_max],
+    exceeds the local mean of [i-pre_avg, i+post_avg] by ``delta``, and
+    is at least ``wait`` frames after the previous onset.  Host-side —
+    the envelope is tiny and the wait rule is inherently greedy."""
+    n = len(env)
+    idx = []
+    last = -(wait + 1)
+    for i in range(n):
+        seg = env[max(0, i - pre_max): i + post_max + 1]
+        if env[i] < seg.max():
+            continue
+        ref = env[max(0, i - pre_avg): i + post_avg + 1].mean()
+        if env[i] >= ref + delta and i - last > wait:
+            idx.append(i)
+            last = i
+    return np.asarray(idx, np.int64)
+
+
+def onset_detect(
+    wav,
+    sr: int,
+    *,
+    n_mel: int = 128,
+    win_ms: float = 25.0,
+    hop_ms: float = 10.0,
+    delta: float = 3.0,
+    units: str = "time",
+    precision: str | None = None,
+):
+    """Onset times: (T,) -> 1-D array of seconds (``units='frames'``
+    for frame indices).
+
+    :func:`onset_strength` (device) followed by greedy peak picking
+    with the standard 30 ms max / 100 ms mean / 30 ms wait windows
+    (host — the envelope is a few KB).  ``delta`` is ABSOLUTE, in the
+    envelope's units (mean positive dB rise per band): real onsets
+    measure tens of dB while a steady tone's frame-to-frame leakage
+    wobble stays ~1 dB, so the 3 dB default separates them — a
+    max-normalized threshold would amplify that wobble to full scale
+    exactly when the signal has no real onsets.  Pinned on click
+    trains and steady tones in tests/test_features.py.
+    """
+    if units not in ("time", "frames"):
+        raise ValueError(f"units must be 'time'|'frames': {units!r}")
+    env = np.asarray(onset_strength(
+        wav, sr, n_mel=n_mel, win_ms=win_ms, hop_ms=hop_ms,
+        precision=precision,
+    ))
+    if env.ndim != 1:
+        raise ValueError("onset_detect takes a single (T,) signal")
+    hop_s = hop_ms / 1000.0
+    to_frames = lambda sec: max(1, int(round(sec / hop_s)))  # noqa: E731
+    idx = _peak_pick(env, pre_max=to_frames(0.03), post_max=to_frames(0.0),
+                     pre_avg=to_frames(0.1), post_avg=to_frames(0.1),
+                     delta=delta, wait=to_frames(0.03))
+    if units == "frames":
+        return idx
+    return idx.astype(np.float64) * hop_s

@@ -590,3 +590,46 @@ def test_chroma_norms_batch_and_validation(rng):
         from msv_tpu.features import chroma_filterbank
 
         chroma_filterbank(16000, 512, n_chroma=1)
+
+
+def test_onset_detection_click_train(rng):
+    """Clicks at known times are each found within one hop; a steady
+    tone yields none (reflect padding makes a full-clip tone onset-free
+    by construction, and the absolute 3 dB delta rejects its ~1 dB
+    leakage wobble); the mixture finds exactly the clicks."""
+    from msv_tpu.features import onset_detect, onset_strength
+
+    sr = 16000
+    n = 2 * sr
+    truth = [0.25, 0.7, 1.1, 1.62]
+    x = np.zeros(n, np.float32)
+    for tt in truth:
+        c = int(tt * sr)
+        x[c:c + 40] = 0.8 * np.sin(
+            2 * np.pi * 2000 * np.arange(40) / sr).astype(np.float32)
+    got = onset_detect(x, sr)
+    assert len(got) == len(truth)
+    assert np.abs(np.asarray(got) - truth).max() <= 0.011  # one hop
+    tone = (0.4 * np.sin(2 * np.pi * 440 * np.arange(n) / sr)
+            ).astype(np.float32)
+    assert len(onset_detect(tone, sr)) == 0
+    mix = (0.5 * tone + x).astype(np.float32)
+    assert len(onset_detect(mix, sr)) == len(truth)
+    # frames units and envelope invariants
+    fr = onset_detect(x, sr, units="frames")
+    assert fr.dtype == np.int64 and (np.diff(fr) > 3).all()
+    env = np.asarray(onset_strength(x, sr))
+    assert (env >= 0).all() and env[0] == 0.0
+    # the end-of-signal reflection corner is masked, not reported
+    assert env[-1] == 0.0
+
+
+def test_onset_validation(rng):
+    from msv_tpu.features import onset_detect, onset_strength
+
+    with pytest.raises(ValueError, match="lag"):
+        onset_strength(np.zeros(4000, np.float32), 16000, lag=0)
+    with pytest.raises(ValueError, match="units"):
+        onset_detect(np.zeros(8000, np.float32), 16000, units="ms")
+    with pytest.raises(ValueError, match="single"):
+        onset_detect(np.zeros((2, 8000), np.float32), 16000)
