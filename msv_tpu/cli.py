@@ -176,7 +176,7 @@ def _render_adaptive(args, setting):
     materialize (n_frames, win) frame matrices per scale in HBM)."""
     import numpy as np
 
-    from .io.audio import open_audio_file
+    from .io.audio import open_audio_mono_ex
     from .io.png import write_png
     from .ops.multires import (
         adaptive_frame_count,
@@ -188,18 +188,9 @@ def _render_adaptive(args, setting):
     import jax.numpy as jnp
 
     for f in args.files:
-        wav2d, sr = open_audio_file(f)
-        if args.channel is None:
-            wav = wav2d.sum(axis=0)
-        else:
-            if not (0 <= args.channel < wav2d.shape[0]):
-                from .utils.errors import AudioReadError
-
-                raise AudioReadError(
-                    f"{f}: channel {args.channel} out of range "
-                    f"(file has {wav2d.shape[0]})"
-                )
-            wav = np.ascontiguousarray(wav2d[args.channel])
+        # channel sum / single-channel select + bounds check live in the
+        # canonical loader
+        wav, sr, _, _, _ = open_audio_mono_ex(f, channel=args.channel)
         t0 = time.perf_counter()
         n = adaptive_frame_count(len(wav), sr, setting)
         parts = []
@@ -340,23 +331,14 @@ def _hpss_cmd(args):
     import numpy as np
 
     from .config import SpecSetting, derive_stft_params
-    from .io.audio import open_audio_file, write_wav
+    from .io.audio import open_audio_mono_ex, write_wav
     from .ops.hpss import hpss
-    from .utils.errors import AudioReadError, MsvError
+    from .utils.errors import MsvError
 
     setting = SpecSetting(win_ms=args.win_ms, t_overlap=args.t_overlap)
     os.makedirs(args.outdir, exist_ok=True)
     for f in args.files:
-        wav2d, sr = open_audio_file(f)
-        if args.channel is None:
-            wav = wav2d.sum(axis=0)
-        elif 0 <= args.channel < wav2d.shape[0]:
-            wav = np.ascontiguousarray(wav2d[args.channel])
-        else:
-            raise AudioReadError(
-                f"{f}: channel {args.channel} out of range "
-                f"(file has {wav2d.shape[0]})"
-            )
+        wav, sr, _, _, _ = open_audio_mono_ex(f, channel=args.channel)
         p = derive_stft_params(sr, setting)
         t0 = time.perf_counter()
         try:

@@ -28,14 +28,13 @@ default or are skipped (and reported on ``.errors``) with
 ``on_error='skip'``.
 """
 
-import math
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 import numpy as np
 
-from .io.audio import open_audio_file
+from .io.audio import open_audio_mono_ex
 from .utils.errors import AudioReadError
 
 
@@ -103,16 +102,8 @@ class AudioBatcher:
     # ----------------------------------------------------------- decode
 
     def _decode(self, path: str):
-        wav2d, sr = open_audio_file(path)
-        if self.channel is None:
-            wav = wav2d.sum(axis=0)
-        elif 0 <= self.channel < wav2d.shape[0]:
-            wav = np.ascontiguousarray(wav2d[self.channel])
-        else:
-            raise AudioReadError(
-                f"{path}: channel {self.channel} out of range "
-                f"(file has {wav2d.shape[0]})"
-            )
+        # channel sum / select + bounds check live in the canonical loader
+        wav, sr, _, _, n_ch = open_audio_mono_ex(path, channel=self.channel)
         n = len(wav)
         want = int(round(self.clip_seconds * sr))
         truncated = n > want
@@ -121,7 +112,7 @@ class AudioBatcher:
         elif n < want:
             wav = np.pad(wav, (0, want - n))
         meta = ClipMeta(path=path, sr=sr, n_samples=n,
-                        n_channels=wav2d.shape[0], truncated=truncated)
+                        n_channels=n_ch, truncated=truncated)
         return np.ascontiguousarray(wav, np.float32), meta
 
     def _decode_guarded(self, path: str):
@@ -179,11 +170,6 @@ class AudioBatcher:
                 ready.append(self._assemble(group))
             yield from ready
 
-    def __len__(self):
-        """Upper bound on the number of batches (exact when every file
-        decodes and no remainder is dropped; grouping is by source sr,
-        which is unknown before decode)."""
-        return math.ceil(len(self.paths) / self.batch_size)
 
 
 def extract_features(paths, feature_fn, *, target_sr: int = 16000,

@@ -12,7 +12,7 @@ Conventions differ from the viewer session on purpose:
     lib.rs:139, is a viewer normalization choice, not an ML one);
   * mel norm defaults to 'slaney' (librosa-compatible) instead of the
     viewer's 'sum';
-  * optional ``top_db`` floor relative to the batch max, librosa-style.
+  * optional ``top_db`` floor relative to each clip's max, librosa-style.
   * precision defaults to 'fast' (bf16 operands on the MXU — bounded
     under one grey step, measured <=0.22 dB on white noise, ~0.01 dB on
     tonal content; noise at feature scale), unlike the session's 'parity'
@@ -104,7 +104,8 @@ def log_mel_spectrogram(
     ``spec``: 'magnitude' (default — mel weights |X|, the viewer/session
     convention, lib.rs:124) or 'power' (mel weights |X|^2, librosa's
     melspectrogram(power=2.0) convention — what MFCCs are built on).
-    ``top_db`` clamps at (max - top_db) like librosa's power_to_db.
+    ``top_db`` clamps at (max - top_db) PER CLIP, like librosa's
+    power_to_db (and the ragged path).
     ``precision``: 'fast' (default — bf16 operands, <=0.22 dB measured)
     or 'parity' (f32 HIGHEST); when None, an explicit session-wide
     set_precision_mode() takes precedence over the 'fast' default.
@@ -296,7 +297,13 @@ def log_mel_spectrogram(
             spec=spec,
         )[:, :n_frames, :]
     if top_db is not None:
-        out = jnp.maximum(out, jnp.max(out) - top_db)
+        # PER-CLIP clamp (librosa semantics, same as the ragged path):
+        # a batch-global max would couple a quiet clip's floor to its
+        # loudest batchmate — onset envelopes then change with batch
+        # composition (review finding, round 4)
+        out = jnp.maximum(
+            out, jnp.max(out, axis=(-2, -1), keepdims=True) - top_db
+        )
     return out[0] if squeeze else out
 
 

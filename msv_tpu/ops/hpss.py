@@ -97,13 +97,19 @@ def hpss_masks(mag, *, kernel_time: int = 31, kernel_freq: int = 31,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("win", "hop", "n_fft", "n_frames", "length", "kt",
+    static_argnames=("win", "hop", "n_fft", "n_frames", "kt",
                      "kf", "power", "mh", "mp"),
 )
-def _hpss_core(padded, c, s, syn, idx, wsq, *, win, hop, n_fft, n_frames,
-               length, kt, kf, power, mh, mp):
+def _hpss_core(padded, c, s, syn, idx, wsq, n_valid, *, win, hop, n_fft,
+               n_frames, kt, kf, power, mh, mp):
+    """Shapes are keyed on the frame BUCKET (n_frames padded to 128
+    upstream) so the jit cache stays bounded; the wrapper slices the
+    full OLA output to the true length host-side.  Trailing pad frames
+    read zero-extended samples — near-silent rows whose only effect is
+    the time-median's edge convention at the very end (silence-follows
+    instead of mirror; masks still sum to 1 pointwise, so the
+    reconstruction property is untouched)."""
     pl, _ = n_pad_split(n_fft, win)
-    half = win // 2
     total = (n_frames - 1) * hop + win
 
     frames = frame_device(padded, win, hop, n_frames)
@@ -111,6 +117,12 @@ def _hpss_core(padded, c, s, syn, idx, wsq, *, win, hop, n_fft, n_frames,
                  preferred_element_type=jnp.float32)
     im = jnp.dot(frames, s, precision=jax.lax.Precision.HIGHEST,
                  preferred_element_type=jnp.float32)
+    # zero the pad rows: they analyze samples SHARED with the last true
+    # frames, and their OLA mass has no matching window energy in the
+    # true-frames-only normalizer (measured 0.065 tail error unmasked)
+    rowmask = (jnp.arange(n_frames)[:, None] < n_valid).astype(jnp.float32)
+    re = re * rowmask
+    im = im * rowmask
     mag = jnp.sqrt(re * re + im * im)
     harm = _median_axis(mag, kt, axis=0)
     perc = _median_axis(mag, kf, axis=1)
@@ -122,7 +134,7 @@ def _hpss_core(padded, c, s, syn, idx, wsq, *, win, hop, n_fft, n_frames,
         sig = jnp.zeros(total, jnp.float32).at[idx].add(
             (fr * syn[None, :]).ravel()
         )
-        return (sig / wsq)[half:half + length]
+        return sig / wsq
 
     return istft(mask_h), istft(mask_p)
 
@@ -174,16 +186,29 @@ def hpss(
             f"kernels ({kernel_time}, {kernel_freq}): symmetric padding "
             "needs dim > kernel//2 (longer signal or smaller kernels)"
         )
-    need = (n_frames - 1) * hop_length + win_length
+    from ..utils import round_up_to
+
+    n_pad = round_up_to(n_frames, 128)  # bounded jit cache (repo conv.)
+    need = (n_pad - 1) * hop_length + win_length
     padded = np.pad(
         reflect_pad_center(wav, win_length),
         (0, max(0, need - (len(wav) + 2 * half))),
     )[:need]
-    idx, wsq, _ = _ola_constants(n_frames, win_length, hop_length, window)
-    return _hpss_core(
+    idx, _, total_pad = _ola_constants(n_pad, win_length, hop_length,
+                                       window)
+    _, wsq, total_true = _ola_constants(n_frames, win_length, hop_length,
+                                        window)
+    wsq = np.pad(wsq, (0, total_pad - total_true),
+                 constant_values=np.float32(1e-24))
+    h, p = _hpss_core(
         jnp.asarray(padded), jnp.asarray(c), jnp.asarray(s),
         jnp.asarray(window), jnp.asarray(idx), jnp.asarray(wsq),
-        win=win_length, hop=hop_length, n_fft=n_fft, n_frames=n_frames,
-        length=len(wav), kt=int(kernel_time), kf=int(kernel_freq),
+        jnp.int32(n_frames),
+        win=win_length, hop=hop_length, n_fft=n_fft, n_frames=n_pad,
+        kt=int(kernel_time), kf=int(kernel_freq),
         power=float(power), mh=float(mh), mp=float(mp),
     )
+    # fetch-then-slice (host-bound audio out; avoids per-length slice
+    # programs)
+    return (np.asarray(h)[half:half + len(wav)],
+            np.asarray(p)[half:half + len(wav)])

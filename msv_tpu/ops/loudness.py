@@ -136,11 +136,18 @@ def _k_weight_chunked(x: np.ndarray, sr: int):
     Chunks overlap by ``_WARMUP`` samples whose output is discarded —
     the filters' state has fully forgotten anything older (slowest pole
     radius 0.995), so the stitched result equals the one-scan answer to
-    f32 noise (pinned in tests).  Every launch is the same padded shape:
-    ONE compiled program regardless of file length."""
+    f32 noise (pinned in tests).  Long files launch one fixed span
+    shape; short ones pad to 2^16 buckets — a bounded handful of
+    compiled programs however many file lengths pass through."""
     n = len(x)
     if n <= _CHUNK:
-        yield np.asarray(_k_weight(jnp.asarray(x), sr=sr))
+        # bucket short inputs too (pad to the next 2^16, slice after):
+        # launching at the exact length would mint one compiled scan per
+        # distinct file length — the common case, and remote TPU
+        # compiles run minutes each
+        b = -(-n // 65536) * 65536
+        xp = x if b == n else np.pad(x, (0, b - n))
+        yield np.asarray(_k_weight(jnp.asarray(xp), sr=sr))[:n]
         return
     span = _CHUNK + _WARMUP
     for a in range(0, n, _CHUNK):

@@ -39,24 +39,32 @@ def _ola_constants(n_frames: int, win: int, hop: int, window: np.ndarray):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("win", "hop", "n_fft", "n_frames", "length", "n_iter",
+    static_argnames=("win", "hop", "n_fft", "n_frames", "n_iter",
                      "momentum"),
 )
 def _griffin_lim_core(mag, c, s, syn, idx, wsq, *, win, hop, n_fft,
-                      n_frames, length, n_iter, momentum):
+                      n_frames, n_iter, momentum):
+    """The whole iteration lives on the PADDED timeline: istft produces
+    the full (n_frames-1)*hop + win OLA signal and stft re-frames it
+    directly — a textbook adjoint-consistent (istft, stft) projection
+    pair with NO per-iteration slice/re-pad.  That keeps the program's
+    shape keyed on the frame BUCKET alone (n_frames padded to 128
+    upstream; zero-magnitude pad rows are inert: their OLA contribution
+    is zero and ``wsq`` is built from the true frames only), so the jit
+    cache stays bounded per the repo convention, and works for any
+    win/hop parity (the old in-loop reflect re-pad was one sample short
+    for odd win)."""
     pl, _ = n_pad_split(n_fft, win)
-    half = win // 2
     total = (n_frames - 1) * hop + win
     mfac = jnp.float32(momentum / (1.0 + momentum))
 
     def istft(re, im):
         frames = inverse_rdft((re, im), n_fft)[:, pl:pl + win] * syn[None, :]
         sig = jnp.zeros(total, jnp.float32).at[idx].add(frames.ravel())
-        return (sig / wsq)[half:half + length]
+        return sig / wsq
 
     def stft(x):
-        padded = jnp.pad(x, (half, half), mode="reflect")
-        frames = frame_device(padded, win, hop, n_frames)
+        frames = frame_device(x, win, hop, n_frames)
         return frames @ c, frames @ s
 
     def body(_, carry):
@@ -122,13 +130,30 @@ def griffin_lim(
         window = default_stft_window(win_length, n_fft)
     window = np.ascontiguousarray(window, dtype=np.float32)
     c, s = windowed_dft_matrices(window, n_fft)
-    idx, wsq, _ = _ola_constants(n_frames, win_length, hop_length, window)
-    return _griffin_lim_core(
+    # frame-bucketed program (repo convention: bounded jit cache): pad
+    # rows are zero-magnitude — inert through the OLA — and the
+    # normalizer is built from the TRUE frames only so the real tail is
+    # not attenuated by phantom window mass
+    from ..utils import round_up_to
+
+    n_pad = round_up_to(n_frames, 128)
+    idx, _, total_pad = _ola_constants(n_pad, win_length, hop_length,
+                                       window)
+    _, wsq, total_true = _ola_constants(n_frames, win_length, hop_length,
+                                        window)
+    wsq = np.pad(wsq, (0, total_pad - total_true),
+                 constant_values=np.float32(1e-24))
+    mag = jnp.pad(mag, ((0, n_pad - n_frames), (0, 0)))
+    half = win_length // 2
+    out = _griffin_lim_core(
         mag, jnp.asarray(c), jnp.asarray(s), jnp.asarray(window),
         jnp.asarray(idx), jnp.asarray(wsq),
-        win=win_length, hop=hop_length, n_fft=n_fft, n_frames=n_frames,
-        length=int(length), n_iter=int(n_iter), momentum=float(momentum),
+        win=win_length, hop=hop_length, n_fft=n_fft, n_frames=n_pad,
+        n_iter=int(n_iter), momentum=float(momentum),
     )
+    # fetch-then-slice: audio output is host-bound anyway, and a device
+    # slice would mint a (tiny) program per distinct length
+    return np.asarray(out)[half:half + int(length)]
 
 
 @functools.lru_cache(maxsize=16)

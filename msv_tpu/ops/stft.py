@@ -163,14 +163,21 @@ def perform_stft(
             raise TypeError(
                 "fft_module must be callable or have a .process method"
             )
-        out = jnp.asarray(fn(frames))
+        out = fn(frames)
+        if not isinstance(out, jax.Array):
+            out = np.asarray(out)
         want = (frames.shape[0], n_fft // 2 + 1)
         if tuple(out.shape) != want:
             raise ValueError(
                 f"fft_module returned shape {tuple(out.shape)}, "
                 f"expected {want}"
             )
-        return out
+        if isinstance(out, np.ndarray) and not _complex_transfer_ok():
+            # a HOST module's complex result must stay on host on the
+            # axon relay: uploading complex64 poisons the client (same
+            # hazard the default path's host assembly avoids below)
+            return np.ascontiguousarray(out, np.complex64)
+        return jnp.asarray(out)
     padded, c, s, n_frames, n_frames_pad = _prepare(
         wav, win_length, hop_length, n_fft, window, None
     )

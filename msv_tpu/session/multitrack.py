@@ -601,8 +601,18 @@ class MultiTrack:
         """
         if isinstance(path_list, str):
             path_list = path_list.split("\n")
+        if len(id_list) != len(path_list):
+            raise ValueError(
+                f"id_list has {len(id_list)} entries but path_list "
+                f"{len(path_list)} — a zip would silently drop tracks"
+            )
         if channels is None:
             channels = [None] * len(path_list)
+        elif len(channels) != len(path_list):
+            raise ValueError(
+                f"channels has {len(channels)} entries but path_list "
+                f"{len(path_list)} — a zip would silently drop tracks"
+            )
         with self.timer.stage("add_tracks.decode"):
             for id, path, ch in zip(id_list, path_list, channels):
                 track = AudioTrack(path, self.setting, channel=ch)

@@ -365,10 +365,19 @@ class _RenderCache:
             self.hits += 1
             return hit
 
-    def put(self, path, ctype, body):
+    def put(self, path, ctype, body, gen=None):
+        """``gen`` is the generation read at REQUEST START: if a session
+        mutation landed while this response was being rendered, the gen
+        no longer matches and the bytes are dropped instead of cached —
+        the old put() keyed whatever was current at put time, so a
+        render that straddled a mutation could be cached under the NEW
+        generation and served stale forever (review finding, round 4).
+        A skipped put is only a missed fill, never staleness."""
         if len(body) > self.MAX_BYTES // 4:
             return  # one giant render must not evict the whole cache
         with self._lock:
+            if gen is not None and gen != self.gen:
+                return
             key = (self.gen, path)
             if key in self._d:
                 return
@@ -462,7 +471,8 @@ class _Handler(BaseHTTPRequestHandler):
         an identical request (same session generation) skips the render
         pipeline entirely."""
         body = self._png(arr)
-        self._cache().put(self.path, "image/png", body)
+        self._cache().put(self.path, "image/png", body,
+                          gen=getattr(self, "_req_gen", None))
         self._send(200, "image/png", body)
 
     def _send(self, code, ctype, body):
@@ -484,6 +494,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         mt = self.session
+        self._req_gen = self._cache().gen  # see _RenderCache.put
         url = urllib.parse.urlparse(self.path)
         q = urllib.parse.parse_qs(url.query)
 
@@ -846,7 +857,8 @@ class _Handler(BaseHTTPRequestHandler):
                     "ap": [round(float(v), 3) for v in ap],
                     "rel": [round(float(v), 4) for v in rel],
                 }).encode()
-                self._cache().put(self.path, "application/json", body)
+                self._cache().put(self.path, "application/json", body,
+                                  gen=self._req_gen)
                 self._send(200, "application/json", body)
             elif url.path.startswith("/api/loudness/"):
                 # BS.1770 integrated loudness of the track's mono view —
@@ -866,7 +878,8 @@ class _Handler(BaseHTTPRequestHandler):
                     "lufs": None if lufs == float("-inf")
                     else round(lufs, 2)
                 }).encode()
-                self._cache().put(self.path, "application/json", body)
+                self._cache().put(self.path, "application/json", body,
+                                  gen=self._req_gen)
                 self._send(200, "application/json", body)
             else:
                 self._send(404, "text/plain", b"not found")

@@ -43,7 +43,6 @@ def test_covers_every_file_once_with_fixed_shapes(mixed_paths):
         seen.extend(m.path for m in metas)
     assert sorted(seen) == sorted(mixed_paths)  # each exactly once
     assert shapes == {8000}  # 0.5 s at 16 kHz from every source rate
-    assert len(b) >= 4
 
 
 def test_rows_match_direct_decode_resample(mixed_paths):

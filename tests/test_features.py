@@ -633,3 +633,24 @@ def test_onset_validation(rng):
         onset_detect(np.zeros(8000, np.float32), 16000, units="ms")
     with pytest.raises(ValueError, match="single"):
         onset_detect(np.zeros((2, 8000), np.float32), 16000)
+
+
+def test_top_db_clamps_per_clip(rng):
+    """A quiet clip's floor must come from its OWN max, not a loud
+    batchmate's (regression: batch-global clamp coupled onset envelopes
+    to batch composition)."""
+    from msv_tpu.features import log_mel_spectrogram
+
+    quiet = (0.01 * np.sin(2 * np.pi * 440 * np.arange(8000) / 8000.0)
+             ).astype(np.float32)
+    loud = (0.9 * np.sin(2 * np.pi * 440 * np.arange(8000) / 8000.0)
+            ).astype(np.float32)
+    alone = np.asarray(log_mel_spectrogram(quiet, 8000, n_mel=32,
+                                           top_db=30.0,
+                                           precision="parity"))
+    batched = np.asarray(log_mel_spectrogram(
+        np.stack([loud, quiet]), 8000, n_mel=32, top_db=30.0,
+        precision="parity"))
+    np.testing.assert_array_equal(batched[1], alone)
+    for row in batched:
+        assert row.max() - row.min() <= 30.0 + 1e-3

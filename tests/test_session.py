@@ -692,3 +692,23 @@ def test_replace_longest_track_with_shorter_lowers_max_sec(tmp_path, rng):
     oracle = MultiTrack()
     oracle.add_tracks([0, 1], [ps, ps])
     assert mt.get_max_sec() == oracle.get_max_sec()
+
+
+def test_add_tracks_length_mismatch_is_loud(tmp_path, rng):
+    """Mismatched id/path/channels lists must raise, not zip-truncate
+    (regression: add_tracks([0, 1], [a, b], channels=[0]) silently
+    added only track 0)."""
+    import numpy as np
+
+    from msv_tpu import MultiTrack
+    from msv_tpu.io.audio import write_wav
+
+    p = str(tmp_path / "t.wav")
+    write_wav(p, (0.2 * rng.standard_normal(4000)).astype(
+        np.float32)[None], 8000)
+    mt = MultiTrack()
+    with pytest.raises(ValueError, match="drop"):
+        mt.add_tracks([0, 1], [p, p], channels=[0])
+    with pytest.raises(ValueError, match="drop"):
+        mt.add_tracks([0, 1], [p])
+    assert mt.tracks == {}  # nothing partially added

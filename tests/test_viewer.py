@@ -638,3 +638,18 @@ def test_loudness_endpoint(viewer_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(viewer_url + "/api/loudness/9")
     assert e.value.code == 500
+
+
+def test_render_cache_rejects_stale_generation():
+    """A response rendered before a session mutation must not be cached
+    under the post-mutation generation (TOCTOU regression: put() used
+    to key whatever gen was current at put time)."""
+    from msv_tpu.viewer import _RenderCache
+
+    c = _RenderCache()
+    g = c.gen
+    c.bump_gen()  # a mutation lands while the render was in flight
+    c.put("/api/spec/0", "image/png", b"stale", gen=g)
+    assert c.get("/api/spec/0") is None
+    c.put("/api/spec/0", "image/png", b"fresh", gen=c.gen)
+    assert c.get("/api/spec/0") == ("image/png", b"fresh")
