@@ -37,6 +37,7 @@ _PAGE = """<!DOCTYPE html>
  <label style="margin-left:14px"><input id="showwav" type="checkbox" checked> waveform</label>
  <label style="margin-left:14px" title="adaptive multi-resolution STFT (transients from short windows, harmonics from long ones)"><input id="adaptive" type="checkbox"> adaptive</label>
  <label style="margin-left:14px" title="YIN f0 contour drawn on the spectrogram (cyan; gaps where the frame is unvoiced)"><input id="pitch" type="checkbox"> pitch</label>
+ <label style="margin-left:14px" title="spectral-flux onset markers (orange ticks)"><input id="onsets" type="checkbox"> onsets</label>
  amp&plusmn;<input id="amp" type="number" value="1.0" min="0.05" max="4" step="0.05" style="width:56px">
  <input id="addpath" placeholder="/path/to/file.wav" style="margin-left:14px;width:220px">
  <button id="addbtn">add</button>
@@ -184,6 +185,25 @@ function fetchView(t, force) {
   } else if (pcv.width) {
     pcv.getContext('2d').clearRect(0, 0, pcv.width, pcv.height);
   }
+  // onset ticks (features.py spectral flux via /api/onsets)
+  const ocv = document.getElementById('ons' + t.id);
+  if (document.getElementById('onsets').checked) {
+    fetch(`/api/onsets/${t.id}?start=${vis0 / pps}&end=${vis1 / pps}`)
+      .then(r => r.ok ? r.json() : null).then(d => {
+        if (!d || (state[t.id] || {}).gen !== gen) return;
+        ocv.width = Math.max(vis1 - vis0, 1); ocv.height = H;
+        ocv.style.left = vis0 + 'px';
+        const ctx = ocv.getContext('2d');
+        ctx.clearRect(0, 0, ocv.width, H);
+        ctx.strokeStyle = 'rgba(255,170,60,0.8)'; ctx.lineWidth = 1;
+        for (const tt of d.t) {
+          const x = tt * pps - vis0;
+          ctx.beginPath(); ctx.moveTo(x, 0); ctx.lineTo(x, H); ctx.stroke();
+        }
+      }).catch(() => {});
+  } else if (ocv.width) {
+    ocv.getContext('2d').clearRect(0, 0, ocv.width, ocv.height);
+  }
 }
 
 function refresh() {
@@ -228,6 +248,7 @@ async function load() {
         <div id="spacer${t.id}" style="height:1px"></div>
         <img id="spec${t.id}" style="position:absolute;top:0;left:0">
         <canvas id="pitch${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
+        <canvas id="ons${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
         <img id="wav${t.id}" style="position:absolute;top:${H}px;left:0">
       </div>`;
     el.appendChild(div);
@@ -257,6 +278,7 @@ document.getElementById('zoom').addEventListener('change', e => {
 document.getElementById('showwav').addEventListener('change', refresh);
 document.getElementById('adaptive').addEventListener('change', refresh);
 document.getElementById('pitch').addEventListener('change', refresh);
+document.getElementById('onsets').addEventListener('change', refresh);
 document.getElementById('amp').addEventListener('change', refresh);
 document.getElementById('addbtn').addEventListener('click', async () => {
   const path = document.getElementById('addpath').value.trim();
@@ -445,7 +467,7 @@ class _RWLock:
 # image endpoints whose responses are pure functions of (session gen, URL)
 _CACHEABLE = ("/api/spec/", "/api/wav/", "/api/spec_crop/",
               "/api/wav_crop/", "/api/adaptive_crop/", "/api/pitch/",
-              "/api/loudness/")
+              "/api/loudness/", "/api/onsets/")
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -857,6 +879,32 @@ class _Handler(BaseHTTPRequestHandler):
                     "ap": [round(float(v), 3) for v in ap],
                     "rel": [round(float(v), 4) for v in rel],
                 }).encode()
+                self._cache().put(self.path, "application/json", body,
+                                  gen=self._req_gen)
+                self._send(200, "application/json", body)
+            elif url.path.startswith("/api/onsets/"):
+                # onset times over a bounded window (features.py
+                # spectral-flux novelty); viewport-sized like /api/pitch
+                # and LRU-cached under the same generation rules
+                from .features import onset_detect
+
+                tid = int(url.path.rsplit("/", 1)[1])
+                s0 = qf("start", 0.0, 0.0, 1e7)
+                s1 = qf("end", s0 + 30.0, 0.0, 1e7)
+                delta = qf("delta", 3.0, 0.1, 100.0)
+                with self.lock.read():
+                    tr = mt._track(tid)
+                    sr = tr.sr
+                    a = min(max(0, int(s0 * sr)), tr.n_samples)
+                    b = min(tr.n_samples, int(s1 * sr), a + 120 * sr)
+                    wav = tr.wav_slice(a, b)
+                if len(wav) < sr // 10:
+                    body = json.dumps({"t": []}).encode()
+                else:
+                    times = onset_detect(wav, sr, delta=delta)
+                    body = json.dumps({
+                        "t": [round(a / sr + float(v), 3) for v in times]
+                    }).encode()
                 self._cache().put(self.path, "application/json", body,
                                   gen=self._req_gen)
                 self._send(200, "application/json", body)

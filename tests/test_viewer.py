@@ -653,3 +653,45 @@ def test_render_cache_rejects_stale_generation():
     assert c.get("/api/spec/0") is None
     c.put("/api/spec/0", "image/png", b"fresh", gen=c.gen)
     assert c.get("/api/spec/0") == ("image/png", b"fresh")
+
+
+def test_onsets_endpoint(tmp_path):
+    """/api/onsets finds click times in the viewport window (absolute
+    seconds), returns [] for tiny windows, and honors delta."""
+    import threading as _t
+    from http.server import ThreadingHTTPServer
+
+    from msv_tpu.session import MultiTrack
+    from msv_tpu.viewer import _Handler, _RWLock
+
+    sr = 8000
+    n = 2 * sr
+    x = np.zeros(n, np.float32)
+    truth = [0.4, 1.2]
+    for tt in truth:
+        c = int(tt * sr)
+        x[c:c + 24] = 0.8 * np.sin(
+            2 * np.pi * 1500 * np.arange(24) / sr).astype(np.float32)
+    p = str(tmp_path / "clicks.wav")
+    write_wav(p, x[None], sr)
+    mt = MultiTrack()
+    mt.add_tracks([0], [p])
+    handler = type("H", (_Handler,), {"session": mt, "lock": _RWLock()})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    _t.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, body = _get(base + "/api/onsets/0?start=0&end=2")
+        assert code == 200
+        got = json.loads(body)["t"]
+        assert len(got) == 2
+        assert abs(got[0] - truth[0]) < 0.05 and abs(got[1] - truth[1]) < 0.05
+        # a window holding only the second click reports absolute time
+        code, body = _get(base + "/api/onsets/0?start=1.0&end=2.0")
+        got = json.loads(body)["t"]
+        assert len(got) == 1 and abs(got[0] - truth[1]) < 0.05
+        # tiny window -> []
+        code, body = _get(base + "/api/onsets/0?start=0&end=0.005")
+        assert json.loads(body)["t"] == []
+    finally:
+        srv.shutdown()
