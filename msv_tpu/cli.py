@@ -112,6 +112,29 @@ def _build_parser():
                    help="separate one source channel instead of the "
                    "channel sum")
 
+    fe = sub.add_parser(
+        "features",
+        help="extract ML features to .npy",
+        description="Decode (any codec), resample to --target-sr on "
+        "device, and write feats_<kind>_<stem>.npy per input file.  "
+        "Kinds: logmel (n_frames, n_mel), mfcc (n_frames, n_mfcc), "
+        "chroma (n_frames, 12), spectral (n_frames, 6 descriptors), "
+        "whisper (80, 3000 transformers-parity), f0 (n_frames, 2: "
+        "YIN Hz + aperiodicity), onsets (times in seconds).",
+    )
+    fe.add_argument("files", nargs="+")
+    fe.add_argument("-o", "--outdir", default=".")
+    fe.add_argument("--kind", default="logmel",
+                    choices=["logmel", "mfcc", "chroma", "spectral",
+                             "whisper", "f0", "onsets"])
+    fe.add_argument("--target-sr", type=int, default=16000,
+                    help="analysis rate (inputs resample on device; "
+                    "whisper forces 16000)")
+    fe.add_argument("--n-mel", type=int, default=128)
+    fe.add_argument("--n-mfcc", type=int, default=13)
+    fe.add_argument("--channel", type=int, default=None,
+                    help="one source channel instead of the channel sum")
+
     g = sub.add_parser(
         "reconstruct",
         help="invert a dB spectrogram back to audio (Griffin-Lim)",
@@ -221,6 +244,77 @@ def _render_adaptive(args, setting):
             dout = os.path.join(args.outdir, f"db_adaptive_{stem}.npy")
             np.save(dout, db_np[:n])
             print(f"  {dout}  {n}x{db_np.shape[1]} f32")
+    return 0
+
+
+def _features_cmd(args):
+    import math
+
+    import numpy as np
+
+    from .io.audio import open_audio_mono_ex
+
+    target = 16000 if args.kind == "whisper" else args.target_sr
+    if target < 1000:
+        from .utils.errors import MsvError
+
+        raise MsvError(f"--target-sr too low: {target}")
+    os.makedirs(args.outdir, exist_ok=True)
+    for f in args.files:
+        wav, sr, _, _, _ = open_audio_mono_ex(f, channel=args.channel)
+        t0 = time.perf_counter()
+        if sr != target:
+            from .ops.resample import resample
+
+            # bucket to whole seconds before the device resample so the
+            # conv compiles per (seconds, ratio), not per sample count —
+            # zero-padding matches the resampler's own zero edge
+            # assumption, so the trimmed output is bit-identical
+            g = math.gcd(sr, target)
+            n_out = len(wav) * (target // g) // (sr // g) + bool(
+                len(wav) * (target // g) % (sr // g))
+            pad = (-len(wav)) % sr
+            wav = np.asarray(
+                resample(np.pad(wav, (0, pad)), sr, target)
+            )[:n_out]
+        kind = args.kind
+        if kind == "logmel":
+            from .features import log_mel_spectrogram
+
+            out = np.asarray(log_mel_spectrogram(wav, target,
+                                                 n_mel=args.n_mel))
+        elif kind == "mfcc":
+            from .features import mfcc
+
+            out = np.asarray(mfcc(wav, target, n_mfcc=args.n_mfcc,
+                                  n_mel=args.n_mel))
+        elif kind == "chroma":
+            from .features import chroma_stft
+
+            out = np.asarray(chroma_stft(wav, target))
+        elif kind == "spectral":
+            from .features import spectral_features
+
+            out = np.asarray(spectral_features(wav, target))
+        elif kind == "whisper":
+            from .features import whisper_log_mel
+
+            out = np.asarray(whisper_log_mel(wav, 16000))
+        elif kind == "f0":
+            from .ops.pitch import yin
+
+            f0, ap = yin(wav, target, with_aperiodicity=True)
+            out = np.stack([np.asarray(f0), np.asarray(ap)], axis=1)
+        else:  # onsets
+            from .features import onset_detect
+
+            out = np.asarray(onset_detect(wav, target))
+        stem = os.path.splitext(os.path.basename(f))[0] + (
+            "" if args.channel is None else f"_ch{args.channel}"
+        )
+        dest = os.path.join(args.outdir, f"feats_{kind}_{stem}.npy")
+        np.save(dest, out.astype(np.float32))
+        print(f"  {dest}  {out.shape}  ({time.perf_counter() - t0:.2f}s)")
     return 0
 
 
@@ -401,6 +495,9 @@ def _main(argv=None):
                 f"hop={p.hop_length} n_fft={p.n_fft}" + extra
             )
         return 0
+
+    if args.cmd == "features":
+        return _features_cmd(args)
 
     if args.cmd == "reconstruct":
         return _reconstruct(args)

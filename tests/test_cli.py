@@ -171,3 +171,32 @@ def test_info_loudness(wav_path, capsys):
     assert "loudness=" in out and "LUFS" in out
     lufs = float(out.split("loudness=")[1].split("LUFS")[0])
     assert -16.0 < lufs < -8.0  # 0.4 amplitude 440 Hz tone
+
+
+def test_features_cli(wav_path, tmp_path, capsys):
+    """Every kind writes a well-shaped .npy; resampling to the analysis
+    rate matches the direct op path bit-for-bit."""
+    out = str(tmp_path / "feats")
+    for kind, check in [
+        ("logmel", lambda a: a.ndim == 2 and a.shape[1] == 128),
+        ("mfcc", lambda a: a.shape[1] == 13),
+        ("chroma", lambda a: a.shape[1] == 12),
+        ("spectral", lambda a: a.shape[1] == 6),
+        ("whisper", lambda a: a.shape == (80, 3000)),
+        ("f0", lambda a: a.shape[1] == 2 and 430 < np.median(a[:, 0]) < 450),
+        ("onsets", lambda a: a.ndim == 1),
+    ]:
+        assert main(["features", wav_path, "-o", out,
+                     "--kind", kind]) == 0
+        a = np.load(os.path.join(out, f"feats_{kind}_tone.npy"))
+        assert a.dtype == np.float32 and check(a), (kind, a.shape)
+    # bucketed resample == direct: recompute logmel from the op path
+    from msv_tpu.features import log_mel_spectrogram
+    from msv_tpu.io.audio import open_audio_file
+    from msv_tpu.ops.resample import resample
+
+    w, sr = open_audio_file(wav_path)
+    x = np.asarray(resample(w.sum(axis=0), sr, 16000))
+    direct = np.asarray(log_mel_spectrogram(x, 16000, n_mel=128))
+    got = np.load(os.path.join(out, "feats_logmel_tone.npy"))
+    np.testing.assert_array_equal(got, direct)
