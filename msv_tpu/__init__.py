@@ -24,6 +24,7 @@ from .ops.hpss import hpss, hpss_masks
 from .ops.pitch import yin
 from .ops.cqt import cqt, cqt_frequencies
 from .ops.loudness import integrated_loudness
+from .ops.rhythm import beat_track, tempogram_from_envelope
 from .features import (
     chroma_filterbank,
     chroma_stft,
@@ -59,6 +60,8 @@ __all__ = [
     "cqt",
     "cqt_frequencies",
     "integrated_loudness",
+    "beat_track",
+    "tempogram_from_envelope",
     "chroma_filterbank",
     "chroma_stft",
     "delta",

@@ -120,13 +120,16 @@ def _build_parser():
         "Kinds: logmel (n_frames, n_mel), mfcc (n_frames, n_mfcc), "
         "chroma (n_frames, 12), spectral (n_frames, 6 descriptors), "
         "whisper (80, 3000 transformers-parity), f0 (n_frames, 2: "
-        "YIN Hz + aperiodicity), onsets (times in seconds).",
+        "YIN Hz + aperiodicity), onsets (times in seconds), beats "
+        "(beat times in seconds; BPM printed), tempogram "
+        "(n_frames, 384 normalized local ACF at 100 fps).",
     )
     fe.add_argument("files", nargs="+")
     fe.add_argument("-o", "--outdir", default=".")
     fe.add_argument("--kind", default="logmel",
                     choices=["logmel", "mfcc", "chroma", "spectral",
-                             "whisper", "f0", "onsets"])
+                             "whisper", "f0", "onsets", "beats",
+                             "tempogram"])
     fe.add_argument("--target-sr", type=int, default=16000,
                     help="analysis rate (inputs resample on device; "
                     "whisper forces 16000)")
@@ -263,6 +266,7 @@ def _features_cmd(args):
     for f in args.files:
         wav, sr, _, _, _ = open_audio_mono_ex(f, channel=args.channel)
         t0 = time.perf_counter()
+        extra = ""
         if sr != target:
             from .ops.resample import resample
 
@@ -305,6 +309,17 @@ def _features_cmd(args):
 
             f0, ap = yin(wav, target, with_aperiodicity=True)
             out = np.stack([np.asarray(f0), np.asarray(ap)], axis=1)
+        elif kind == "beats":
+            from .ops.rhythm import beat_track
+
+            bpm, out = beat_track(wav, target)
+            extra = f"  {bpm:.1f} BPM"
+        elif kind == "tempogram":
+            from .features import onset_strength
+            from .ops.rhythm import tempogram_from_envelope
+
+            env = np.asarray(onset_strength(wav, target))
+            out = np.asarray(tempogram_from_envelope(env, 100.0))
         else:  # onsets
             from .features import onset_detect
 
@@ -314,7 +329,8 @@ def _features_cmd(args):
         )
         dest = os.path.join(args.outdir, f"feats_{kind}_{stem}.npy")
         np.save(dest, out.astype(np.float32))
-        print(f"  {dest}  {out.shape}  ({time.perf_counter() - t0:.2f}s)")
+        print(f"  {dest}  {out.shape}{extra}  "
+              f"({time.perf_counter() - t0:.2f}s)")
     return 0
 
 

@@ -19,10 +19,16 @@ from .hpss import hpss, hpss_masks
 from .pitch import yin
 from .cqt import cqt, cqt_frequencies
 from .loudness import integrated_loudness, k_weighting_coeffs
+from .rhythm import (beat_track, beat_track_from_envelope,
+                     tempo_from_tempogram, tempogram_from_envelope)
 
 __all__ = [
     "integrated_loudness",
     "k_weighting_coeffs",
+    "beat_track",
+    "beat_track_from_envelope",
+    "tempo_from_tempogram",
+    "tempogram_from_envelope",
     "cqt",
     "cqt_frequencies",
     "yin",

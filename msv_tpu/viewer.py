@@ -38,6 +38,7 @@ _PAGE = """<!DOCTYPE html>
  <label style="margin-left:14px" title="adaptive multi-resolution STFT (transients from short windows, harmonics from long ones)"><input id="adaptive" type="checkbox"> adaptive</label>
  <label style="margin-left:14px" title="YIN f0 contour drawn on the spectrogram (cyan; gaps where the frame is unvoiced)"><input id="pitch" type="checkbox"> pitch</label>
  <label style="margin-left:14px" title="spectral-flux onset markers (orange ticks)"><input id="onsets" type="checkbox"> onsets</label>
+ <label style="margin-left:14px" title="tracked beat grid (green lines) + tempo readout"><input id="beats" type="checkbox"> beats</label>
  amp&plusmn;<input id="amp" type="number" value="1.0" min="0.05" max="4" step="0.05" style="width:56px">
  <input id="addpath" placeholder="/path/to/file.wav" style="margin-left:14px;width:220px">
  <button id="addbtn">add</button>
@@ -204,6 +205,30 @@ function fetchView(t, force) {
   } else if (ocv.width) {
     ocv.getContext('2d').clearRect(0, 0, ocv.width, ocv.height);
   }
+  // beat grid (ops/rhythm.py tempogram + Ellis DP via /api/beats)
+  const bcv = document.getElementById('bts' + t.id);
+  if (document.getElementById('beats').checked) {
+    fetch(`/api/beats/${t.id}?start=${vis0 / pps}&end=${vis1 / pps}`)
+      .then(r => r.ok ? r.json() : null).then(d => {
+        if (!d || (state[t.id] || {}).gen !== gen) return;
+        bcv.width = Math.max(vis1 - vis0, 1); bcv.height = H;
+        bcv.style.left = vis0 + 'px';
+        const ctx = bcv.getContext('2d');
+        ctx.clearRect(0, 0, bcv.width, H);
+        ctx.strokeStyle = 'rgba(110,250,130,0.75)'; ctx.lineWidth = 1.5;
+        for (const tt of d.t) {
+          const x = tt * pps - vis0;
+          ctx.beginPath(); ctx.moveTo(x, 0); ctx.lineTo(x, H); ctx.stroke();
+        }
+        if (d.bpm > 0) {
+          ctx.fillStyle = 'rgba(110,250,130,0.9)';
+          ctx.font = '12px sans-serif';
+          ctx.fillText(d.bpm.toFixed(1) + ' BPM', 6, 14);
+        }
+      }).catch(() => {});
+  } else if (bcv.width) {
+    bcv.getContext('2d').clearRect(0, 0, bcv.width, bcv.height);
+  }
 }
 
 function refresh() {
@@ -249,6 +274,7 @@ async function load() {
         <img id="spec${t.id}" style="position:absolute;top:0;left:0">
         <canvas id="pitch${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
         <canvas id="ons${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
+        <canvas id="bts${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
         <img id="wav${t.id}" style="position:absolute;top:${H}px;left:0">
       </div>`;
     el.appendChild(div);
@@ -279,6 +305,7 @@ document.getElementById('showwav').addEventListener('change', refresh);
 document.getElementById('adaptive').addEventListener('change', refresh);
 document.getElementById('pitch').addEventListener('change', refresh);
 document.getElementById('onsets').addEventListener('change', refresh);
+document.getElementById('beats').addEventListener('change', refresh);
 document.getElementById('amp').addEventListener('change', refresh);
 document.getElementById('addbtn').addEventListener('click', async () => {
   const path = document.getElementById('addpath').value.trim();
@@ -467,7 +494,7 @@ class _RWLock:
 # image endpoints whose responses are pure functions of (session gen, URL)
 _CACHEABLE = ("/api/spec/", "/api/wav/", "/api/spec_crop/",
               "/api/wav_crop/", "/api/adaptive_crop/", "/api/pitch/",
-              "/api/loudness/", "/api/onsets/")
+              "/api/loudness/", "/api/onsets/", "/api/beats/")
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -904,6 +931,32 @@ class _Handler(BaseHTTPRequestHandler):
                     times = onset_detect(wav, sr, delta=delta)
                     body = json.dumps({
                         "t": [round(a / sr + float(v), 3) for v in times]
+                    }).encode()
+                self._cache().put(self.path, "application/json", body,
+                                  gen=self._req_gen)
+                self._send(200, "application/json", body)
+            elif url.path.startswith("/api/beats/"):
+                # tempo + beat grid over a bounded window (ops/rhythm.py:
+                # tempogram -> log-normal prior -> Ellis DP); viewport-
+                # sized and LRU-cached like /api/onsets
+                from .ops.rhythm import beat_track
+
+                tid = int(url.path.rsplit("/", 1)[1])
+                s0 = qf("start", 0.0, 0.0, 1e7)
+                s1 = qf("end", s0 + 30.0, 0.0, 1e7)
+                with self.lock.read():
+                    tr = mt._track(tid)
+                    sr = tr.sr
+                    a = min(max(0, int(s0 * sr)), tr.n_samples)
+                    b = min(tr.n_samples, int(s1 * sr), a + 120 * sr)
+                    wav = tr.wav_slice(a, b)
+                if len(wav) < sr:  # < 1 s: no meaningful tempo
+                    body = json.dumps({"bpm": 0.0, "t": []}).encode()
+                else:
+                    bpm, beats = beat_track(wav, sr)
+                    body = json.dumps({
+                        "bpm": round(float(bpm), 1),
+                        "t": [round(a / sr + float(v), 3) for v in beats],
                     }).encode()
                 self._cache().put(self.path, "application/json", body,
                                   gen=self._req_gen)

@@ -185,6 +185,8 @@ def test_features_cli(wav_path, tmp_path, capsys):
         ("whisper", lambda a: a.shape == (80, 3000)),
         ("f0", lambda a: a.shape[1] == 2 and 430 < np.median(a[:, 0]) < 450),
         ("onsets", lambda a: a.ndim == 1),
+        ("beats", lambda a: a.ndim == 1),  # steady tone: no beats is fine
+        ("tempogram", lambda a: a.ndim == 2 and a.shape[1] == 384),
     ]:
         assert main(["features", wav_path, "-o", out,
                      "--kind", kind]) == 0
@@ -200,3 +202,27 @@ def test_features_cli(wav_path, tmp_path, capsys):
     direct = np.asarray(log_mel_spectrogram(x, 16000, n_mel=128))
     got = np.load(os.path.join(out, "feats_logmel_tone.npy"))
     np.testing.assert_array_equal(got, direct)
+
+
+def test_features_beats_click_train(tmp_path, capsys):
+    """--kind beats recovers a 120 BPM click train's tempo (printed) and
+    writes the beat times in seconds."""
+    sr = 8000
+    dur = 8.0
+    x = np.zeros(int(dur * sr), np.float32)
+    clicks = np.arange(0.25, dur - 0.5, 0.5)
+    for t0 in clicks:
+        i = int(t0 * sr)
+        x[i:i + 64] += 0.8 * np.hanning(64).astype(np.float32)
+    p = str(tmp_path / "clicks.wav")
+    write_wav(p, x[None], sr)
+    out = str(tmp_path / "feats")
+    assert main(["features", p, "-o", out, "--kind", "beats",
+                 "--target-sr", str(sr)]) == 0
+    cap = capsys.readouterr().out
+    assert "BPM" in cap
+    bpm = float(cap.split("BPM")[0].strip().split()[-1])
+    assert abs(bpm - 120.0) / 120.0 < 0.05
+    beats = np.load(os.path.join(out, "feats_beats_clicks.npy"))
+    off = np.abs(beats[:, None] - clicks[None, :]).min(axis=1)
+    assert np.median(off) <= 0.03

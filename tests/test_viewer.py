@@ -695,3 +695,50 @@ def test_onsets_endpoint(tmp_path):
         assert json.loads(body)["t"] == []
     finally:
         srv.shutdown()
+
+
+def test_beats_endpoint(tmp_path):
+    """/api/beats reports the click train's BPM + a beat grid in absolute
+    seconds; sub-second windows return an empty grid."""
+    import threading as _t
+    from http.server import ThreadingHTTPServer
+
+    from msv_tpu.session import MultiTrack
+    from msv_tpu.viewer import _Handler, _RWLock
+
+    sr = 8000
+    dur = 6.0
+    x = np.zeros(int(dur * sr), np.float32)
+    clicks = np.arange(0.25, dur - 0.5, 0.5)  # 120 BPM
+    for tt in clicks:
+        c = int(tt * sr)
+        x[c:c + 64] += 0.8 * np.hanning(64).astype(np.float32)
+    p = str(tmp_path / "clicks.wav")
+    write_wav(p, x[None], sr)
+    mt = MultiTrack()
+    mt.add_tracks([0], [p])
+    handler = type("H", (_Handler,), {"session": mt, "lock": _RWLock()})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    _t.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, body = _get(base + f"/api/beats/0?start=0&end={dur}")
+        assert code == 200
+        d = json.loads(body)
+        assert abs(d["bpm"] - 120.0) / 120.0 < 0.05
+        got = np.asarray(d["t"])
+        off = np.abs(got[:, None] - clicks[None, :]).min(axis=1)
+        assert np.median(off) <= 0.03
+        # a shifted window reports absolute seconds
+        code, body = _get(base + "/api/beats/0?start=2.0&end=5.0")
+        d2 = json.loads(body)
+        assert all(2.0 <= t <= 5.0 for t in d2["t"])
+        near = np.abs(np.asarray(d2["t"])[:, None]
+                      - clicks[None, :]).min(axis=1)
+        assert np.median(near) <= 0.03
+        # < 1 s of audio: no meaningful tempo
+        code, body = _get(base + "/api/beats/0?start=0&end=0.5")
+        d3 = json.loads(body)
+        assert d3 == {"bpm": 0.0, "t": []}
+    finally:
+        srv.shutdown()
