@@ -34,6 +34,7 @@ from .features import (
     log_mel_spectrogram,
     log_mel_spectrogram_ragged,
     mfcc,
+    pcen,
     spectral_features,
     whisper_log_mel,
 )
@@ -70,6 +71,7 @@ __all__ = [
     "log_mel_spectrogram",
     "log_mel_spectrogram_ragged",
     "mfcc",
+    "pcen",
     "spectral_features",
     "whisper_log_mel",
     "__version__",

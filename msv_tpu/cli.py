@@ -122,14 +122,15 @@ def _build_parser():
         "whisper (80, 3000 transformers-parity), f0 (n_frames, 2: "
         "YIN Hz + aperiodicity), onsets (times in seconds), beats "
         "(beat times in seconds; BPM printed), tempogram "
-        "(n_frames, 384 normalized local ACF at 100 fps).",
+        "(n_frames, 384 normalized local ACF at 100 fps), pcen "
+        "(n_frames, n_mel per-channel-energy-normalized mel).",
     )
     fe.add_argument("files", nargs="+")
     fe.add_argument("-o", "--outdir", default=".")
     fe.add_argument("--kind", default="logmel",
                     choices=["logmel", "mfcc", "chroma", "spectral",
                              "whisper", "f0", "onsets", "beats",
-                             "tempogram"])
+                             "tempogram", "pcen"])
     fe.add_argument("--target-sr", type=int, default=16000,
                     help="analysis rate (inputs resample on device; "
                     "whisper forces 16000)")
@@ -309,6 +310,10 @@ def _features_cmd(args):
 
             f0, ap = yin(wav, target, with_aperiodicity=True)
             out = np.stack([np.asarray(f0), np.asarray(ap)], axis=1)
+        elif kind == "pcen":
+            from .features import pcen
+
+            out = np.asarray(pcen(wav, target, n_mel=args.n_mel))
         elif kind == "beats":
             from .ops.rhythm import beat_track
 

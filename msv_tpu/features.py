@@ -26,6 +26,7 @@ and serves every other configuration; set_engine('xla') forces it.
 """
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -73,6 +74,8 @@ def _features_core(padded_b, c, s, fb, n_valid, *, win, hop, n_frames, log,
             return amp_to_db(mel)
         elif log == "power_db":
             return power_to_db(mel if spec == "power" else mel * mel)
+        elif log == "linear":
+            return mel  # raw mel spectrum (PCEN's input)
         return jnp.log(jnp.maximum(mel, 1e-10))  # 'ln'
 
     return jax.vmap(one)(padded_b)
@@ -501,6 +504,95 @@ def mfcc(
         )
         out = out * jnp.asarray(li)
     return out
+
+
+@jax.jit
+def _pcen_core(mel, gain, bias, power, eps, b):
+    """Smoother + compression on a (B, T, n_mel) mel-power batch.
+
+    The per-band first-order IIR  M[t] = (1-b) M[t-1] + b E[t]  runs as
+    a scalar associative scan along the frame axis (log-depth on device;
+    the well-conditioned form — see ops/loudness.py::_pole_scan for the
+    f32 analysis).  M[0] = E[0]: steady-state init, no attack transient
+    at the clip start.  The knobs are TRACED f32 scalars so parameter
+    sweeps share one compiled program per shape bucket."""
+    # u[0] = E[0], u[t>0] = b*E[t]  ->  y[0] = E[0], the documented init
+    u = jnp.concatenate([mel[:, :1], b * mel[:, 1:]], axis=1)
+    pv = jnp.concatenate(
+        [jnp.zeros_like(mel[:, :1]), jnp.full_like(mel[:, 1:], 1.0 - b)],
+        axis=1,
+    )
+
+    def combine(l, r):
+        pl, ul = l
+        pr, ur = r
+        return pr * pl, pr * ul + ur
+
+    _, m = jax.lax.associative_scan(combine, (pv, u), axis=1)
+    smooth = jnp.exp(-gain * jnp.log(eps + m))
+    return (mel * smooth + bias) ** power - bias ** power
+
+
+def pcen(
+    wav,
+    sr: int,
+    *,
+    n_mel: int = 128,
+    win_ms: float = 25.0,
+    hop_ms: float = 10.0,
+    gain: float = 0.98,
+    bias: float = 2.0,
+    power: float = 0.5,
+    time_constant: float = 0.4,
+    eps: float = 1e-6,
+    precision: str | None = None,
+    **mel_kwargs,
+):
+    """Per-channel energy normalization: (T,) or (B, T) ->
+    (B?, n_frames, n_mel).
+
+    The trainable-frontend normalization (Wang et al. 2017, "Trainable
+    frontend for robust and far-field keyword spotting"): an AGC stage
+    divides the mel POWER spectrogram by a per-band temporal smoother
+    raised to ``gain``, then a root compression
+    ``(x + bias)^power - bias^power``.  Loudness-invariant by
+    construction — scaling the input by any constant cancels in
+    E / M^gain when gain=1 (and nearly so at the 0.98 default), which is
+    the property tests pin.
+
+    TPU formulation: the smoother  M[t] = (1-b) M[t-1] + b E[t]  is a
+    linear recurrence -> one ``associative_scan`` over the frame axis
+    for ALL bands and batch rows at once (the loudness module's
+    well-conditioned scalar form), with ``M[0] = E[0]`` steady-state
+    init (documented here because it IS the oracle contract).  The
+    smoothing coefficient derives from ``time_constant`` seconds as
+    ``b = (sqrt(1 + 4 t^2) - 1) / (2 t^2)`` with ``t = time_constant *
+    sr / hop_length`` (the standard equivalent-delay mapping).
+    ``**mel_kwargs`` pass through to :func:`log_mel_spectrogram`
+    (fmin/fmax/win_length/...).
+    """
+    if not 0.0 <= gain <= 1.0:
+        raise ValueError(f"gain must be in [0, 1], got {gain}")
+    if bias < 0 or eps <= 0 or power <= 0 or time_constant <= 0:
+        raise ValueError(
+            f"need bias >= 0, eps > 0, power > 0, time_constant > 0: "
+            f"{bias}, {eps}, {power}, {time_constant}"
+        )
+    hop_length = mel_kwargs.get("hop_length") or int(
+        round(hop_ms * sr / 1000.0))
+    mel = log_mel_spectrogram(
+        wav, sr, n_mel=n_mel, win_ms=win_ms, hop_ms=hop_ms,
+        spec="power", log="linear", precision=precision, **mel_kwargs,
+    )
+    squeeze = mel.ndim == 2
+    if squeeze:
+        mel = mel[None]
+    t = time_constant * sr / hop_length
+    b = (math.sqrt(1.0 + 4.0 * t * t) - 1.0) / (2.0 * t * t)
+    f32 = jnp.float32
+    out = _pcen_core(mel, f32(gain), f32(bias), f32(power), f32(eps),
+                     f32(b))
+    return out[0] if squeeze else out
 
 
 def delta(feats, *, width: int = 9, order: int = 1, axis: int = -2):

@@ -187,6 +187,7 @@ def test_features_cli(wav_path, tmp_path, capsys):
         ("onsets", lambda a: a.ndim == 1),
         ("beats", lambda a: a.ndim == 1),  # steady tone: no beats is fine
         ("tempogram", lambda a: a.ndim == 2 and a.shape[1] == 384),
+        ("pcen", lambda a: a.shape[1] == 128 and np.all(a >= -1e-4)),
     ]:
         assert main(["features", wav_path, "-o", out,
                      "--kind", kind]) == 0

@@ -654,3 +654,119 @@ def test_top_db_clamps_per_clip(rng):
     np.testing.assert_array_equal(batched[1], alone)
     for row in batched:
         assert row.max() - row.min() <= 30.0 + 1e-3
+
+
+# -------------------------------------------------------------------- pcen
+# librosa is not in this image: the oracle is a from-scratch f64 loop over
+# pcen's documented spec (Wang et al. 2017 AGC + root compression with the
+# equivalent-delay b mapping and M[0] = E[0] init), fed the SAME mel power
+# plane the op consumes.
+
+def _pcen_oracle_np(E, b, gain, bias, power, eps):
+    E = np.asarray(E, np.float64)
+    M = np.empty_like(E)
+    M[0] = E[0]
+    for t in range(1, len(E)):
+        M[t] = (1.0 - b) * M[t - 1] + b * E[t]
+    return (E / (eps + M) ** gain + bias) ** power - bias ** power
+
+
+def test_pcen_matches_from_scratch_oracle(rng):
+    import math
+
+    from msv_tpu.features import pcen
+
+    sr = 8000
+    x = (0.3 * np.sin(2 * np.pi * 440 * np.arange(2 * sr) / sr)
+         + 0.05 * rng.standard_normal(2 * sr)).astype(np.float32)
+    got = np.asarray(pcen(x, sr, n_mel=40, precision="parity"))
+    E = np.asarray(log_mel_spectrogram(
+        x, sr, n_mel=40, spec="power", log="linear", precision="parity"))
+    t = 0.4 * sr / 80  # time_constant * sr / hop(10 ms at 8 kHz)
+    b = (math.sqrt(1.0 + 4.0 * t * t) - 1.0) / (2.0 * t * t)
+    want = _pcen_oracle_np(E, b, 0.98, 2.0, 0.5, 1e-6)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_pcen_loudness_invariant(rng):
+    """gain=1: scaling the waveform by 10x cancels in E / M^gain — the
+    property PCEN exists for.  Holds where M >> eps (the window is
+    pre-scaled by 1/n_fft, so near-floor mel bands sit close to the 1e-6
+    default eps — a small eps isolates the structural property).
+    log-mel, by contrast, shifts by the full 20 dB."""
+    from msv_tpu.features import pcen
+
+    sr = 8000
+    x = (0.3 * np.sin(2 * np.pi * 300 * np.arange(sr) / sr)
+         + 0.05 * rng.standard_normal(sr)).astype(np.float32)
+    a = np.asarray(pcen(x, sr, n_mel=32, gain=1.0, eps=1e-12,
+                        precision="parity"))
+    bq = np.asarray(pcen(10.0 * x, sr, n_mel=32, gain=1.0, eps=1e-12,
+                         precision="parity"))
+    np.testing.assert_allclose(a, bq, atol=2e-3)
+    lm = np.asarray(log_mel_spectrogram(x, sr, n_mel=32,
+                                        precision="parity"))
+    lm10 = np.asarray(log_mel_spectrogram(10.0 * x, sr, n_mel=32,
+                                          precision="parity"))
+    assert np.median(lm10 - lm) == pytest.approx(20.0, abs=0.1)
+
+
+def test_pcen_emphasizes_onsets(rng):
+    """A tone switching on mid-clip: the onset frame's PCEN response in
+    the tone's band exceeds the steady-state frames that follow (the
+    smoother catches up and the AGC compresses)."""
+    from msv_tpu.features import pcen
+
+    sr = 8000
+    x = np.zeros(2 * sr, np.float32)
+    x[sr:] = 0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)
+    out = np.asarray(pcen(x, sr, n_mel=40))
+    band = out[:, np.argmax(out.max(axis=0))]
+    onset_frame = np.argmax(band)
+    assert abs(onset_frame - 100) <= 3          # tone starts at frame 100
+    assert band[onset_frame] > 2.0 * band[150]  # steady state compressed
+
+
+def test_pcen_batch_matches_solo_and_device_input(rng):
+    import jax.numpy as jnp
+
+    from msv_tpu.features import pcen
+
+    sr = 8000
+    wavs = (0.2 * rng.standard_normal((3, sr))).astype(np.float32)
+    batched = np.asarray(pcen(wavs, sr, n_mel=32, precision="parity"))
+    for i in range(3):
+        solo = np.asarray(pcen(wavs[i], sr, n_mel=32, precision="parity"))
+        np.testing.assert_array_equal(batched[i], solo)
+    dev = np.asarray(pcen(jnp.asarray(wavs), sr, n_mel=32,
+                          precision="parity"))
+    np.testing.assert_array_equal(dev, batched)
+
+
+def test_pcen_validation():
+    from msv_tpu.features import pcen
+
+    x = np.zeros(8000, np.float32)
+    with pytest.raises(ValueError, match="gain"):
+        pcen(x, 8000, gain=1.5)
+    with pytest.raises(ValueError):
+        pcen(x, 8000, power=0.0)
+    with pytest.raises(ValueError):
+        pcen(x, 8000, time_constant=-1.0)
+    with pytest.raises(ValueError):
+        pcen(x, 8000, eps=0.0)
+
+
+def test_log_linear_option_consistent(rng):
+    """log='linear' returns the raw mel spectrum: power_to_db of it
+    equals the power_db path exactly."""
+    from msv_tpu.ops.decibel import power_to_db
+
+    x = (0.3 * rng.standard_normal(8000)).astype(np.float32)
+    lin = log_mel_spectrogram(x, 8000, n_mel=32, spec="power",
+                              log="linear", precision="parity")
+    db = np.asarray(log_mel_spectrogram(x, 8000, n_mel=32, spec="power",
+                                        log="power_db",
+                                        precision="parity"))
+    np.testing.assert_array_equal(np.asarray(power_to_db(lin)), db)
