@@ -112,6 +112,26 @@ def _build_parser():
                    help="separate one source channel instead of the "
                    "channel sum")
 
+    st = sub.add_parser(
+        "stretch",
+        help="time-stretch or pitch-shift audio (phase vocoder)",
+        description="Phase-vocoder effects (ops/effects.py, identity "
+        "phase locking): --rate stretches duration by 1/rate at "
+        "constant pitch; --semitones shifts pitch at constant "
+        "duration.  Writes <stem>_x<rate>.wav / <stem>_ps<n>.wav.",
+    )
+    st.add_argument("files", nargs="+")
+    st.add_argument("-o", "--outdir", default=".")
+    st.add_argument("--rate", type=float, default=None,
+                    help="speed factor (>1 faster/shorter, <1 slower)")
+    st.add_argument("--semitones", type=float, default=None,
+                    help="pitch shift in semitones (+/-)")
+    st.add_argument("--no-phase-lock", action="store_true",
+                    help="textbook per-bin phase accumulation instead "
+                    "of identity phase locking")
+    st.add_argument("--channel", type=int, default=None,
+                    help="one source channel instead of the channel sum")
+
     fe = sub.add_parser(
         "features",
         help="extract ML features to .npy",
@@ -442,6 +462,39 @@ def _reconstruct(args):
     return 0
 
 
+def _stretch_cmd(args):
+    import numpy as np
+
+    from .io.audio import open_audio_mono_ex, write_wav
+    from .ops.effects import pitch_shift, time_stretch
+    from .utils.errors import MsvError
+
+    if (args.rate is None) == (args.semitones is None):
+        raise MsvError("stretch: pass exactly one of --rate/--semitones")
+    os.makedirs(args.outdir, exist_ok=True)
+    lock = not args.no_phase_lock
+    for f in args.files:
+        wav, sr, _, _, _ = open_audio_mono_ex(f, channel=args.channel)
+        t0 = time.perf_counter()
+        try:
+            if args.rate is not None:
+                out = time_stretch(wav, args.rate, phase_lock=lock)
+                tag = f"x{args.rate:g}"
+            else:
+                out = pitch_shift(wav, sr, args.semitones, phase_lock=lock)
+                tag = f"ps{args.semitones:+g}"
+        except ValueError as e:
+            raise MsvError(f"{f}: {e}") from e
+        dt = time.perf_counter() - t0
+        stem = os.path.splitext(os.path.basename(f))[0] + (
+            "" if args.channel is None else f"_ch{args.channel}"
+        )
+        path = os.path.join(args.outdir, f"{stem}_{tag}.wav")
+        write_wav(path, np.asarray(out)[None, :], sr)
+        print(f"  {path}  {len(out) / sr:.2f}s  ({dt:.2f}s)")
+    return 0
+
+
 def _hpss_cmd(args):
     import numpy as np
 
@@ -525,6 +578,9 @@ def _main(argv=None):
 
     if args.cmd == "hpss":
         return _hpss_cmd(args)
+
+    if args.cmd == "stretch":
+        return _stretch_cmd(args)
 
     if args.cmd == "view":
         from . import FreqScale, SpecSetting

@@ -163,6 +163,29 @@ def test_hpss_cli(wav_path, tmp_path, capsys):
     assert main(["hpss", wav_path, "-o", out, "--channel", "5"]) == 1
 
 
+def test_stretch_cli(wav_path, tmp_path, capsys):
+    """stretch writes duration-scaled / pitch-shifted WAVs."""
+    from msv_tpu.io.audio import open_audio_file
+
+    out = str(tmp_path / "fx")
+    assert main(["stretch", wav_path, "-o", out, "--rate", "2"]) == 0
+    y, sr = open_audio_file(os.path.join(out, "tone_x2.wav"))
+    assert sr == 8000 and y.shape[1] == 4000  # half duration
+    assert main(["stretch", wav_path, "-o", out, "--semitones", "12"]) == 0
+    y, _ = open_audio_file(os.path.join(out, "tone_ps+12.wav"))
+    assert y.shape[1] == 8000  # duration preserved
+    mid = y[0][2000:6000] * np.hanning(4000)
+    peak = np.argmax(np.abs(np.fft.rfft(mid))) * 8000 / 4000
+    assert abs(peak - 880.0) < 5.0  # octave up
+    # error paths stay clean: both/neither flags, bad rate
+    assert main(["stretch", wav_path, "-o", out]) == 1
+    assert "exactly one" in capsys.readouterr().err
+    assert main(["stretch", wav_path, "-o", out, "--rate", "2",
+                 "--semitones", "1"]) == 1
+    assert main(["stretch", wav_path, "-o", out, "--rate", "-1"]) == 1
+    assert "error:" in capsys.readouterr().err
+
+
 def test_info_loudness(wav_path, capsys):
     """info --loudness appends the BS.1770 figure; too-short files get a
     clean error."""
