@@ -26,6 +26,7 @@ from .ops.pitch import yin
 from .ops.cqt import cqt, cqt_frequencies
 from .ops.loudness import integrated_loudness
 from .ops.rhythm import beat_track, tempogram_from_envelope
+from .ops.tonal import estimate_key, tonnetz
 from .features import (
     chroma_filterbank,
     chroma_stft,
@@ -66,6 +67,8 @@ __all__ = [
     "integrated_loudness",
     "beat_track",
     "tempogram_from_envelope",
+    "estimate_key",
+    "tonnetz",
     "chroma_filterbank",
     "chroma_stft",
     "delta",

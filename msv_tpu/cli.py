@@ -143,14 +143,16 @@ def _build_parser():
         "YIN Hz + aperiodicity), onsets (times in seconds), beats "
         "(beat times in seconds; BPM printed), tempogram "
         "(n_frames, 384 normalized local ACF at 100 fps), pcen "
-        "(n_frames, n_mel per-channel-energy-normalized mel).",
+        "(n_frames, n_mel per-channel-energy-normalized mel), tonnetz "
+        "(n_frames, 6 tonal centroids), key (24 Krumhansl-Schmuckler "
+        "correlations; winning key printed).",
     )
     fe.add_argument("files", nargs="+")
     fe.add_argument("-o", "--outdir", default=".")
     fe.add_argument("--kind", default="logmel",
                     choices=["logmel", "mfcc", "chroma", "spectral",
                              "whisper", "f0", "onsets", "beats",
-                             "tempogram", "pcen"])
+                             "tempogram", "pcen", "tonnetz", "key"])
     fe.add_argument("--target-sr", type=int, default=16000,
                     help="analysis rate (inputs resample on device; "
                     "whisper forces 16000)")
@@ -339,6 +341,16 @@ def _features_cmd(args):
 
             bpm, out = beat_track(wav, target)
             extra = f"  {bpm:.1f} BPM"
+        elif kind == "tonnetz":
+            from .ops.tonal import tonnetz
+
+            out = np.asarray(tonnetz(wav, target))
+        elif kind == "key":
+            from .ops.tonal import estimate_key
+
+            tonic, kmode, r, out = estimate_key(wav, target)
+            extra = ("  (atonal)" if tonic is None
+                     else f"  {tonic} {kmode} (r={r:.2f})")
         elif kind == "tempogram":
             from .features import onset_strength
             from .ops.rhythm import tempogram_from_envelope

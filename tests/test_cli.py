@@ -211,6 +211,8 @@ def test_features_cli(wav_path, tmp_path, capsys):
         ("beats", lambda a: a.ndim == 1),  # steady tone: no beats is fine
         ("tempogram", lambda a: a.ndim == 2 and a.shape[1] == 384),
         ("pcen", lambda a: a.shape[1] == 128 and np.all(a >= -1e-4)),
+        ("tonnetz", lambda a: a.ndim == 2 and a.shape[1] == 6),
+        ("key", lambda a: a.shape == (24,)),
     ]:
         assert main(["features", wav_path, "-o", out,
                      "--kind", kind]) == 0
