@@ -37,6 +37,7 @@ from .features import (
     log_mel_spectrogram_ragged,
     mfcc,
     pcen,
+    spectral_contrast,
     spectral_features,
     whisper_log_mel,
 )
@@ -78,6 +79,7 @@ __all__ = [
     "log_mel_spectrogram_ragged",
     "mfcc",
     "pcen",
+    "spectral_contrast",
     "spectral_features",
     "whisper_log_mel",
     "__version__",

@@ -145,14 +145,16 @@ def _build_parser():
         "(n_frames, 384 normalized local ACF at 100 fps), pcen "
         "(n_frames, n_mel per-channel-energy-normalized mel), tonnetz "
         "(n_frames, 6 tonal centroids), key (24 Krumhansl-Schmuckler "
-        "correlations; winning key printed).",
+        "correlations; winning key printed), contrast (n_frames, 7 "
+        "octave-band spectral contrast dB).",
     )
     fe.add_argument("files", nargs="+")
     fe.add_argument("-o", "--outdir", default=".")
     fe.add_argument("--kind", default="logmel",
                     choices=["logmel", "mfcc", "chroma", "spectral",
                              "whisper", "f0", "onsets", "beats",
-                             "tempogram", "pcen", "tonnetz", "key"])
+                             "tempogram", "pcen", "tonnetz", "key",
+                             "contrast"])
     fe.add_argument("--target-sr", type=int, default=16000,
                     help="analysis rate (inputs resample on device; "
                     "whisper forces 16000)")
@@ -341,6 +343,10 @@ def _features_cmd(args):
 
             bpm, out = beat_track(wav, target)
             extra = f"  {bpm:.1f} BPM"
+        elif kind == "contrast":
+            from .features import spectral_contrast
+
+            out = np.asarray(spectral_contrast(wav, target))
         elif kind == "tonnetz":
             from .ops.tonal import tonnetz
 

@@ -771,6 +771,148 @@ def _pad_batch(wav, win_length: int, hop_length: int, n_pad: int,
     )
 
 
+def _contrast_bands(sr: int, n_fft: int, fmin: float, n_bands: int,
+                    quantile: float):
+    """Static octave-band slices for :func:`spectral_contrast`.
+
+    Host-side derivation (band edges are data-independent, so the device
+    core sees them as static slice bounds): band k spans
+    ``[fmin * 2^(k-1), fmin * 2^k]`` Hz (band 0 starts at 0).  Following
+    the classic formulation (Jiang 2002 / librosa.feature
+    .spectral_contrast), band k > 0 also includes the bin just below its
+    first, the top band extends to Nyquist, the quantile count is taken
+    on that widened width, and every band but the top drops its last bin
+    before the quantile means.  Returns ``((start, stop, q), ...)``.
+    """
+    n_freq = n_fft // 2 + 1
+    freq = np.arange(n_freq) * (sr / n_fft)
+    octa = np.zeros(n_bands + 2)
+    octa[1:] = fmin * (2.0 ** np.arange(0, n_bands + 1))
+    if np.any(octa[:-1] >= 0.5 * sr):
+        raise ValueError(
+            f"octave bands exceed Nyquist: fmin={fmin}, n_bands={n_bands} "
+            f"needs sr > {2 * octa[-2]:g}")
+    bands = []
+    for k in range(n_bands + 1):
+        idx = np.flatnonzero((freq >= octa[k]) & (freq <= octa[k + 1]))
+        if idx.size == 0:
+            raise ValueError(
+                f"octave band {k} ({octa[k]:g}-{octa[k + 1]:g} Hz) has no "
+                f"FFT bins; increase n_fft or lower fmin")
+        start = idx[0] - 1 if k > 0 else idx[0]
+        full_stop = n_freq if k == n_bands else idx[-1] + 1
+        q = max(1, int(np.rint(quantile * (full_stop - start))))
+        stop = full_stop if k == n_bands else full_stop - 1  # drop last bin
+        bands.append((int(start), int(max(stop, start + 1)), int(q)))
+    return tuple(bands)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("win", "hop", "n_frames", "mode", "bands",
+                              "linear")
+)
+def _contrast_core(padded_b, c, s, *, win, hop, n_frames, mode, bands,
+                   linear):
+    from .config import precision_for
+
+    prec = precision_for(mode)
+    amin = 1e-10
+
+    def one(padded):
+        frames = frame_device(padded, win, hop, n_frames)
+        re = jnp.dot(frames, c, precision=prec,
+                     preferred_element_type=jnp.float32)
+        im = jnp.dot(frames, s, precision=prec,
+                     preferred_element_type=jnp.float32)
+        mag = jnp.sqrt(re * re + im * im)  # magnitude, per the classic spec
+        cols = []
+        for start, stop, q in bands:
+            srt = jnp.sort(mag[:, start:stop], axis=1)
+            valley = jnp.maximum(jnp.mean(srt[:, :q], axis=1), amin)
+            peak = jnp.maximum(jnp.mean(srt[:, -q:], axis=1), amin)
+            if linear:
+                cols.append(peak / valley)
+            else:
+                cols.append(10.0 * (jnp.log10(peak) - jnp.log10(valley)))
+        return jnp.stack(cols, axis=1)
+
+    return jax.vmap(one)(padded_b)
+
+
+def spectral_contrast(
+    wav,
+    sr: int,
+    *,
+    win_length: int | None = None,
+    hop_length: int | None = None,
+    n_fft: int | None = None,
+    win_ms: float = 25.0,
+    hop_ms: float = 10.0,
+    fmin: float = 200.0,
+    n_bands: int = 6,
+    quantile: float = 0.02,
+    linear: bool = False,
+    precision: str | None = None,
+):
+    """Octave-band spectral contrast: (T,) or (B, T) -> (B?, n_frames,
+    n_bands + 1).
+
+    Per frame and octave band (band 0 = [0, fmin], band k = one octave
+    up each), the contrast between the strongest and weakest spectral
+    content: sort the band's magnitude bins, average the top and bottom
+    ``quantile`` fractions, and report ``10*log10(peak/valley)`` dB
+    (``linear=True`` returns the raw ratio) — the Jiang 2002 feature,
+    librosa.feature.spectral_contrast-equivalent (librosa is not in this
+    image; the whole path is pinned against a from-scratch numpy oracle
+    in tests/test_features.py, plus tone-vs-noise semantics).  Unlike
+    librosa there is NO top_db display clamp: that clamp couples every
+    value to the array's global max (the same batch-coupling this
+    frontend already rejects for log-mel's top_db).  Framing/windowing
+    conventions match :func:`log_mel_spectrogram` (centered,
+    reflect-padded, unscaled periodic hann).
+    """
+    is_dev = isinstance(wav, jax.Array)
+    wav = (jnp.asarray(wav, jnp.float32) if is_dev
+           else np.asarray(wav, dtype=np.float32))
+    squeeze = wav.ndim == 1
+    if squeeze:
+        wav = wav[None]
+    if win_length is None:
+        win_length = int(round(win_ms * sr / 1000.0))
+    if hop_length is None:
+        hop_length = int(round(hop_ms * sr / 1000.0))
+    if n_fft is None:
+        n_fft = next_pow2(win_length)
+    if not (0.0 < quantile < 1.0):
+        raise ValueError(f"quantile must be in (0, 1), got {quantile}")
+    if n_bands < 1:
+        raise ValueError(f"n_bands must be >= 1, got {n_bands}")
+    if fmin <= 0:
+        raise ValueError(f"fmin must be > 0, got {fmin}")
+    from .config import get_precision_mode, precision_mode_is_explicit
+
+    if precision is None:
+        precision = (
+            get_precision_mode() if precision_mode_is_explicit() else "fast"
+        )
+    if precision not in ("fast", "parity"):
+        raise ValueError(f"unknown precision: {precision!r}")
+
+    bands = _contrast_bands(sr, n_fft, float(fmin), int(n_bands),
+                            float(quantile))
+    window = hann(win_length, False)
+    c, s = windowed_dft_matrices(window, n_fft)
+    n_frames = n_frames_for(wav.shape[1], win_length, hop_length)
+    n_pad = round_up_to(max(n_frames, 1), 128)
+    padded = _pad_batch(wav, win_length, hop_length, n_pad, is_dev)
+    out = _contrast_core(
+        jnp.asarray(padded), jnp.asarray(c), jnp.asarray(s),
+        win=win_length, hop=hop_length, n_frames=n_pad, mode=precision,
+        bands=bands, linear=bool(linear),
+    )[:, :n_frames, :]
+    return out[0] if squeeze else out
+
+
 def chroma_filterbank(
     sr: int,
     n_fft: int,

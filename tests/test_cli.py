@@ -213,6 +213,7 @@ def test_features_cli(wav_path, tmp_path, capsys):
         ("pcen", lambda a: a.shape[1] == 128 and np.all(a >= -1e-4)),
         ("tonnetz", lambda a: a.ndim == 2 and a.shape[1] == 6),
         ("key", lambda a: a.shape == (24,)),
+        ("contrast", lambda a: a.ndim == 2 and a.shape[1] == 7),
     ]:
         assert main(["features", wav_path, "-o", out,
                      "--kind", kind]) == 0

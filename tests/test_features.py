@@ -770,3 +770,85 @@ def test_log_linear_option_consistent(rng):
                                         log="power_db",
                                         precision="parity"))
     np.testing.assert_array_equal(np.asarray(power_to_db(lin)), db)
+
+
+# ------------------------------------------------------------------ contrast
+
+def test_spectral_contrast_against_numpy_oracle(rng):
+    """Every band pinned against a from-scratch numpy oracle of the
+    Jiang 2002 spec over the same centered frames (librosa is not in
+    this image)."""
+    from msv_tpu.features import spectral_contrast
+    from msv_tpu.ops.framing import reflect_pad_center
+    from msv_tpu.ops.windows import hann
+
+    sr = 16000
+    t = np.arange(sr // 2) / sr
+    wav = (0.4 * np.sin(2 * np.pi * 1000 * t)
+           + 0.1 * rng.standard_normal(len(t))).astype(np.float32)
+    win, hop, n_fft = 400, 160, 512
+    quantile, n_bands, fmin = 0.02, 6, 200.0
+    ours = np.asarray(spectral_contrast(wav, sr, precision="parity"))
+    assert ours.shape[1] == n_bands + 1
+
+    padded = reflect_pad_center(wav, win)
+    w = np.asarray(hann(win, False), np.float64)
+    n_freq = n_fft // 2 + 1
+    freq = np.arange(n_freq) * sr / n_fft
+    octa = np.concatenate([[0.0], fmin * 2.0 ** np.arange(n_bands + 1)])
+    for i in range(0, ours.shape[0], 5):  # sample frames
+        fr = padded[i * hop: i * hop + win].astype(np.float64)
+        mag = np.abs(np.fft.rfft(fr * w, n_fft))
+        for k in range(n_bands + 1):
+            idx = np.flatnonzero((freq >= octa[k]) & (freq <= octa[k + 1]))
+            lo = idx[0] - 1 if k > 0 else idx[0]
+            hi = n_freq - 1 if k == n_bands else idx[-1]
+            q = max(1, int(np.rint(quantile * (hi - lo + 1))))
+            sub = mag[lo: hi + 1]
+            if k < n_bands:
+                sub = sub[:-1]
+            srt = np.sort(sub)
+            valley = max(srt[:q].mean(), 1e-10)
+            peak = max(srt[-q:].mean(), 1e-10)
+            want = 10.0 * np.log10(peak / valley)
+            np.testing.assert_allclose(ours[i, k], want, rtol=1e-3,
+                                       atol=2e-3)
+
+
+def test_spectral_contrast_semantics(rng):
+    """A tone has far higher contrast in its own octave band than white
+    noise does; linear=True returns the raw ratio."""
+    from msv_tpu.features import spectral_contrast
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    noise = (0.3 * rng.standard_normal(sr)).astype(np.float32)
+    ct = np.asarray(spectral_contrast(tone, sr, precision="parity"))
+    cn = np.asarray(spectral_contrast(noise, sr, precision="parity"))
+    mid = slice(5, -5)
+    # 1 kHz sits in band 3 (800-1600 Hz)
+    assert ct[mid, 3].mean() > cn[mid, 3].mean() + 15.0
+    assert cn[mid, 1:].mean() < 25.0  # noise: low contrast everywhere
+    lin = np.asarray(spectral_contrast(tone, sr, linear=True,
+                                       precision="parity"))
+    np.testing.assert_allclose(10.0 * np.log10(lin[mid]), ct[mid],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_spectral_contrast_batch_and_validation(rng):
+    from msv_tpu.features import spectral_contrast
+
+    wavs = rng.standard_normal((2, 8000)).astype(np.float32) * 0.2
+    out = np.asarray(spectral_contrast(wavs, 16000, precision="parity"))
+    assert out.shape[0] == 2 and out.shape[2] == 7
+    one = np.asarray(spectral_contrast(wavs[1], 16000, precision="parity"))
+    np.testing.assert_allclose(out[1], one, atol=1e-5)
+    with pytest.raises(ValueError, match="quantile"):
+        spectral_contrast(wavs, 16000, quantile=0.0)
+    with pytest.raises(ValueError, match="Nyquist"):
+        spectral_contrast(wavs, 8000)  # 200*2^6 = 12.8 kHz > 4 kHz
+    with pytest.raises(ValueError, match="fmin"):
+        spectral_contrast(wavs, 16000, fmin=-1.0)
+    with pytest.raises(ValueError, match="n_bands"):
+        spectral_contrast(wavs, 16000, n_bands=0)
