@@ -27,6 +27,7 @@ from .ops.cqt import cqt, cqt_frequencies
 from .ops.loudness import integrated_loudness
 from .ops.rhythm import beat_track, tempogram_from_envelope
 from .ops.tonal import estimate_key, tonnetz
+from .ops.sequence import dtw, smooth_f0_viterbi, viterbi, yin_smoothed
 from .features import (
     chroma_filterbank,
     chroma_stft,
@@ -70,6 +71,10 @@ __all__ = [
     "tempogram_from_envelope",
     "estimate_key",
     "tonnetz",
+    "dtw",
+    "smooth_f0_viterbi",
+    "viterbi",
+    "yin_smoothed",
     "chroma_filterbank",
     "chroma_stft",
     "delta",

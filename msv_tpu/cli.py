@@ -146,7 +146,8 @@ def _build_parser():
         "(n_frames, n_mel per-channel-energy-normalized mel), tonnetz "
         "(n_frames, 6 tonal centroids), key (24 Krumhansl-Schmuckler "
         "correlations; winning key printed), contrast (n_frames, 7 "
-        "octave-band spectral contrast dB).",
+        "octave-band spectral contrast dB), f0v (n_frames, 2: "
+        "Viterbi-smoothed f0 Hz + voiced flag).",
     )
     fe.add_argument("files", nargs="+")
     fe.add_argument("-o", "--outdir", default=".")
@@ -154,7 +155,7 @@ def _build_parser():
                     choices=["logmel", "mfcc", "chroma", "spectral",
                              "whisper", "f0", "onsets", "beats",
                              "tempogram", "pcen", "tonnetz", "key",
-                             "contrast"])
+                             "contrast", "f0v"])
     fe.add_argument("--target-sr", type=int, default=16000,
                     help="analysis rate (inputs resample on device; "
                     "whisper forces 16000)")
@@ -334,6 +335,11 @@ def _features_cmd(args):
 
             f0, ap = yin(wav, target, with_aperiodicity=True)
             out = np.stack([np.asarray(f0), np.asarray(ap)], axis=1)
+        elif kind == "f0v":
+            from .ops.sequence import yin_smoothed
+
+            f0, voiced = yin_smoothed(wav, target)
+            out = np.stack([f0, voiced.astype(np.float32)], axis=1)
         elif kind == "pcen":
             from .features import pcen
 

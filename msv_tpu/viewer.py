@@ -37,6 +37,7 @@ _PAGE = """<!DOCTYPE html>
  <label style="margin-left:14px"><input id="showwav" type="checkbox" checked> waveform</label>
  <label style="margin-left:14px" title="adaptive multi-resolution STFT (transients from short windows, harmonics from long ones)"><input id="adaptive" type="checkbox"> adaptive</label>
  <label style="margin-left:14px" title="YIN f0 contour drawn on the spectrogram (cyan; gaps where the frame is unvoiced)"><input id="pitch" type="checkbox"> pitch</label>
+ <label title="Viterbi-decode the f0 contour (ops/sequence.py): heals octave glitches, hysteresis on voicing"><input id="psmooth" type="checkbox" checked> smooth</label>
  <label style="margin-left:14px" title="spectral-flux onset markers (orange ticks)"><input id="onsets" type="checkbox"> onsets</label>
  <label style="margin-left:14px" title="tracked beat grid (green lines) + tempo readout"><input id="beats" type="checkbox"> beats</label>
  amp&plusmn;<input id="amp" type="number" value="1.0" min="0.05" max="4" step="0.05" style="width:56px">
@@ -164,7 +165,8 @@ function fetchView(t, force) {
   // contour lands exactly where /api/freq would report that Hz
   const pcv = document.getElementById('pitch' + t.id);
   if (document.getElementById('pitch').checked) {
-    const melq = adaptive ? '&mel=1' : '';
+    const melq = (adaptive ? '&mel=1' : '') +
+      (document.getElementById('psmooth').checked ? '&smooth=1' : '');
     fetch(`/api/pitch/${t.id}?start=${vis0 / pps}&end=${vis1 / pps}` + melq)
       .then(r => r.ok ? r.json() : null).then(d => {
         if (!d || (state[t.id] || {}).gen !== gen) return;
@@ -304,6 +306,7 @@ document.getElementById('zoom').addEventListener('change', e => {
 document.getElementById('showwav').addEventListener('change', refresh);
 document.getElementById('adaptive').addEventListener('change', refresh);
 document.getElementById('pitch').addEventListener('change', refresh);
+document.getElementById('psmooth').addEventListener('change', refresh);
 document.getElementById('onsets').addEventListener('change', refresh);
 document.getElementById('beats').addEventListener('change', refresh);
 document.getElementById('amp').addEventListener('change', refresh);
@@ -894,6 +897,16 @@ class _Handler(BaseHTTPRequestHandler):
                              with_aperiodicity=True)
                 f0 = _np.asarray(f0)
                 ap = _np.asarray(ap)
+                if q.get("smooth", ["0"])[0] == "1":
+                    # Viterbi decode (ops/sequence.py): snapped contour
+                    # + voicing mask, exposed through the same wire —
+                    # ap becomes 0/1 so the client's pen-lift threshold
+                    # needs no change
+                    from .ops.sequence import smooth_f0_viterbi
+
+                    f0, voiced = smooth_f0_viterbi(
+                        f0, ap, fmin=fmin, fmax=fmax_eff)
+                    ap = _np.where(voiced, 0.0, 1.0).astype(_np.float32)
                 half_sr = _np.float32(sr) / _np.float32(2.0)
                 if scale_linear:
                     rel = f0 / float(half_sr)

@@ -214,6 +214,8 @@ def test_features_cli(wav_path, tmp_path, capsys):
         ("tonnetz", lambda a: a.ndim == 2 and a.shape[1] == 6),
         ("key", lambda a: a.shape == (24,)),
         ("contrast", lambda a: a.ndim == 2 and a.shape[1] == 7),
+        ("f0v", lambda a: a.shape[1] == 2 and np.all(
+            np.abs(a[a[:, 1] > 0, 0] - 440.0) < 15.0)),
     ]:
         assert main(["features", wav_path, "-o", out,
                      "--kind", kind]) == 0

@@ -625,6 +625,21 @@ def test_pitch_endpoint(viewer_url):
     assert e.value.code == 500
 
 
+def test_pitch_endpoint_smooth(viewer_url):
+    """smooth=1 Viterbi-decodes the contour (ops/sequence.py): same
+    wire shape, f0 snapped near 440, ap collapsed to a 0/1 mask."""
+    code, body = _get(viewer_url + "/api/pitch/0?start=0&end=1&smooth=1")
+    assert code == 200
+    d = json.loads(body)
+    assert set(d) == {"t0", "hop_s", "f0", "ap", "rel"}
+    f0 = np.array(d["f0"][4:-4])
+    ap = np.array(d["ap"])
+    assert np.median(np.abs(f0 - 440.0)) < 15.0  # 25-cent grid snap
+    assert set(np.unique(ap)) <= {0.0, 1.0}
+    voiced = np.array(d["ap"][4:-4]) == 0.0
+    assert voiced.mean() > 0.8
+
+
 def test_loudness_endpoint(viewer_url):
     """/api/loudness meters the track's mono view; silence returns
     null, unknown ids 500."""
