@@ -28,6 +28,7 @@ from .ops.loudness import integrated_loudness
 from .ops.rhythm import beat_track, tempogram_from_envelope
 from .ops.tonal import estimate_key, tonnetz
 from .ops.sequence import dtw, smooth_f0_viterbi, viterbi, yin_smoothed
+from .ops.segment import segment, segment_boundaries, self_similarity
 from .features import (
     chroma_filterbank,
     chroma_stft,
@@ -75,6 +76,9 @@ __all__ = [
     "smooth_f0_viterbi",
     "viterbi",
     "yin_smoothed",
+    "segment",
+    "segment_boundaries",
+    "self_similarity",
     "chroma_filterbank",
     "chroma_stft",
     "delta",

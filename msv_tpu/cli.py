@@ -147,7 +147,8 @@ def _build_parser():
         "(n_frames, 6 tonal centroids), key (24 Krumhansl-Schmuckler "
         "correlations; winning key printed), contrast (n_frames, 7 "
         "octave-band spectral contrast dB), f0v (n_frames, 2: "
-        "Viterbi-smoothed f0 Hz + voiced flag).",
+        "Viterbi-smoothed f0 Hz + voiced flag), segments (structure "
+        "boundary times in seconds).",
     )
     fe.add_argument("files", nargs="+")
     fe.add_argument("-o", "--outdir", default=".")
@@ -155,7 +156,7 @@ def _build_parser():
                     choices=["logmel", "mfcc", "chroma", "spectral",
                              "whisper", "f0", "onsets", "beats",
                              "tempogram", "pcen", "tonnetz", "key",
-                             "contrast", "f0v"])
+                             "contrast", "f0v", "segments"])
     fe.add_argument("--target-sr", type=int, default=16000,
                     help="analysis rate (inputs resample on device; "
                     "whisper forces 16000)")
@@ -340,6 +341,10 @@ def _features_cmd(args):
 
             f0, voiced = yin_smoothed(wav, target)
             out = np.stack([f0, voiced.astype(np.float32)], axis=1)
+        elif kind == "segments":
+            from .ops.segment import segment
+
+            out = segment(wav, target)
         elif kind == "pcen":
             from .features import pcen
 

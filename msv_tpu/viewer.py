@@ -40,6 +40,7 @@ _PAGE = """<!DOCTYPE html>
  <label title="Viterbi-decode the f0 contour (ops/sequence.py): heals octave glitches, hysteresis on voicing"><input id="psmooth" type="checkbox" checked> smooth</label>
  <label style="margin-left:14px" title="spectral-flux onset markers (orange ticks)"><input id="onsets" type="checkbox"> onsets</label>
  <label style="margin-left:14px" title="tracked beat grid (green lines) + tempo readout"><input id="beats" type="checkbox"> beats</label>
+ <label style="margin-left:14px" title="structure boundaries from self-similarity novelty (magenta lines)"><input id="segs" type="checkbox"> sections</label>
  amp&plusmn;<input id="amp" type="number" value="1.0" min="0.05" max="4" step="0.05" style="width:56px">
  <input id="addpath" placeholder="/path/to/file.wav" style="margin-left:14px;width:220px">
  <button id="addbtn">add</button>
@@ -231,6 +232,25 @@ function fetchView(t, force) {
   } else if (bcv.width) {
     bcv.getContext('2d').clearRect(0, 0, bcv.width, bcv.height);
   }
+  // section boundaries (ops/segment.py SSM novelty via /api/segments)
+  const scv = document.getElementById('seg' + t.id);
+  if (document.getElementById('segs').checked) {
+    fetch(`/api/segments/${t.id}?start=${vis0 / pps}&end=${vis1 / pps}`)
+      .then(r => r.ok ? r.json() : null).then(d => {
+        if (!d || (state[t.id] || {}).gen !== gen) return;
+        scv.width = Math.max(vis1 - vis0, 1); scv.height = H;
+        scv.style.left = vis0 + 'px';
+        const ctx = scv.getContext('2d');
+        ctx.clearRect(0, 0, scv.width, H);
+        ctx.strokeStyle = 'rgba(255,80,230,0.85)'; ctx.lineWidth = 2;
+        for (const tt of d.t) {
+          const x = tt * pps - vis0;
+          ctx.beginPath(); ctx.moveTo(x, 0); ctx.lineTo(x, H); ctx.stroke();
+        }
+      }).catch(() => {});
+  } else if (scv.width) {
+    scv.getContext('2d').clearRect(0, 0, scv.width, scv.height);
+  }
 }
 
 function refresh() {
@@ -277,6 +297,7 @@ async function load() {
         <canvas id="pitch${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
         <canvas id="ons${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
         <canvas id="bts${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
+        <canvas id="seg${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
         <img id="wav${t.id}" style="position:absolute;top:${H}px;left:0">
       </div>`;
     el.appendChild(div);
@@ -309,6 +330,7 @@ document.getElementById('pitch').addEventListener('change', refresh);
 document.getElementById('psmooth').addEventListener('change', refresh);
 document.getElementById('onsets').addEventListener('change', refresh);
 document.getElementById('beats').addEventListener('change', refresh);
+document.getElementById('segs').addEventListener('change', refresh);
 document.getElementById('amp').addEventListener('change', refresh);
 document.getElementById('addbtn').addEventListener('click', async () => {
   const path = document.getElementById('addpath').value.trim();
@@ -497,7 +519,8 @@ class _RWLock:
 # image endpoints whose responses are pure functions of (session gen, URL)
 _CACHEABLE = ("/api/spec/", "/api/wav/", "/api/spec_crop/",
               "/api/wav_crop/", "/api/adaptive_crop/", "/api/pitch/",
-              "/api/loudness/", "/api/onsets/", "/api/beats/")
+              "/api/loudness/", "/api/onsets/", "/api/beats/",
+              "/api/segments/")
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -970,6 +993,36 @@ class _Handler(BaseHTTPRequestHandler):
                     body = json.dumps({
                         "bpm": round(float(bpm), 1),
                         "t": [round(a / sr + float(v), 3) for v in beats],
+                    }).encode()
+                self._cache().put(self.path, "application/json", body,
+                                  gen=self._req_gen)
+                self._send(200, "application/json", body)
+            elif url.path.startswith("/api/segments/"):
+                # structure boundaries over a bounded window
+                # (ops/segment.py: pooled log-mel -> SSM GEMM -> Foote
+                # novelty -> absolute-threshold peaks); windows up to
+                # 600 s (vs 120 s elsewhere: structure needs horizon,
+                # and the pooled T stays ~1200 frames)
+                from .ops.segment import segment
+
+                tid = int(url.path.rsplit("/", 1)[1])
+                s0 = qf("start", 0.0, 0.0, 1e7)
+                s1 = qf("end", s0 + 120.0, 0.0, 1e7)
+                with self.lock.read():
+                    tr = mt._track(tid)
+                    sr = tr.sr
+                    a = min(max(0, int(s0 * sr)), tr.n_samples)
+                    b = min(tr.n_samples, int(s1 * sr), a + 600 * sr)
+                    wav = tr.wav_slice(a, b)
+                if len(wav) < 4 * sr:  # < 4 s: no meaningful structure
+                    body = json.dumps({"t": []}).encode()
+                else:
+                    # horizon adapts to the window so zoomed-in views
+                    # still resolve local structure
+                    ks = max(1.5, min(8.0, len(wav) / sr / 4.0))
+                    bounds = segment(wav, sr, hop_s=0.5, kernel_s=ks)
+                    body = json.dumps({
+                        "t": [round(a / sr + float(v), 3) for v in bounds],
                     }).encode()
                 self._cache().put(self.path, "application/json", body,
                                   gen=self._req_gen)

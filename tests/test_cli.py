@@ -216,6 +216,7 @@ def test_features_cli(wav_path, tmp_path, capsys):
         ("contrast", lambda a: a.ndim == 2 and a.shape[1] == 7),
         ("f0v", lambda a: a.shape[1] == 2 and np.all(
             np.abs(a[a[:, 1] > 0, 0] - 440.0) < 15.0)),
+        ("segments", lambda a: a.ndim == 1),  # steady tone: none is fine
     ]:
         assert main(["features", wav_path, "-o", out,
                      "--kind", kind]) == 0

@@ -757,3 +757,51 @@ def test_beats_endpoint(tmp_path):
         assert d3 == {"bpm": 0.0, "t": []}
     finally:
         srv.shutdown()
+
+
+def test_segments_endpoint(tmp_path):
+    """/api/segments reports the tone->noise structure boundary in
+    absolute seconds; tiny windows return an empty list."""
+    import threading as _t
+    from http.server import ThreadingHTTPServer
+
+    from msv_tpu.session import MultiTrack
+    from msv_tpu.viewer import _Handler, _RWLock
+
+    sr = 8000
+    rng = np.random.default_rng(7)
+    t = np.arange(8 * sr) / sr
+    x = np.concatenate([
+        0.4 * np.sin(2 * np.pi * 440 * t[: 8 * sr]).astype(np.float32),
+        0.2 * rng.standard_normal(8 * sr).astype(np.float32),
+    ])
+    p = str(tmp_path / "twopart.wav")
+    write_wav(p, x[None], sr)
+    mt = MultiTrack()
+    mt.add_tracks([0], [p])
+    handler = type("H", (_Handler,), {"session": mt, "lock": _RWLock()})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    _t.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, body = _get(base + "/api/segments/0?start=0&end=16")
+        assert code == 200
+        d = json.loads(body)
+        assert len(d["t"]) >= 1
+        assert min(abs(v - 8.0) for v in d["t"]) < 1.5
+        # a shifted window reports absolute seconds
+        code, body = _get(base + "/api/segments/0?start=4&end=12")
+        d2 = json.loads(body)
+        assert all(4.0 <= v <= 12.0 for v in d2["t"])
+        assert min(abs(v - 8.0) for v in d2["t"]) < 1.5
+        # < 4 s of audio: no structure call
+        code, body = _get(base + "/api/segments/0?start=0&end=2")
+        assert json.loads(body) == {"t": []}
+        # unknown id -> clean 500
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base + "/api/segments/9")
+        assert e.value.code == 500
+    finally:
+        srv.shutdown()
