@@ -20,7 +20,7 @@ from .session import AudioTrack, MultiTrack
 from .render.colormap import get_colormap
 from .ops.reconstruct import griffin_lim, mel_to_linear
 from .ops.resample import resample, resample_poly
-from .ops.effects import pitch_shift, time_stretch
+from .ops.effects import pitch_shift, split, time_stretch, trim
 from .ops.hpss import hpss, hpss_masks
 from .ops.pitch import yin
 from .ops.cqt import cqt, cqt_frequencies
@@ -64,6 +64,8 @@ __all__ = [
     "hpss_masks",
     "pitch_shift",
     "time_stretch",
+    "split",
+    "trim",
     "yin",
     "cqt",
     "cqt_frequencies",

@@ -132,6 +132,23 @@ def _build_parser():
     st.add_argument("--channel", type=int, default=None,
                     help="one source channel instead of the channel sum")
 
+    tr = sub.add_parser(
+        "trim",
+        help="strip or split audio on silence",
+        description="RMS-gate silence (ops/effects.py trim/split): "
+        "default strips leading/trailing silence to <stem>_trim.wav; "
+        "--split writes one <stem>_part<k>.wav per non-silent "
+        "interval.",
+    )
+    tr.add_argument("files", nargs="+")
+    tr.add_argument("-o", "--outdir", default=".")
+    tr.add_argument("--top-db", type=float, default=60.0,
+                    help="silence threshold below the loudest frame (dB)")
+    tr.add_argument("--split", action="store_true",
+                    help="write each non-silent interval separately")
+    tr.add_argument("--channel", type=int, default=None,
+                    help="one source channel instead of the channel sum")
+
     fe = sub.add_parser(
         "features",
         help="extract ML features to .npy",
@@ -524,6 +541,44 @@ def _stretch_cmd(args):
     return 0
 
 
+def _trim_cmd(args):
+    import numpy as np
+
+    from .io.audio import open_audio_mono_ex, write_wav
+    from .ops.effects import split, trim
+    from .utils.errors import MsvError
+
+    os.makedirs(args.outdir, exist_ok=True)
+    for f in args.files:
+        wav, sr, _, _, _ = open_audio_mono_ex(f, channel=args.channel)
+        t0 = time.perf_counter()
+        try:
+            if args.split:
+                parts = [(a, b) for a, b in split(wav, sr,
+                                                  top_db=args.top_db)]
+            else:
+                _, (a, b) = trim(wav, sr, top_db=args.top_db)
+                parts = [(a, b)] if b > a else []
+        except ValueError as e:
+            raise MsvError(f"{f}: {e}") from e
+        dt = time.perf_counter() - t0
+        stem = os.path.splitext(os.path.basename(f))[0] + (
+            "" if args.channel is None else f"_ch{args.channel}"
+        )
+        if not parts:
+            print(f"  {f}: all silent (top_db={args.top_db:g}), "
+                  f"nothing written  ({dt:.2f}s)")
+            continue
+        for k, (a, b) in enumerate(parts):
+            name = (f"{stem}_part{k}.wav" if args.split
+                    else f"{stem}_trim.wav")
+            path = os.path.join(args.outdir, name)
+            write_wav(path, np.asarray(wav[a:b], np.float32)[None, :], sr)
+            print(f"  {path}  [{a / sr:.3f}s, {b / sr:.3f}s)  "
+                  f"({dt:.2f}s)")
+    return 0
+
+
 def _hpss_cmd(args):
     import numpy as np
 
@@ -610,6 +665,9 @@ def _main(argv=None):
 
     if args.cmd == "stretch":
         return _stretch_cmd(args)
+
+    if args.cmd == "trim":
+        return _trim_cmd(args)
 
     if args.cmd == "view":
         from . import FreqScale, SpecSetting

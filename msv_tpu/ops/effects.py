@@ -302,3 +302,88 @@ def pitch_shift(
     if len(out) < len(wav):
         out = np.pad(out, (0, len(wav) - len(out)))
     return out[: len(wav)]
+
+
+# ------------------------------------------------------------- trim/split
+
+@functools.partial(jax.jit, static_argnames=("win", "hop", "n_frames"))
+def _frame_rms_core(padded, *, win, hop, n_frames):
+    frames = frame_device(padded, win, hop, n_frames)
+    return jnp.sqrt(jnp.mean(frames * frames, axis=1))
+
+
+def _frame_rms(wav: np.ndarray, frame_length: int, hop_length: int):
+    """Centered per-frame RMS of a (T,) signal -> (n_frames,) f32.
+    Framing conventions match the feature frontend (centered,
+    reflect-padded); frame counts bucket to 128 per repo convention."""
+    from .framing import n_frames_for, reflect_pad_center
+
+    n_frames = n_frames_for(len(wav), frame_length, hop_length)
+    n_pad = round_up_to(max(n_frames, 1), 128)
+    need = (n_pad - 1) * hop_length + frame_length
+    padded = reflect_pad_center(wav, frame_length)
+    padded = np.pad(padded, (0, max(0, need - len(padded))))[:need]
+    rms = _frame_rms_core(jnp.asarray(padded), win=frame_length,
+                          hop=hop_length, n_frames=n_pad)
+    return np.asarray(rms)[:n_frames]
+
+
+def split(wav, sr: int | None = None, *, top_db: float = 60.0,
+          frame_length: int = 2048, hop_length: int = 512):
+    """Non-silent intervals: (T,) -> (N, 2) int64 sample [start, end)
+    pairs.
+
+    A frame is silent when its RMS sits more than ``top_db`` below the
+    loudest frame's (librosa.effects.split semantics; librosa is not
+    in this image — pinned against a from-scratch oracle and
+    constructed signals in tests/test_effects.py).  Frame RMS runs on
+    device (one framing + reduce); the run-length extraction is host
+    numpy on the tiny boolean vector.  ``sr`` is accepted for call-site
+    symmetry but unused (thresholds are relative).  An all-silent
+    (all-zero) signal returns an empty (0, 2) array.
+    """
+    del sr
+    wav = np.ascontiguousarray(wav, dtype=np.float32)
+    if wav.ndim != 1:
+        raise ValueError(f"wav must be 1-D, got {wav.shape}")
+    if len(wav) == 0:
+        return np.empty((0, 2), np.int64)
+    if top_db <= 0:
+        raise ValueError(f"top_db must be > 0, got {top_db}")
+    if not (0 < hop_length <= frame_length):
+        raise ValueError(
+            f"need 0 < hop_length <= frame_length, got {hop_length}, "
+            f"{frame_length}")
+    if len(wav) < frame_length:  # short clip: shrink the analysis frame
+        frame_length = max(2, len(wav))
+        hop_length = min(hop_length, frame_length)
+    rms = _frame_rms(wav, frame_length, hop_length)
+    ref = float(rms.max())
+    if ref <= 0.0:
+        return np.empty((0, 2), np.int64)
+    # strict > floor, matching the dB convention used everywhere else
+    loud = 20.0 * np.log10(np.maximum(rms, 1e-20) / ref) > -top_db
+    edges = np.diff(loud.astype(np.int8))
+    starts = np.flatnonzero(edges == 1) + 1
+    ends = np.flatnonzero(edges == -1) + 1
+    if loud[0]:
+        starts = np.concatenate([[0], starts])
+    if loud[-1]:
+        ends = np.concatenate([ends, [len(loud)]])
+    n = len(wav)
+    out = np.stack([starts, ends], axis=1) * hop_length
+    return np.minimum(out, n).astype(np.int64)
+
+
+def trim(wav, sr: int | None = None, *, top_db: float = 60.0,
+         frame_length: int = 2048, hop_length: int = 512):
+    """Strip leading/trailing silence: (T,) -> (trimmed, (start, end))
+    with ``trimmed = wav[start:end]`` (librosa.effects.trim semantics).
+    An all-silent signal returns an empty slice at (0, 0)."""
+    iv = split(wav, sr, top_db=top_db, frame_length=frame_length,
+               hop_length=hop_length)
+    wav = np.ascontiguousarray(wav, dtype=np.float32)
+    if len(iv) == 0:
+        return wav[:0], (0, 0)
+    a, b = int(iv[0, 0]), int(iv[-1, 1])
+    return wav[a:b], (a, b)

@@ -256,3 +256,35 @@ def test_features_beats_click_train(tmp_path, capsys):
     beats = np.load(os.path.join(out, "feats_beats_clicks.npy"))
     off = np.abs(beats[:, None] - clicks[None, :]).min(axis=1)
     assert np.median(off) <= 0.03
+
+
+def test_trim_cli(tmp_path, capsys):
+    """msv_tpu trim strips edge silence; --split writes one file per
+    sound block."""
+    from msv_tpu.io.audio import open_audio_file, write_wav
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    x = np.concatenate([np.zeros(sr, np.float32), tone,
+                        np.zeros(sr, np.float32), tone,
+                        np.zeros(sr, np.float32)])
+    p = str(tmp_path / "gappy.wav")
+    write_wav(p, x[None], sr)
+    out = str(tmp_path / "o")
+    assert main(["trim", p, "-o", out]) == 0
+    w, got_sr = open_audio_file(os.path.join(out, "gappy_trim.wav"))
+    assert got_sr == sr
+    # edges stripped (within a frame), interior gap kept
+    assert abs(w.shape[1] - 3 * sr) <= 2 * 2048
+    assert main(["trim", p, "-o", out, "--split"]) == 0
+    w0, _ = open_audio_file(os.path.join(out, "gappy_part0.wav"))
+    w1, _ = open_audio_file(os.path.join(out, "gappy_part1.wav"))
+    for w in (w0, w1):
+        assert abs(w.shape[1] - sr) <= 2 * 2048
+    # all-silent input: message, no file
+    ps = str(tmp_path / "quiet.wav")
+    write_wav(ps, np.zeros((1, sr), np.float32), sr)
+    assert main(["trim", ps, "-o", out]) == 0
+    assert "all silent" in capsys.readouterr().out
+    assert not os.path.exists(os.path.join(out, "quiet_trim.wav"))

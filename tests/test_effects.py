@@ -179,3 +179,90 @@ def test_pitch_shift_semitone_accuracy():
     mid = out[len(out) // 4: -len(out) // 4]
     want = 440.0 * 2 ** (7 / 12)
     assert abs(_peak_hz(mid, sr) - want) <= 2 * sr / len(mid) + 1.0
+
+
+# ------------------------------------------------------------- trim/split
+
+def _tone_gap_tone(sr=8000, amp=0.5):
+    t = np.arange(sr) / sr
+    tone = (amp * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    return np.concatenate([tone, np.zeros(sr, np.float32), tone])
+
+
+def test_split_finds_sound_blocks():
+    from msv_tpu.ops.effects import split
+
+    sr = 8000
+    x = _tone_gap_tone(sr)
+    iv = split(x, sr)
+    assert iv.shape == (2, 2)
+    # block edges within one frame of truth (centered 2048 frames)
+    assert abs(iv[0, 0] - 0) <= 2048
+    assert abs(iv[0, 1] - sr) <= 2048
+    assert abs(iv[1, 0] - 2 * sr) <= 2048
+    assert abs(iv[1, 1] - 3 * sr) <= 2048
+    # intervals are ordered, non-overlapping, in-bounds
+    assert iv[0, 1] <= iv[1, 0] and iv[-1, 1] <= len(x)
+
+
+def test_split_oracle_rms(rng):
+    """Device frame RMS == a direct numpy loop over the same centered
+    frames."""
+    from msv_tpu.ops.effects import _frame_rms
+    from msv_tpu.ops.framing import n_frames_for, reflect_pad_center
+
+    x = rng.standard_normal(5000).astype(np.float32) * 0.3
+    win, hop = 1024, 256
+    got = _frame_rms(x, win, hop)
+    padded = reflect_pad_center(x, win)
+    n = n_frames_for(len(x), win, hop)
+    want = np.array([
+        np.sqrt(np.mean(padded[i * hop: i * hop + win] ** 2))
+        for i in range(n)])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_split_top_db_threshold():
+    from msv_tpu.ops.effects import split
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    loud = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    quiet = (0.005 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    x = np.concatenate([loud, quiet])  # -40 dB relative
+    assert split(x, sr, top_db=60.0).shape[0] == 1  # keeps both (merged)
+    iv = split(x, sr, top_db=20.0)
+    assert iv.shape[0] == 1 and iv[0, 1] <= sr + 2048  # drops the quiet
+
+
+def test_trim_roundtrip():
+    from msv_tpu.ops.effects import trim
+
+    sr = 8000
+    x = _tone_gap_tone(sr)
+    pad = np.zeros(sr // 2, np.float32)
+    y = np.concatenate([pad, x, pad])
+    out, (a, b) = trim(y, sr)
+    assert np.shares_memory(out, y) or out.base is not None
+    np.testing.assert_array_equal(out, y[a:b])
+    # keeps the interior gap, strips only the edges
+    assert abs(a - sr // 2) <= 2048 and abs(b - (sr // 2 + 3 * sr)) <= 2048
+
+
+def test_trim_split_edge_cases():
+    from msv_tpu.ops.effects import split, trim
+
+    out, (a, b) = trim(np.zeros(1000, np.float32))
+    assert len(out) == 0 and (a, b) == (0, 0)
+    assert split(np.zeros(0, np.float32)).shape == (0, 2)
+    # short clip (< frame_length) still works
+    x = np.concatenate([np.zeros(300, np.float32),
+                        0.5 * np.ones(300, np.float32)])
+    iv = split(x, top_db=30.0, frame_length=2048)
+    assert iv.shape[0] == 1
+    with pytest.raises(ValueError):
+        split(np.ones((2, 5), np.float32))
+    with pytest.raises(ValueError):
+        split(np.ones(10, np.float32), top_db=0.0)
+    with pytest.raises(ValueError):
+        split(np.ones(10, np.float32), hop_length=0)
