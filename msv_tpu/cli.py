@@ -89,6 +89,22 @@ def _build_parser():
                    help="also measure BS.1770-4 integrated loudness "
                    "(LUFS) over the file's own channels")
 
+    an = sub.add_parser(
+        "analyze",
+        help="full analysis report per file (JSON)",
+        description="Run the whole analysis stack on each file's mono "
+        "view at its native rate — loudness (BS.1770), tempo + beat "
+        "count, key (Krumhansl-Schmuckler), structure boundaries, "
+        "onsets, Viterbi-decoded pitch/voicing, spectral descriptors, "
+        "active (non-silent) span — and print one JSON object per "
+        "file (or write analysis_<stem>.json with -o).",
+    )
+    an.add_argument("files", nargs="+")
+    an.add_argument("-o", "--outdir", default=None,
+                    help="write analysis_<stem>.json instead of stdout")
+    an.add_argument("--channel", type=int, default=None,
+                    help="one source channel instead of the channel sum")
+
     h = sub.add_parser(
         "hpss",
         help="split audio into harmonic + percussive WAVs",
@@ -541,6 +557,87 @@ def _stretch_cmd(args):
     return 0
 
 
+def _analyze_report(wav, sr: int) -> dict:
+    """One mono (T,) signal -> the full analysis dict (shared by the
+    CLI and tests; every field comes from an oracle-pinned op)."""
+    import numpy as np
+
+    from .features import onset_detect, spectral_features
+    from .ops.effects import trim
+    from .ops.loudness import integrated_loudness
+    from .ops.rhythm import beat_track
+    from .ops.segment import segment
+    from .ops.sequence import yin_smoothed
+    from .ops.tonal import estimate_key
+
+    dur = len(wav) / sr
+    lufs = integrated_loudness(wav, sr)
+    bpm, beats = beat_track(wav, sr)
+    tonic, mode, r, _ = estimate_key(wav, sr)
+    bounds = segment(wav, sr) if dur >= 4.0 else np.empty(0)
+    onsets = onset_detect(wav, sr)
+    fmax = min(2093.0, sr / 2.0 * 0.99)
+    f0, voiced = yin_smoothed(wav, sr, fmax=fmax)
+    spec = np.asarray(spectral_features(wav, sr))
+    # descriptor medians over NON-SILENT frames (same -60 dB gate as
+    # split): a sparse signal's median frame is silence, whose zero
+    # centroid/flatness describe nothing
+    act = spec[:, 4] > spec[:, 4].max() * 10.0 ** (-60.0 / 20.0)
+    spec = spec[act] if act.any() else spec
+    _, (a, b) = trim(wav, sr)
+    return {
+        "duration_s": round(dur, 3),
+        "loudness_lufs": (None if lufs == float("-inf")
+                          else round(lufs, 2)),
+        "tempo_bpm": round(float(bpm), 1),
+        "n_beats": int(len(beats)),
+        "key": None if tonic is None else {
+            "tonic": tonic, "mode": mode, "r": round(float(r), 3)},
+        "segments_s": [round(float(v), 3) for v in bounds],
+        "n_onsets": int(len(onsets)),
+        "voiced_fraction": round(float(voiced.mean()), 3)
+        if len(voiced) else 0.0,
+        "f0_median_hz": (round(float(np.median(f0[voiced])), 1)
+                         if voiced.any() else None),
+        "spectral": {
+            "centroid_hz": round(float(np.median(spec[:, 0])), 1),
+            "flatness": round(float(np.median(spec[:, 3])), 4),
+            "rms": round(float(np.median(spec[:, 4])), 5),
+        },
+        "active_s": [round(a / sr, 3), round(b / sr, 3)],
+    }
+
+
+def _analyze_cmd(args):
+    import json
+
+    from .io.audio import open_audio_mono_ex
+    from .utils.errors import MsvError
+
+    if args.outdir:
+        os.makedirs(args.outdir, exist_ok=True)
+    for f in args.files:
+        wav, sr, _, _, n_ch = open_audio_mono_ex(f, channel=args.channel)
+        t0 = time.perf_counter()
+        try:
+            rep = {"path": f, "sr": sr, "channels": n_ch,
+                   "channel": args.channel, **_analyze_report(wav, sr)}
+        except ValueError as e:
+            raise MsvError(f"{f}: {e}") from e
+        rep["analysis_s"] = round(time.perf_counter() - t0, 2)
+        if args.outdir:
+            stem = os.path.splitext(os.path.basename(f))[0] + (
+                "" if args.channel is None else f"_ch{args.channel}"
+            )
+            dest = os.path.join(args.outdir, f"analysis_{stem}.json")
+            with open(dest, "w") as fh:
+                json.dump(rep, fh, indent=2)
+            print(f"  {dest}  ({rep['analysis_s']}s)")
+        else:
+            print(json.dumps(rep))
+    return 0
+
+
 def _trim_cmd(args):
     import numpy as np
 
@@ -668,6 +765,9 @@ def _main(argv=None):
 
     if args.cmd == "trim":
         return _trim_cmd(args)
+
+    if args.cmd == "analyze":
+        return _analyze_cmd(args)
 
     if args.cmd == "view":
         from . import FreqScale, SpecSetting

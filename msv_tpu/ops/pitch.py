@@ -115,7 +115,13 @@ def _yin_core(padded, cx, sx, cw, sw, *, frame_length, win_length, hop,
                       jnp.clip(0.5 * (va - vc) / denom, -0.5, 0.5), 0.0)
     period = best.astype(jnp.float32) + shift
     ap = vb + 0.25 * (va - vc) * shift  # interpolated trough depth
-    return period, jnp.maximum(ap, 0.0)
+    ap = jnp.maximum(ap, 0.0)
+    # digital silence: d(tau) == 0 for every lag makes the CMND 0/0,
+    # which the 1e-12 clamp resolves to 0 ("perfectly periodic") — the
+    # wrong degenerate for a frame with no signal.  Report fully
+    # aperiodic instead so voicing gates drop it.
+    ap = jnp.where(cum[:, -1] > 0.0, ap, 1.0)
+    return period, ap
 
 
 def yin(

@@ -290,6 +290,7 @@ async function load() {
         ${chSel}
         <audio controls preload="none" src="/api/audio/${t.id}" style="height:20px;vertical-align:middle"></audio>
         <button data-lufs="${t.id}" title="BS.1770 integrated loudness of this track's mix">LUFS</button>
+        <button data-key="${t.id}" title="Krumhansl-Schmuckler key estimate of this track's mix">key</button>
         <button data-rm="${t.id}">&#10005;</button></div>
       <div class="imgs" id="box${t.id}" style="position:relative;height:${H + WH}px">
         <div id="spacer${t.id}" style="height:1px"></div>
@@ -373,6 +374,18 @@ document.getElementById('tracks').addEventListener('click', async ev => {
         {textContent: d.lufs === null ? 'silence' : `${d.lufs} LUFS`,
          style: 'color:#aac;font-size:12px;margin:0 4px'}));
     } catch (e) { ev.target.textContent = 'LUFS?'; }
+    return;
+  }
+  const ky = ev.target.getAttribute && ev.target.getAttribute('data-key');
+  if (ky !== null && ky !== undefined) {
+    ev.target.textContent = '…';
+    try {
+      const d = await (await fetch(`/api/key/${ky}`)).json();
+      ev.target.replaceWith(Object.assign(document.createElement('span'),
+        {textContent: d.tonic === null ? 'atonal'
+           : `${d.tonic} ${d.mode} (r=${d.r})`,
+         style: 'color:#aac;font-size:12px;margin:0 4px'}));
+    } catch (e) { ev.target.textContent = 'key?'; }
     return;
   }
   const rm = ev.target.getAttribute && ev.target.getAttribute('data-rm');
@@ -520,7 +533,7 @@ class _RWLock:
 _CACHEABLE = ("/api/spec/", "/api/wav/", "/api/spec_crop/",
               "/api/wav_crop/", "/api/adaptive_crop/", "/api/pitch/",
               "/api/loudness/", "/api/onsets/", "/api/beats/",
-              "/api/segments/")
+              "/api/segments/", "/api/key/")
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -1024,6 +1037,26 @@ class _Handler(BaseHTTPRequestHandler):
                     body = json.dumps({
                         "t": [round(a / sr + float(v), 3) for v in bounds],
                     }).encode()
+                self._cache().put(self.path, "application/json", body,
+                                  gen=self._req_gen)
+                self._send(200, "application/json", body)
+            elif url.path.startswith("/api/key/"):
+                # Krumhansl-Schmuckler key of the track's mono view
+                # (ops/tonal.py); on-demand (client button) + LRU-
+                # cached.  Bounded: chroma over the first 10 min is
+                # plenty of evidence for a global key.
+                from .ops.tonal import estimate_key
+
+                tid = int(url.path.rsplit("/", 1)[1])
+                with self.lock.read():
+                    tr = mt._track(tid)
+                    sr = tr.sr
+                    wav = tr.wav_slice(0, min(tr.n_samples, 600 * sr))
+                tonic, mode, r, _ = estimate_key(wav, sr)
+                body = json.dumps({
+                    "tonic": tonic, "mode": mode,
+                    "r": None if tonic is None else round(r, 3),
+                }).encode()
                 self._cache().put(self.path, "application/json", body,
                                   gen=self._req_gen)
                 self._send(200, "application/json", body)

@@ -288,3 +288,75 @@ def test_trim_cli(tmp_path, capsys):
     assert main(["trim", ps, "-o", out]) == 0
     assert "all silent" in capsys.readouterr().out
     assert not os.path.exists(os.path.join(out, "quiet_trim.wav"))
+
+
+def test_analyze_cli(tmp_path, capsys):
+    """msv_tpu analyze emits one coherent JSON report per file: a 440 Hz
+    click-train tone reads its pitch, tempo and silence span right."""
+    import json
+
+    from msv_tpu.io.audio import write_wav
+
+    sr = 8000
+    dur = 6.0
+    t = np.arange(int(dur * sr)) / sr
+    x = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    env = np.zeros_like(x)
+    for c in np.arange(0.25, dur - 0.25, 0.5):  # 120 BPM pulses
+        i = int(c * sr)
+        env[i:i + 400] = np.linspace(1, 0.3, 400)
+    x *= env
+    x[: sr // 2] = 0.0  # leading silence
+    p = str(tmp_path / "pulse.wav")
+    write_wav(p, x[None], sr)
+
+    assert main(["analyze", p]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["path"] == p and rep["sr"] == sr and rep["channels"] == 1
+    assert abs(rep["duration_s"] - dur) < 1e-3
+    assert -40 < rep["loudness_lufs"] < -5
+    assert abs(rep["tempo_bpm"] - 120.0) < 6.0
+    assert rep["n_beats"] >= 8
+    assert rep["n_onsets"] >= 8
+    # 50 ms pulses sparsely fill the 128 ms YIN window: voiced on the
+    # pulse-filled frames only (silence frames read unvoiced, ap=1)
+    assert 0.01 < rep["voiced_fraction"] < 0.5
+    assert abs(rep["f0_median_hz"] - 440.0) < 15.0
+    assert 0.3 < rep["active_s"][0] < 0.8  # leading silence stripped
+    assert rep["active_s"][1] > 5.0  # last pulse starts at 5.25 s
+    assert 300 < rep["spectral"]["centroid_hz"] < 900
+
+    # -o writes a pretty file
+    out = str(tmp_path / "rep")
+    assert main(["analyze", p, "-o", out]) == 0
+    capsys.readouterr()  # drain the "wrote <dest>" line
+    with open(os.path.join(out, "analysis_pulse.json")) as fh:
+        rep2 = json.load(fh)
+    for k in ("tempo_bpm", "f0_median_hz", "loudness_lufs"):
+        assert rep2[k] == rep[k]
+
+    # silence: clean degenerate report
+    ps = str(tmp_path / "quiet.wav")
+    write_wav(ps, np.zeros((1, sr), np.float32), sr)
+    assert main(["analyze", ps]) == 0
+    reps = json.loads(capsys.readouterr().out.strip())
+    assert reps["loudness_lufs"] is None and reps["key"] is None
+    assert reps["tempo_bpm"] == 0.0 and reps["voiced_fraction"] == 0.0
+    assert reps["f0_median_hz"] is None
+
+
+def test_analyze_key_endpointish(tmp_path, capsys):
+    """A C major chord reports key C major through the CLI report."""
+    import json
+
+    from msv_tpu.io.audio import write_wav
+
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    x = sum(0.25 * np.sin(2 * np.pi * f * t)
+            for f in (261.63, 329.63, 392.0, 523.25)).astype(np.float32)
+    p = str(tmp_path / "chord.wav")
+    write_wav(p, x[None], sr)
+    assert main(["analyze", p]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["key"]["tonic"] == "C" and rep["key"]["mode"] == "major"

@@ -655,6 +655,21 @@ def test_loudness_endpoint(viewer_url):
     assert e.value.code == 500
 
 
+def test_key_endpoint(viewer_url):
+    """/api/key estimates the track's key (a 440 Hz sine reads tonic A);
+    unknown ids 500 through the typed-error path."""
+    code, body = _get(viewer_url + "/api/key/0")
+    assert code == 200
+    d = json.loads(body)
+    assert d["tonic"] == "A" and d["mode"] in ("major", "minor")
+    assert 0.0 < d["r"] <= 1.0
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(viewer_url + "/api/key/9")
+    assert e.value.code == 500
+
+
 def test_render_cache_rejects_stale_generation():
     """A response rendered before a session mutation must not be cached
     under the post-mutation generation (TOCTOU regression: put() used
