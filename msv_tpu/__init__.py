@@ -19,7 +19,7 @@ from .config import get_precision_mode, set_precision_mode
 from .session import AudioTrack, MultiTrack
 from .render.colormap import get_colormap
 from .ops.reconstruct import griffin_lim, mel_to_linear
-from .ops.resample import resample, resample_poly
+from .ops.resample import resample, resample_poly, resample_streamed
 from .ops.effects import pitch_shift, split, time_stretch, trim
 from .ops.hpss import hpss, hpss_masks
 from .ops.pitch import yin
@@ -60,6 +60,7 @@ __all__ = [
     "mel_to_linear",
     "resample",
     "resample_poly",
+    "resample_streamed",
     "hpss",
     "hpss_masks",
     "pitch_shift",

@@ -165,6 +165,48 @@ def _build_parser():
     tr.add_argument("--channel", type=int, default=None,
                     help="one source channel instead of the channel sum")
 
+    rs = sub.add_parser(
+        "resample",
+        help="convert audio to another sample rate",
+        description="Rational sample-rate conversion "
+        "(ops/resample.py, scipy resample_poly parity): decodes any "
+        "supported codec, converts ALL channels (or one with "
+        "--channel) on device in bounded-memory segments, and writes "
+        "<stem>_sr<rate>.wav.",
+    )
+    rs.add_argument("files", nargs="+")
+    rs.add_argument("--sr", type=int, required=True,
+                    help="target sample rate in Hz")
+    rs.add_argument("-o", "--outdir", default=".")
+    rs.add_argument("--bits", type=int, choices=[16, 32], default=16,
+                    help="output WAV sample format (16 = PCM, "
+                    "32 = float)")
+    rs.add_argument("--channel", type=int, default=None,
+                    help="convert one source channel (default: keep "
+                    "all channels)")
+
+    gn = sub.add_parser(
+        "gain",
+        help="loudness-normalize audio (BS.1770 LUFS or peak)",
+        description="Measure BS.1770-4 integrated loudness "
+        "(ops/loudness.py) and apply one scalar gain to hit --lufs "
+        "(default -23 LUFS, EBU R128); or peak-normalize with --peak. "
+        "Writes <stem>_norm.wav; prints measured -> target and the "
+        "output true sample peak.  --limit caps the gain so the "
+        "output never clips.",
+    )
+    gn.add_argument("files", nargs="+")
+    gn.add_argument("-o", "--outdir", default=".")
+    gn.add_argument("--lufs", type=float, default=-23.0,
+                    help="target integrated loudness (LUFS)")
+    gn.add_argument("--peak", type=float, default=None,
+                    help="peak-normalize to this linear amplitude "
+                    "instead of loudness-matching")
+    gn.add_argument("--limit", action="store_true",
+                    help="reduce the gain if it would push the sample "
+                    "peak past 0.999")
+    gn.add_argument("--bits", type=int, choices=[16, 32], default=16)
+
     fe = sub.add_parser(
         "features",
         help="extract ML features to .npy",
@@ -638,6 +680,88 @@ def _analyze_cmd(args):
     return 0
 
 
+def _resample_cmd(args):
+    import numpy as np
+
+    from .io.audio import open_audio_file, open_audio_mono_ex, write_wav
+    from .ops.resample import resample_streamed
+    from .utils.errors import MsvError
+
+    if args.sr < 1:
+        raise MsvError(f"--sr must be positive, got {args.sr}")
+    os.makedirs(args.outdir, exist_ok=True)
+    for f in args.files:
+        if args.channel is None:
+            wav, sr = open_audio_file(f)  # (n_ch, T): keep all channels
+        else:
+            mono, sr, _, _, _ = open_audio_mono_ex(f, channel=args.channel)
+            wav = np.asarray(mono, np.float32)[None]
+        t0 = time.perf_counter()
+        try:
+            out = resample_streamed(wav, sr, args.sr)
+        except ValueError as e:
+            raise MsvError(f"{f}: {e}") from e
+        dt = time.perf_counter() - t0
+        stem = os.path.splitext(os.path.basename(f))[0] + (
+            "" if args.channel is None else f"_ch{args.channel}"
+        )
+        path = os.path.join(args.outdir, f"{stem}_sr{args.sr}.wav")
+        write_wav(path, out, args.sr, bits=args.bits)
+        print(f"  {path}  {sr} -> {args.sr} Hz, {out.shape[0]} ch, "
+              f"{out.shape[1] / args.sr:.3f}s  ({dt:.2f}s)")
+    return 0
+
+
+def _gain_cmd(args):
+    import numpy as np
+
+    from .io.audio import open_audio_file, write_wav
+    from .ops.loudness import integrated_loudness
+    from .utils.errors import MsvError
+
+    os.makedirs(args.outdir, exist_ok=True)
+    for f in args.files:
+        wav, sr = open_audio_file(f)  # (n_ch, T)
+        t0 = time.perf_counter()
+        if args.peak is not None:
+            if args.peak <= 0:
+                raise MsvError(f"--peak must be positive, got {args.peak}")
+            src = float(np.abs(wav).max())
+            if src == 0.0:
+                print(f"  {f}: silent, nothing written")
+                continue
+            g = args.peak / src
+            what = f"peak {src:.4f} -> {args.peak:g}"
+        else:
+            try:
+                lufs = integrated_loudness(wav, sr)
+            except ValueError as e:
+                raise MsvError(f"{f}: {e}") from e
+            if lufs == float("-inf"):
+                print(f"  {f}: below the -70 LUFS gate, nothing written")
+                continue
+            g = 10.0 ** ((args.lufs - lufs) / 20.0)
+            what = f"{lufs:.2f} -> {args.lufs:g} LUFS"
+        out = wav * np.float32(g)
+        peak = float(np.abs(out).max())
+        note = ""
+        if peak > 0.999:
+            if args.limit:
+                out *= np.float32(0.999 / peak)
+                note = f"  (limited: gain {20 * np.log10(g):+.2f} dB " \
+                    f"-> {20 * np.log10(g * 0.999 / peak):+.2f} dB)"
+                peak = 0.999
+            else:
+                note = "  (WARNING: will clip; use --limit)"
+        dt = time.perf_counter() - t0
+        stem = os.path.splitext(os.path.basename(f))[0]
+        path = os.path.join(args.outdir, f"{stem}_norm.wav")
+        write_wav(path, out, sr, bits=args.bits)
+        print(f"  {path}  {what}, gain {20 * np.log10(g):+.2f} dB, "
+              f"out peak {peak:.4f}  ({dt:.2f}s){note}")
+    return 0
+
+
 def _trim_cmd(args):
     import numpy as np
 
@@ -768,6 +892,12 @@ def _main(argv=None):
 
     if args.cmd == "analyze":
         return _analyze_cmd(args)
+
+    if args.cmd == "resample":
+        return _resample_cmd(args)
+
+    if args.cmd == "gain":
+        return _gain_cmd(args)
 
     if args.cmd == "view":
         from . import FreqScale, SpecSetting

@@ -121,3 +121,64 @@ def resample(x, sr_in: int, sr_out: int, *, beta: float = 5.0):
         raise ValueError(f"rates must be positive, got {sr_in}->{sr_out}")
     g = math.gcd(int(sr_in), int(sr_out))
     return resample_poly(x, int(sr_out) // g, int(sr_in) // g, beta=beta)
+
+
+def resample_streamed(x, sr_in: int, sr_out: int, *, seg_s: float = 30.0,
+                      beta: float = 5.0) -> np.ndarray:
+    """:func:`resample`, segment-at-a-time: same values, bounded memory.
+
+    Splits the input into fixed ``seg_s``-second segments plus filter
+    context on both sides and runs each through :func:`resample_poly`.
+    The FIR's input reach from any output sample is bounded by
+    ``half_len / up`` and upfirdn is shift-invariant under input shifts
+    of ``down`` (output shifts of ``up``), so each segment sees exactly
+    the samples the one-shot computation would use; edge segments see
+    the same zero extension scipy assumes.  Agreement with the one-shot
+    op is bit-for-bit when XLA compiles the same dot order (measured:
+    every pure-downsample ratio) and within a few f32 ulp otherwise —
+    different conv lengths may reassociate the per-tap sums (pinned in
+    tests/test_resample.py).  Every segment has the identical padded length, so
+    the whole file runs through ONE compiled conv program with O(seg)
+    device memory — the hour-scale converter behind ``msv_tpu
+    resample``.  Returns host float32 (..., ceil(n * up / down)).
+    """
+    if sr_in <= 0 or sr_out <= 0:
+        raise ValueError(f"rates must be positive, got {sr_in}->{sr_out}")
+    if seg_s <= 0:
+        raise ValueError(f"seg_s must be positive, got {seg_s}")
+    g = math.gcd(int(sr_in), int(sr_out))
+    up, down = int(sr_out) // g, int(sr_in) // g
+    x = np.asarray(x, np.float32)
+    n_in = x.shape[-1]
+    if n_in < 2:
+        raise ValueError(f"need at least 2 samples, got {x.shape}")
+    if up == 1 and down == 1:
+        return x
+    n_out = n_in * up // down + bool(n_in * up % down)
+
+    # context (input samples, multiple of `down` so segment-local output
+    # offsets stay integral): the filter reaches half_len/up input
+    # samples from an output's center; + down covers the decimation
+    # grid's worst-case phase
+    half_len = 10 * max(up, down)
+    ctx = -(-(half_len + down) // up)
+    ctx = -(-ctx // down) * down
+    seg = max(int(seg_s * sr_in), down)
+    seg = -(-seg // down) * down
+    if n_in <= seg + 2 * ctx:  # one-shot is already this small
+        return np.asarray(resample_poly(x, up, down, beta=beta))
+
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, n_in)
+    n_segs = -(-n_in // seg)
+    padded = np.zeros((x2.shape[0], ctx + n_segs * seg + ctx), np.float32)
+    padded[:, ctx:ctx + n_in] = x2
+    out_per_seg = seg * up // down
+    o = ctx // down * up
+    out = np.empty((x2.shape[0], n_segs * out_per_seg), np.float32)
+    for i in range(n_segs):
+        y = resample_poly(padded[:, i * seg:(i + 1) * seg + 2 * ctx],
+                          up, down, beta=beta)
+        out[:, i * out_per_seg:(i + 1) * out_per_seg] = np.asarray(
+            y[:, o:o + out_per_seg])
+    return out[:, :n_out].reshape(*lead, n_out)

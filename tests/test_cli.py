@@ -360,3 +360,80 @@ def test_analyze_key_endpointish(tmp_path, capsys):
     assert main(["analyze", p]) == 0
     rep = json.loads(capsys.readouterr().out.strip())
     assert rep["key"]["tonic"] == "C" and rep["key"]["mode"] == "major"
+
+
+def test_resample_cli(tmp_path, capsys):
+    """msv_tpu resample converts all channels to the target rate; the
+    tone survives at the same frequency and amplitude."""
+    from msv_tpu.io.audio import open_audio_file, write_wav
+
+    sr = 44100
+    t = np.arange(2 * sr) / sr
+    x = np.stack([0.5 * np.sin(2 * np.pi * 440 * t),
+                  0.25 * np.sin(2 * np.pi * 880 * t)]).astype(np.float32)
+    p = str(tmp_path / "st.wav")
+    write_wav(p, x, sr)
+    out = str(tmp_path / "o")
+    assert main(["resample", p, "--sr", "16000", "-o", out]) == 0
+    dest = os.path.join(out, "st_sr16000.wav")
+    assert os.path.exists(dest)
+    y, sr2 = open_audio_file(dest)
+    assert sr2 == 16000 and y.shape[0] == 2
+    assert abs(y.shape[1] - 2 * 16000) <= 1
+    for ch, (f_hz, amp) in enumerate([(440.0, 0.5), (880.0, 0.25)]):
+        spec = np.abs(np.fft.rfft(y[ch] * np.hanning(y.shape[1])))
+        hz = spec.argmax() * 16000 / y.shape[1]
+        assert abs(hz - f_hz) < 2.0
+        assert abs(float(np.abs(y[ch]).max()) - amp) < 0.02
+
+    # --channel picks one source channel
+    assert main(["resample", p, "--sr", "8000", "--channel", "1",
+                 "-o", out]) == 0
+    y1, sr1 = open_audio_file(os.path.join(out, "st_ch1_sr8000.wav"))
+    assert sr1 == 8000 and y1.shape[0] == 1
+    spec = np.abs(np.fft.rfft(y1[0] * np.hanning(y1.shape[1])))
+    assert abs(spec.argmax() * 8000 / y1.shape[1] - 880.0) < 2.0
+
+    with pytest.raises(SystemExit):
+        main(["resample", p])  # --sr required
+    capsys.readouterr()
+
+
+def test_gain_cli(tmp_path, capsys):
+    """msv_tpu gain hits the LUFS target; --peak and --limit behave."""
+    from msv_tpu.io.audio import open_audio_file, write_wav
+    from msv_tpu.ops.loudness import integrated_loudness
+
+    sr = 8000
+    t = np.arange(3 * sr) / sr
+    x = (0.05 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = str(tmp_path / "q.wav")
+    write_wav(p, x[None], sr)
+    out = str(tmp_path / "o")
+    assert main(["gain", p, "--lufs", "-20", "-o", out, "--bits", "32"]) == 0
+    y, _ = open_audio_file(os.path.join(out, "q_norm.wav"))
+    assert abs(integrated_loudness(y, sr) - (-20.0)) < 0.1
+    capsys.readouterr()
+
+    # target loud enough to clip: warns, --limit prevents it
+    assert main(["gain", p, "--lufs", "0", "-o", out, "--bits", "32"]) == 0
+    assert "WARNING: will clip" in capsys.readouterr().out
+    assert main(["gain", p, "--lufs", "0", "--limit", "-o", out,
+                 "--bits", "32"]) == 0
+    assert "limited" in capsys.readouterr().out
+    y, _ = open_audio_file(os.path.join(out, "q_norm.wav"))
+    assert float(np.abs(y).max()) <= 0.9995
+
+    # --peak mode
+    assert main(["gain", p, "--peak", "0.5", "-o", out, "--bits", "32"]) == 0
+    y, _ = open_audio_file(os.path.join(out, "q_norm.wav"))
+    assert abs(float(np.abs(y).max()) - 0.5) < 1e-4
+    capsys.readouterr()
+
+    # silence: gated, nothing written
+    ps = str(tmp_path / "z.wav")
+    write_wav(ps, np.zeros((1, sr), np.float32), sr)
+    out2 = str(tmp_path / "o2")
+    assert main(["gain", ps, "-o", out2]) == 0
+    assert "below the -70 LUFS gate" in capsys.readouterr().out
+    assert not os.path.exists(os.path.join(out2, "z_norm.wav"))

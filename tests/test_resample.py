@@ -95,3 +95,39 @@ def test_validation():
         resample_poly(np.zeros(1, np.float32), 2, 1)
     with pytest.raises(ValueError, match="positive"):
         resample(np.zeros(10, np.float32), 48000, 0)
+
+
+def test_streamed_matches_oneshot(rng):
+    """resample_streamed == resample: bit-exact for pure downsample,
+    a few f32 ulp otherwise (conv-length-dependent reassociation)."""
+    from msv_tpu.ops.resample import resample_streamed
+
+    for si, so in [(48000, 16000), (44100, 16000), (22050, 48000),
+                   (8000, 44100), (44100, 44100)]:
+        for n in (481, 3001, 96017):
+            x = rng.standard_normal(n).astype(np.float32)
+            a = np.asarray(resample(x, si, so))
+            b = resample_streamed(x, si, so, seg_s=0.25)
+            assert a.shape == b.shape
+            if so % si == 0 or si % so == 0 or si == so:
+                np.testing.assert_array_equal(a, b)
+            else:
+                np.testing.assert_allclose(a, b, atol=3e-6, rtol=0)
+
+
+def test_streamed_multichannel_and_short(rng):
+    from msv_tpu.ops.resample import resample_streamed
+
+    x = rng.standard_normal((3, 100000)).astype(np.float32)
+    a = np.asarray(resample(x, 44100, 16000))
+    b = resample_streamed(x, 44100, 16000, seg_s=0.5)
+    assert np.array_equal(a, b) and b.dtype == np.float32
+    # shorter than one segment: falls through to the one-shot path
+    y = rng.standard_normal(500).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(resample(y, 48000, 16000)),
+        resample_streamed(y, 48000, 16000))
+    with pytest.raises(ValueError, match="seg_s"):
+        resample_streamed(y, 48000, 16000, seg_s=0.0)
+    with pytest.raises(ValueError, match="positive"):
+        resample_streamed(y, 48000, -1)
