@@ -30,6 +30,7 @@ from .ops.tonal import estimate_key, tonnetz
 from .ops.sequence import dtw, smooth_f0_viterbi, viterbi, yin_smoothed
 from .ops.segment import segment, segment_boundaries, self_similarity
 from .features import (
+    analyze,
     chroma_filterbank,
     chroma_stft,
     delta,
@@ -47,6 +48,7 @@ from .features import (
 __version__ = "0.3.0"
 
 __all__ = [
+    "analyze",
     "FreqScale",
     "SpecSetting",
     "StftParams",

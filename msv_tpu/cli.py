@@ -599,60 +599,10 @@ def _stretch_cmd(args):
     return 0
 
 
-def _analyze_report(wav, sr: int) -> dict:
-    """One mono (T,) signal -> the full analysis dict (shared by the
-    CLI and tests; every field comes from an oracle-pinned op)."""
-    import numpy as np
-
-    from .features import onset_detect, spectral_features
-    from .ops.effects import trim
-    from .ops.loudness import integrated_loudness
-    from .ops.rhythm import beat_track
-    from .ops.segment import segment
-    from .ops.sequence import yin_smoothed
-    from .ops.tonal import estimate_key
-
-    dur = len(wav) / sr
-    lufs = integrated_loudness(wav, sr)
-    bpm, beats = beat_track(wav, sr)
-    tonic, mode, r, _ = estimate_key(wav, sr)
-    bounds = segment(wav, sr) if dur >= 4.0 else np.empty(0)
-    onsets = onset_detect(wav, sr)
-    fmax = min(2093.0, sr / 2.0 * 0.99)
-    f0, voiced = yin_smoothed(wav, sr, fmax=fmax)
-    spec = np.asarray(spectral_features(wav, sr))
-    # descriptor medians over NON-SILENT frames (same -60 dB gate as
-    # split): a sparse signal's median frame is silence, whose zero
-    # centroid/flatness describe nothing
-    act = spec[:, 4] > spec[:, 4].max() * 10.0 ** (-60.0 / 20.0)
-    spec = spec[act] if act.any() else spec
-    _, (a, b) = trim(wav, sr)
-    return {
-        "duration_s": round(dur, 3),
-        "loudness_lufs": (None if lufs == float("-inf")
-                          else round(lufs, 2)),
-        "tempo_bpm": round(float(bpm), 1),
-        "n_beats": int(len(beats)),
-        "key": None if tonic is None else {
-            "tonic": tonic, "mode": mode, "r": round(float(r), 3)},
-        "segments_s": [round(float(v), 3) for v in bounds],
-        "n_onsets": int(len(onsets)),
-        "voiced_fraction": round(float(voiced.mean()), 3)
-        if len(voiced) else 0.0,
-        "f0_median_hz": (round(float(np.median(f0[voiced])), 1)
-                         if voiced.any() else None),
-        "spectral": {
-            "centroid_hz": round(float(np.median(spec[:, 0])), 1),
-            "flatness": round(float(np.median(spec[:, 3])), 4),
-            "rms": round(float(np.median(spec[:, 4])), 5),
-        },
-        "active_s": [round(a / sr, 3), round(b / sr, 3)],
-    }
-
-
 def _analyze_cmd(args):
     import json
 
+    from .features import analyze
     from .io.audio import open_audio_mono_ex
     from .utils.errors import MsvError
 
@@ -663,7 +613,7 @@ def _analyze_cmd(args):
         t0 = time.perf_counter()
         try:
             rep = {"path": f, "sr": sr, "channels": n_ch,
-                   "channel": args.channel, **_analyze_report(wav, sr)}
+                   "channel": args.channel, **analyze(wav, sr)}
         except ValueError as e:
             raise MsvError(f"{f}: {e}") from e
         rep["analysis_s"] = round(time.perf_counter() - t0, 2)

@@ -1155,3 +1155,57 @@ def onset_detect(
     if units == "frames":
         return idx
     return idx.astype(np.float64) * hop_s
+
+
+def analyze(wav, sr: int) -> dict:
+    """One mono (T,) signal -> the full analysis report dict.
+
+    Runs the whole analysis stack — BS.1770 loudness, tempo + beat
+    count, Krumhansl-Schmuckler key, structure boundaries, onsets,
+    Viterbi-decoded pitch/voicing, spectral descriptor medians over
+    NON-SILENT frames, RMS-gated active span — every field from an
+    oracle-pinned op.  Shared by ``msv_tpu analyze`` and the viewer's
+    ``/api/analyze/<id>``; JSON-serializable output."""
+    from .ops.effects import trim
+    from .ops.loudness import integrated_loudness
+    from .ops.rhythm import beat_track
+    from .ops.segment import segment
+    from .ops.sequence import yin_smoothed
+    from .ops.tonal import estimate_key
+
+    dur = len(wav) / sr
+    lufs = integrated_loudness(wav, sr)
+    bpm, beats = beat_track(wav, sr)
+    tonic, mode, r, _ = estimate_key(wav, sr)
+    bounds = segment(wav, sr) if dur >= 4.0 else np.empty(0)
+    onsets = onset_detect(wav, sr)
+    fmax = min(2093.0, sr / 2.0 * 0.99)
+    f0, voiced = yin_smoothed(wav, sr, fmax=fmax)
+    spec = np.asarray(spectral_features(wav, sr))
+    # descriptor medians over NON-SILENT frames (same -60 dB gate as
+    # split): a sparse signal's median frame is silence, whose zero
+    # centroid/flatness describe nothing
+    act = spec[:, 4] > spec[:, 4].max() * 10.0 ** (-60.0 / 20.0)
+    spec = spec[act] if act.any() else spec
+    _, (a, b) = trim(wav, sr)
+    return {
+        "duration_s": round(dur, 3),
+        "loudness_lufs": (None if lufs == float("-inf")
+                          else round(lufs, 2)),
+        "tempo_bpm": round(float(bpm), 1),
+        "n_beats": int(len(beats)),
+        "key": None if tonic is None else {
+            "tonic": tonic, "mode": mode, "r": round(float(r), 3)},
+        "segments_s": [round(float(v), 3) for v in bounds],
+        "n_onsets": int(len(onsets)),
+        "voiced_fraction": round(float(voiced.mean()), 3)
+        if len(voiced) else 0.0,
+        "f0_median_hz": (round(float(np.median(f0[voiced])), 1)
+                         if voiced.any() else None),
+        "spectral": {
+            "centroid_hz": round(float(np.median(spec[:, 0])), 1),
+            "flatness": round(float(np.median(spec[:, 3])), 4),
+            "rms": round(float(np.median(spec[:, 4])), 5),
+        },
+        "active_s": [round(a / sr, 3), round(b / sr, 3)],
+    }

@@ -291,6 +291,7 @@ async function load() {
         <audio controls preload="none" src="/api/audio/${t.id}" style="height:20px;vertical-align:middle"></audio>
         <button data-lufs="${t.id}" title="BS.1770 integrated loudness of this track's mix">LUFS</button>
         <button data-key="${t.id}" title="Krumhansl-Schmuckler key estimate of this track's mix">key</button>
+        <button data-an="${t.id}" title="full analysis report (loudness, tempo, key, structure, onsets, pitch) — computed in the background">analyze</button>
         <button data-rm="${t.id}">&#10005;</button></div>
       <div class="imgs" id="box${t.id}" style="position:relative;height:${H + WH}px">
         <div id="spacer${t.id}" style="height:1px"></div>
@@ -386,6 +387,35 @@ document.getElementById('tracks').addEventListener('click', async ev => {
            : `${d.tonic} ${d.mode} (r=${d.r})`,
          style: 'color:#aac;font-size:12px;margin:0 4px'}));
     } catch (e) { ev.target.textContent = 'key?'; }
+    return;
+  }
+  const an = ev.target.getAttribute && ev.target.getAttribute('data-an');
+  if (an !== null && an !== undefined) {
+    const btn = ev.target;
+    btn.disabled = true; btn.textContent = '…';
+    const poll = async () => {
+      try {
+        const r = await fetch(`/api/analyze/${an}`);
+        if (r.status === 202) { setTimeout(poll, 1500); return; }
+        if (!r.ok) throw new Error(await r.text());
+        const d = await r.json();
+        const parts = [];
+        if (d.loudness_lufs !== null) parts.push(`${d.loudness_lufs} LUFS`);
+        if (d.tempo_bpm) parts.push(`${d.tempo_bpm} BPM (${d.n_beats} beats)`);
+        if (d.key) parts.push(`${d.key.tonic} ${d.key.mode}`);
+        parts.push(`${d.n_onsets} onsets`);
+        if (d.f0_median_hz !== null)
+          parts.push(`f0 ${d.f0_median_hz} Hz (${Math.round(d.voiced_fraction * 100)}% voiced)`);
+        if (d.segments_s.length) parts.push(`${d.segments_s.length + 1} sections`);
+        parts.push(`active ${d.active_s[0]}–${d.active_s[1]} s`);
+        const span = document.createElement('span');
+        span.textContent = parts.join(' · ');
+        span.title = JSON.stringify(d, null, 1);  // full report on hover
+        span.style = 'color:#aac;font-size:12px;margin:0 4px';
+        btn.replaceWith(span);
+      } catch (e) { btn.textContent = 'analyze?'; btn.disabled = false; }
+    };
+    poll();
     return;
   }
   const rm = ev.target.getAttribute && ev.target.getAttribute('data-rm');
@@ -553,6 +583,37 @@ class _Handler(BaseHTTPRequestHandler):
         if c is None:
             c = cls.cache = _RenderCache()
         return c
+
+    analyses = None  # per-server-class (gen, tid) -> analysis job dict
+
+    @classmethod
+    def _analyses(cls):
+        a = cls.analyses
+        if a is None:
+            a = cls.analyses = ({}, threading.Lock())
+        return a
+
+    @staticmethod
+    def _run_analysis(cls, key, tid):
+        """Background worker for /api/analyze: snapshot the signal under
+        the read lock, then run the (long) analysis lock-free."""
+        from .features import analyze
+
+        jobs, jlock = cls._analyses()
+        try:
+            with cls.lock.read():
+                tr = cls.session._track(tid)
+                sr = tr.sr
+                n = min(tr.n_samples, 600 * sr)
+                wav = tr.wav_slice(0, n)
+            rep = analyze(wav, sr)
+            rep["window_s"] = round(n / sr, 3)
+            body, state = json.dumps(rep).encode(), "done"
+        except Exception as e:  # surfaced as the endpoint's 500 body
+            body, state = f"error: {e}".encode(), "error"
+        with jlock:
+            if key in jobs:  # not pruned by a mutation meanwhile
+                jobs[key] = {"state": state, "body": body}
 
     def _send_img(self, arr):
         """Encode + send a 200 image response, remembering the bytes so
@@ -1060,6 +1121,40 @@ class _Handler(BaseHTTPRequestHandler):
                 self._cache().put(self.path, "application/json", body,
                                   gen=self._req_gen)
                 self._send(200, "application/json", body)
+            elif url.path.startswith("/api/analyze/"):
+                # Full analysis report (features.analyze — loudness,
+                # tempo/beats, key, structure, onsets, pitch/voicing,
+                # descriptors, active span) of the track's mono view,
+                # bounded to the first 10 min.  Heavy (seconds to a
+                # minute of device work), so it runs in a background
+                # thread: 202 {"pending": true} until ready, then 200
+                # with the JSON.  Jobs are generation-keyed like the
+                # response LRU, so a session mutation can never serve
+                # a stale report.
+                tid = int(url.path.rsplit("/", 1)[1])
+                with self.lock.read():
+                    mt._track(tid)  # typed error for unknown ids -> 500
+                jobs, jlock = self._analyses()
+                key = (self._req_gen, tid)
+                with jlock:
+                    cur = self._cache().gen
+                    for k in [k for k in jobs if k[0] != cur]:
+                        del jobs[k]  # superseded by a session mutation
+                    job = jobs.get(key)
+                    if job is None and key[0] == cur:
+                        job = jobs[key] = {"state": "running",
+                                           "body": None}
+                        threading.Thread(
+                            target=self._run_analysis,
+                            args=(self.__class__, key, tid),
+                            daemon=True).start()
+                if job is None or job["state"] == "running":
+                    self._send(202, "application/json",
+                               b'{"pending": true}')
+                elif job["state"] == "done":
+                    self._send(200, "application/json", job["body"])
+                else:
+                    self._send(500, "text/plain", job["body"])
             elif url.path.startswith("/api/loudness/"):
                 # BS.1770 integrated loudness of the track's mono view —
                 # the SAME signal /api/audio plays (channel sum or the

@@ -820,3 +820,35 @@ def test_segments_endpoint(tmp_path):
         assert e.value.code == 500
     finally:
         srv.shutdown()
+
+
+def test_analyze_endpoint(viewer_url):
+    """/api/analyze runs the full report in the background: 202 while
+    pending, then 200 with coherent fields; unknown ids 500."""
+    import time as _time
+    import urllib.error
+
+    deadline = _time.time() + 120
+    while True:
+        code, body = _get(viewer_url + "/api/analyze/0")
+        if code == 200:
+            break
+        assert code == 202 and json.loads(body)["pending"] is True
+        assert _time.time() < deadline, "analysis never finished"
+        _time.sleep(0.5)
+    d = json.loads(body)
+    # 1 s 440 Hz sine fixture: loud, voiced, pitched at 440
+    assert abs(d["duration_s"] - 1.0) < 1e-3
+    assert d["window_s"] == d["duration_s"]
+    assert -13.0 < d["loudness_lufs"] < -9.0
+    assert d["voiced_fraction"] > 0.8
+    assert abs(d["f0_median_hz"] - 440.0) < 10.0
+    assert d["key"]["tonic"] == "A"
+
+    # a finished report serves instantly (no new 202 round)
+    code2, body2 = _get(viewer_url + "/api/analyze/0")
+    assert code2 == 200 and body2 == body
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(viewer_url + "/api/analyze/7")
+    assert e.value.code == 500
