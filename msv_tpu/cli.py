@@ -185,6 +185,43 @@ def _build_parser():
                     help="convert one source channel (default: keep "
                     "all channels)")
 
+    fl = sub.add_parser(
+        "filter",
+        help="EQ / filter audio (Butterworth + RBJ biquads)",
+        description="General filtering (ops/filter.py): Butterworth "
+        "lowpass/highpass/bandpass/bandstop designed on host, run on "
+        "device as associative scans; plus repeatable RBJ EQ sections "
+        "(--peak f0:gain_db[:q], --shelf lo|hi:f0:gain_db, "
+        "--notch f0[:q]) applied after the Butterworth stage.  All "
+        "channels filter independently; writes <stem>_filt.wav.",
+    )
+    fl.add_argument("files", nargs="+")
+    fl.add_argument("-o", "--outdir", default=".")
+    band = fl.add_mutually_exclusive_group()
+    band.add_argument("--lowpass", type=float, metavar="HZ")
+    band.add_argument("--highpass", type=float, metavar="HZ")
+    band.add_argument("--bandpass", type=float, nargs=2,
+                      metavar=("LO", "HI"))
+    band.add_argument("--bandstop", type=float, nargs=2,
+                      metavar=("LO", "HI"))
+    fl.add_argument("--order", type=int, default=4,
+                    help="Butterworth order (default 4)")
+    fl.add_argument("--peak", action="append", default=[],
+                    metavar="F0:GAIN_DB[:Q]",
+                    help="peaking EQ section (repeatable)")
+    fl.add_argument("--shelf", action="append", default=[],
+                    metavar="lo|hi:F0:GAIN_DB",
+                    help="shelving EQ section (repeatable)")
+    fl.add_argument("--notch", action="append", default=[],
+                    metavar="F0[:Q]",
+                    help="notch section (repeatable)")
+    fl.add_argument("--zero-phase", action="store_true",
+                    help="forward-backward filtering (filtfilt): no "
+                    "phase distortion, squared magnitude response")
+    fl.add_argument("--channel", type=int, default=None,
+                    help="one source channel instead of all channels")
+    fl.add_argument("--bits", type=int, choices=[16, 32], default=16)
+
     gn = sub.add_parser(
         "gain",
         help="loudness-normalize audio (BS.1770 LUFS or peak)",
@@ -662,6 +699,92 @@ def _resample_cmd(args):
     return 0
 
 
+def _filter_sos_from_args(args, sr):
+    """Assemble the SOS cascade a `msv_tpu filter` invocation asks for."""
+    import numpy as np
+
+    from .ops.filter import (butter_sos, high_shelf, low_shelf, notch,
+                             peaking_eq)
+    from .utils.errors import MsvError
+
+    rows = []
+    try:
+        if args.lowpass is not None:
+            rows.append(butter_sos(args.order, args.lowpass, "lowpass",
+                                   sr=sr))
+        if args.highpass is not None:
+            rows.append(butter_sos(args.order, args.highpass, "highpass",
+                                   sr=sr))
+        if args.bandpass is not None:
+            rows.append(butter_sos(args.order, tuple(args.bandpass),
+                                   "bandpass", sr=sr))
+        if args.bandstop is not None:
+            rows.append(butter_sos(args.order, tuple(args.bandstop),
+                                   "bandstop", sr=sr))
+        for spec in args.peak:
+            parts = spec.split(":")
+            if len(parts) not in (2, 3):
+                raise ValueError(f"--peak wants F0:GAIN_DB[:Q], got {spec!r}")
+            f0, gain = float(parts[0]), float(parts[1])
+            q = float(parts[2]) if len(parts) == 3 else 1.0
+            rows.append(peaking_eq(sr, f0, gain, q))
+        for spec in args.shelf:
+            parts = spec.split(":")
+            if len(parts) != 3 or parts[0] not in ("lo", "hi"):
+                raise ValueError(
+                    f"--shelf wants lo|hi:F0:GAIN_DB, got {spec!r}")
+            fn = low_shelf if parts[0] == "lo" else high_shelf
+            rows.append(fn(sr, float(parts[1]), float(parts[2])))
+        for spec in args.notch:
+            parts = spec.split(":")
+            if len(parts) not in (1, 2):
+                raise ValueError(f"--notch wants F0[:Q], got {spec!r}")
+            q = float(parts[1]) if len(parts) == 2 else 30.0
+            rows.append(notch(sr, float(parts[0]), q))
+    except ValueError as e:
+        raise MsvError(str(e)) from e
+    if not rows:
+        raise MsvError(
+            "filter: give at least one of --lowpass/--highpass/--bandpass/"
+            "--bandstop/--peak/--shelf/--notch")
+    return np.concatenate(rows, axis=0)
+
+
+def _filter_cmd(args):
+    import numpy as np
+
+    from .io.audio import open_audio_file, open_audio_mono_ex, write_wav
+    from .ops.filter import filtfilt, sosfilt_streamed
+    from .utils.errors import MsvError
+
+    os.makedirs(args.outdir, exist_ok=True)
+    for f in args.files:
+        if args.channel is None:
+            wav, sr = open_audio_file(f)  # (n_ch, T)
+        else:
+            mono, sr, _, _, _ = open_audio_mono_ex(f, channel=args.channel)
+            wav = np.asarray(mono, np.float32)[None]
+        sos = _filter_sos_from_args(args, sr)
+        t0 = time.perf_counter()
+        try:
+            if args.zero_phase:
+                out = np.stack([filtfilt(sos, ch) for ch in wav])
+            else:
+                out = np.stack([sosfilt_streamed(sos, ch) for ch in wav])
+        except ValueError as e:
+            raise MsvError(f"{f}: {e}") from e
+        dt = time.perf_counter() - t0
+        stem = os.path.splitext(os.path.basename(f))[0] + (
+            "" if args.channel is None else f"_ch{args.channel}"
+        )
+        path = os.path.join(args.outdir, f"{stem}_filt.wav")
+        write_wav(path, out, sr, bits=args.bits)
+        peak = float(np.max(np.abs(out))) if out.size else 0.0
+        print(f"  {path}  {len(sos)} section(s), {out.shape[0]} ch, "
+              f"out peak {peak:.4f}  ({dt:.2f}s)")
+    return 0
+
+
 def _gain_cmd(args):
     import numpy as np
 
@@ -848,6 +971,9 @@ def _main(argv=None):
 
     if args.cmd == "gain":
         return _gain_cmd(args)
+
+    if args.cmd == "filter":
+        return _filter_cmd(args)
 
     if args.cmd == "view":
         from . import FreqScale, SpecSetting

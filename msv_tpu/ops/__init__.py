@@ -21,8 +21,20 @@ from .cqt import cqt, cqt_frequencies
 from .loudness import integrated_loudness, k_weighting_coeffs
 from .rhythm import (beat_track, beat_track_from_envelope,
                      tempo_from_tempogram, tempogram_from_envelope)
+from .filter import (butter_sos, peaking_eq, low_shelf, high_shelf, notch,
+                     sosfilt, sosfilt_streamed, filtfilt, firwin, fir_filter)
 
 __all__ = [
+    "butter_sos",
+    "peaking_eq",
+    "low_shelf",
+    "high_shelf",
+    "notch",
+    "sosfilt",
+    "sosfilt_streamed",
+    "filtfilt",
+    "firwin",
+    "fir_filter",
     "integrated_loudness",
     "k_weighting_coeffs",
     "beat_track",

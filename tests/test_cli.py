@@ -437,3 +437,37 @@ def test_gain_cli(tmp_path, capsys):
     assert main(["gain", ps, "-o", out2]) == 0
     assert "below the -70 LUFS gate" in capsys.readouterr().out
     assert not os.path.exists(os.path.join(out2, "z_norm.wav"))
+
+
+def test_filter_cli(tmp_path, capsys):
+    """msv_tpu filter: lowpass kills a high tone, EQ sections parse,
+    stereo filters per channel, and no band spec is a clean error."""
+    from msv_tpu.io.audio import open_audio_file
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    lo = 0.4 * np.sin(2 * np.pi * 200 * t)
+    hi = 0.4 * np.sin(2 * np.pi * 5000 * t)
+    p = str(tmp_path / "mix.wav")
+    write_wav(p, np.stack([lo + hi, hi]).astype(np.float32), sr)
+    out = str(tmp_path / "o")
+
+    assert main(["filter", p, "-o", out, "--lowpass", "1000",
+                 "--order", "6"]) == 0
+    w, got_sr = open_audio_file(os.path.join(out, "mix_filt.wav"))
+    assert got_sr == sr and w.shape[0] == 2
+    spec0 = np.abs(np.fft.rfft(w[0, 2000:]))
+    f = np.fft.rfftfreq(w.shape[1] - 2000, 1 / sr)
+    assert spec0[np.argmin(np.abs(f - 5000))] < \
+        spec0[np.argmin(np.abs(f - 200))] * 1e-3
+    # channel 1 was pure 5 kHz: nearly silent after the lowpass
+    assert np.max(np.abs(w[1, 2000:])) < 1e-3
+
+    # EQ sections + zero-phase parse and run
+    assert main(["filter", p, "-o", out, "--peak", "1000:6:2",
+                 "--shelf", "hi:3000:-6", "--notch", "5000",
+                 "--zero-phase"]) == 0
+
+    # no band spec: clean MsvError, exit 1
+    assert main(["filter", p, "-o", out]) == 1
+    assert "at least one" in capsys.readouterr().err
