@@ -29,6 +29,8 @@ from .ops.rhythm import beat_track, tempogram_from_envelope
 from .ops.tonal import estimate_key, tonnetz
 from .ops.sequence import dtw, smooth_f0_viterbi, viterbi, yin_smoothed
 from .ops.segment import segment, segment_boundaries, self_similarity
+from .ops.filter import butter_sos, filtfilt, firwin, sosfilt
+from .ops.align import align_offset
 from .features import (
     analyze,
     chroma_filterbank,
@@ -48,6 +50,11 @@ from .features import (
 __version__ = "0.3.0"
 
 __all__ = [
+    "align_offset",
+    "butter_sos",
+    "sosfilt",
+    "filtfilt",
+    "firwin",
     "analyze",
     "FreqScale",
     "SpecSetting",

@@ -185,6 +185,26 @@ def _build_parser():
                     help="convert one source channel (default: keep "
                     "all channels)")
 
+    al = sub.add_parser(
+        "align",
+        help="estimate time offsets between takes of the same material",
+        description="Cross-track alignment (ops/align.py): envelope NCC "
+        "over every lag + GCC-PHAT refinement.  The FIRST file is the "
+        "reference; each other file gets an offset (positive = its "
+        "content happens later) and a confidence.  --write saves "
+        "<stem>_aligned.wav copies shifted onto the reference timeline.",
+    )
+    al.add_argument("files", nargs="+",
+                    help="reference file, then file(s) to align to it")
+    al.add_argument("--max-lag", type=float, default=30.0,
+                    help="search range in seconds (default 30)")
+    al.add_argument("--write", action="store_true",
+                    help="write time-shifted copies next to the offsets")
+    al.add_argument("-o", "--outdir", default=".")
+    al.add_argument("--channel", type=int, default=None,
+                    help="one source channel instead of the channel sum")
+    al.add_argument("--bits", type=int, choices=[16, 32], default=16)
+
     fl = sub.add_parser(
         "filter",
         help="EQ / filter audio (Butterworth + RBJ biquads)",
@@ -699,6 +719,50 @@ def _resample_cmd(args):
     return 0
 
 
+def _align_cmd(args):
+    import numpy as np
+
+    from .io.audio import (open_audio_file, open_audio_mono_ex,
+                           write_wav)
+    from .ops.align import align_offset
+    from .utils.errors import MsvError
+
+    if len(args.files) < 2:
+        raise MsvError("align: need a reference file plus at least one "
+                       "file to align to it")
+    ref_mono, ref_sr, _, _, _ = open_audio_mono_ex(
+        args.files[0], channel=args.channel)
+    ref_mono = np.asarray(ref_mono, np.float32)
+    print(f"reference: {args.files[0]} ({ref_sr} Hz)")
+    if args.write:
+        os.makedirs(args.outdir, exist_ok=True)
+    for f in args.files[1:]:
+        mono, sr, _, _, _ = open_audio_mono_ex(f, channel=args.channel)
+        t0 = time.perf_counter()
+        try:
+            r = align_offset(ref_mono, ref_sr, np.asarray(mono, np.float32),
+                             sr, max_lag_s=args.max_lag)
+        except ValueError as e:
+            raise MsvError(f"{f}: {e}") from e
+        dt = time.perf_counter() - t0
+        print(f"  {f}: offset {r.offset_s:+.4f}s  "
+              f"confidence {r.confidence:.2f}  ({dt:.2f}s)")
+        if args.write:
+            wav, wsr = open_audio_file(f)
+            shift = int(round(r.offset_s * wsr))
+            if shift >= 0:   # content late: trim the head
+                out = wav[:, shift:]
+            else:            # content early: delay with silence
+                out = np.concatenate(
+                    [np.zeros((wav.shape[0], -shift), np.float32), wav],
+                    axis=1)
+            stem = os.path.splitext(os.path.basename(f))[0]
+            path = os.path.join(args.outdir, f"{stem}_aligned.wav")
+            write_wav(path, out, wsr, bits=args.bits)
+            print(f"    -> {path}  ({out.shape[1] / wsr:.3f}s)")
+    return 0
+
+
 def _filter_sos_from_args(args, sr):
     """Assemble the SOS cascade a `msv_tpu filter` invocation asks for."""
     import numpy as np
@@ -974,6 +1038,9 @@ def _main(argv=None):
 
     if args.cmd == "filter":
         return _filter_cmd(args)
+
+    if args.cmd == "align":
+        return _align_cmd(args)
 
     if args.cmd == "view":
         from . import FreqScale, SpecSetting

@@ -23,8 +23,11 @@ from .rhythm import (beat_track, beat_track_from_envelope,
                      tempo_from_tempogram, tempogram_from_envelope)
 from .filter import (butter_sos, peaking_eq, low_shelf, high_shelf, notch,
                      sosfilt, sosfilt_streamed, filtfilt, firwin, fir_filter)
+from .align import align_offset, AlignResult
 
 __all__ = [
+    "align_offset",
+    "AlignResult",
     "butter_sos",
     "peaking_eq",
     "low_shelf",

@@ -292,6 +292,7 @@ async function load() {
         <button data-lufs="${t.id}" title="BS.1770 integrated loudness of this track's mix">LUFS</button>
         <button data-key="${t.id}" title="Krumhansl-Schmuckler key estimate of this track's mix">key</button>
         <button data-an="${t.id}" title="full analysis report (loudness, tempo, key, structure, onsets, pitch) — computed in the background">analyze</button>
+        ${t.id !== tracks[0].id ? `<button data-align="${t.id}" title="time offset of this track's content vs track #${tracks[0].id} (envelope NCC + GCC-PHAT)">align</button>` : ''}
         <button data-rm="${t.id}">&#10005;</button></div>
       <div class="imgs" id="box${t.id}" style="position:relative;height:${H + WH}px">
         <div id="spacer${t.id}" style="height:1px"></div>
@@ -375,6 +376,21 @@ document.getElementById('tracks').addEventListener('click', async ev => {
         {textContent: d.lufs === null ? 'silence' : `${d.lufs} LUFS`,
          style: 'color:#aac;font-size:12px;margin:0 4px'}));
     } catch (e) { ev.target.textContent = 'LUFS?'; }
+    return;
+  }
+  const alid = ev.target.getAttribute && ev.target.getAttribute('data-align');
+  if (alid !== null && alid !== undefined) {
+    ev.target.textContent = '\u2026';
+    try {
+      const ref = tracks[0].id;
+      const d = await (await fetch(`/api/align/${alid}?ref=${ref}`)).json();
+      const sgn = d.offset_s >= 0 ? '+' : '';
+      ev.target.replaceWith(Object.assign(document.createElement('span'),
+        {textContent: `${sgn}${d.offset_s.toFixed(4)}s vs #${ref}` +
+           (d.confidence < 0.3 ? ' (low conf)' : ''),
+         title: `confidence ${d.confidence}`,
+         style: 'color:#aac;font-size:12px;margin:0 4px'}));
+    } catch (e) { ev.target.textContent = 'align?'; }
     return;
   }
   const ky = ev.target.getAttribute && ev.target.getAttribute('data-key');
@@ -563,7 +579,7 @@ class _RWLock:
 _CACHEABLE = ("/api/spec/", "/api/wav/", "/api/spec_crop/",
               "/api/wav_crop/", "/api/adaptive_crop/", "/api/pitch/",
               "/api/loudness/", "/api/onsets/", "/api/beats/",
-              "/api/segments/", "/api/key/")
+              "/api/segments/", "/api/key/", "/api/align/")
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -1155,6 +1171,34 @@ class _Handler(BaseHTTPRequestHandler):
                     self._send(200, "application/json", job["body"])
                 else:
                     self._send(500, "text/plain", job["body"])
+            elif url.path.startswith("/api/align/"):
+                # cross-track offset (ops/align.py NCC + GCC-PHAT):
+                # /api/align/<id>?ref=<rid> answers how much later <id>'s
+                # content occurs than <rid>'s, on the same mono views the
+                # audio player uses.  LRU-cached; viewport-independent.
+                from .ops.align import align_offset
+
+                tid = int(url.path.rsplit("/", 1)[1])
+                q = urllib.parse.parse_qs(url.query)
+                rid = int(q.get("ref", ["0"])[0])
+                max_lag = float(q.get("max_lag", ["30"])[0])
+                if not 0 < max_lag <= 600:
+                    raise ValueError("max_lag outside (0, 600] s")
+                with self.lock.read():
+                    ta, tb = mt._track(rid), mt._track(tid)
+                    wa = ta.wav_slice(0, ta.n_samples)
+                    wb = tb.wav_slice(0, tb.n_samples)
+                    sra, srb = ta.sr, tb.sr
+                r = align_offset(wa, sra, wb, srb, max_lag_s=max_lag)
+                body = json.dumps({
+                    "ref": rid, "id": tid,
+                    "offset_s": round(r.offset_s, 6),
+                    "confidence": round(r.confidence, 4),
+                    "coarse_s": round(r.coarse_s, 4),
+                }).encode()
+                self._cache().put(self.path, "application/json", body,
+                                  gen=self._req_gen)
+                self._send(200, "application/json", body)
             elif url.path.startswith("/api/loudness/"):
                 # BS.1770 integrated loudness of the track's mono view —
                 # the SAME signal /api/audio plays (channel sum or the

@@ -471,3 +471,39 @@ def test_filter_cli(tmp_path, capsys):
     # no band spec: clean MsvError, exit 1
     assert main(["filter", p, "-o", out]) == 1
     assert "at least one" in capsys.readouterr().err
+
+
+def test_align_cli(tmp_path, capsys):
+    """msv_tpu align prints per-file offsets; --write shifts copies
+    onto the reference timeline."""
+    from msv_tpu.io.audio import open_audio_file
+
+    rng = np.random.default_rng(11)
+    sr = 8000
+    n = 6 * sr
+    env = np.abs(np.convolve(rng.standard_normal(n),
+                             np.hanning(sr // 2), "same"))
+    env /= max(env.max(), 1e-9)
+    x = (env * rng.standard_normal(n) * 0.3).astype(np.float32)
+    d = int(0.5 * sr)
+    b = np.concatenate([np.zeros(d, np.float32), x])[:n]
+    pa, pb = str(tmp_path / "ref.wav"), str(tmp_path / "late.wav")
+    write_wav(pa, x[None], sr)
+    write_wav(pb, b[None], sr)
+    out = str(tmp_path / "o")
+
+    assert main(["align", pa, pb, "--max-lag", "3", "--write",
+                 "-o", out]) == 0
+    printed = capsys.readouterr().out
+    assert "offset +0.500" in printed
+    w, got_sr = open_audio_file(os.path.join(out, "late_aligned.wav"))
+    assert got_sr == sr
+    # head-trimmed by the offset: now in phase with the reference
+    m = min(w.shape[1], n - d)
+    ref = x[:m]
+    num = float(np.dot(w[0, :m], ref))
+    den = float(np.linalg.norm(w[0, :m]) * np.linalg.norm(ref)) or 1.0
+    assert num / den > 0.95
+
+    # reference alone: clean error
+    assert main(["align", pa]) == 1

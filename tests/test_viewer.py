@@ -852,3 +852,53 @@ def test_analyze_endpoint(viewer_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(viewer_url + "/api/analyze/7")
     assert e.value.code == 500
+
+
+def test_align_endpoint(tmp_path, rng):
+    """/api/align/<id>?ref=<rid> reports the cross-track offset of two
+    takes; bad max_lag and unknown ids 500."""
+    import urllib.error
+    from http.server import ThreadingHTTPServer
+
+    from msv_tpu.session import MultiTrack
+    from msv_tpu.viewer import _Handler, _RWLock
+
+    sr = 8000
+    n = 6 * sr
+    env = np.abs(np.convolve(rng.standard_normal(n),
+                             np.hanning(sr // 2), "same"))
+    env /= max(env.max(), 1e-9)
+    x = (env * rng.standard_normal(n) * 0.3).astype(np.float32)
+    d = int(0.75 * sr)
+    b = np.concatenate([np.zeros(d, np.float32), x])[:n]
+    pa, pb = str(tmp_path / "a.wav"), str(tmp_path / "b.wav")
+    write_wav(pa, x[None], sr)
+    write_wav(pb, b[None], sr)
+
+    mt = MultiTrack()
+    mt.add_tracks([0, 1], [pa, pb])
+    handler = type("H", (_Handler,), {"session": mt, "lock": _RWLock()})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # generous timeout: the first align request may compile fresh
+        # jit shapes (the suite's 30 s _get default is too tight there)
+        with urllib.request.urlopen(url + "/api/align/1?ref=0&max_lag=3",
+                                    timeout=300) as resp:
+            code, body = resp.status, resp.read()
+        assert code == 200
+        r = json.loads(body)
+        assert abs(r["offset_s"] - 0.75) < 2e-3
+        assert r["confidence"] > 0.5 and r["ref"] == 0 and r["id"] == 1
+        # self-alignment is ~0
+        code, body = _get(url + "/api/align/0?ref=0&max_lag=2")
+        assert abs(json.loads(body)["offset_s"]) < 1e-3
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(url + "/api/align/9?ref=0")
+        assert e.value.code == 500
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(url + "/api/align/1?ref=0&max_lag=1e9")
+        assert e.value.code == 500
+    finally:
+        srv.shutdown()
