@@ -31,6 +31,7 @@ from .ops.sequence import dtw, smooth_f0_viterbi, viterbi, yin_smoothed
 from .ops.segment import segment, segment_boundaries, self_similarity
 from .ops.filter import butter_sos, filtfilt, firwin, sosfilt
 from .ops.align import align_offset
+from .ops.denoise import denoise
 from .features import (
     analyze,
     chroma_filterbank,
@@ -51,6 +52,7 @@ __version__ = "0.3.0"
 
 __all__ = [
     "align_offset",
+    "denoise",
     "butter_sos",
     "sosfilt",
     "filtfilt",

@@ -205,6 +205,34 @@ def _build_parser():
                     help="one source channel instead of the channel sum")
     al.add_argument("--bits", type=int, choices=[16, 32], default=16)
 
+    dn = sub.add_parser(
+        "denoise",
+        help="reduce stationary noise (noise-profile spectral gating)",
+        description="Stationary-noise reduction (ops/denoise.py): "
+        "profile the noise — from --noise-span A B seconds the caller "
+        "knows is noise-only, else blind per-bin percentile — then "
+        "spectral-subtraction gain with a bounded attenuation floor "
+        "and time-median gain smoothing.  Each channel denoises "
+        "independently; writes <stem>_dn.wav.",
+    )
+    dn.add_argument("files", nargs="+")
+    dn.add_argument("-o", "--outdir", default=".")
+    dn.add_argument("--noise-span", type=float, nargs=2, default=None,
+                    metavar=("A_S", "B_S"),
+                    help="profile noise from this span (seconds)")
+    dn.add_argument("--percentile", type=float, default=20.0,
+                    help="blind noise-floor percentile (default 20)")
+    dn.add_argument("--reduction-db", type=float, default=25.0,
+                    help="maximum attenuation in dB (default 25)")
+    dn.add_argument("--oversub", type=float, default=1.5,
+                    help="over-subtraction factor (default 1.5)")
+    dn.add_argument("--smooth", type=int, default=5,
+                    help="odd time-median width for the gain "
+                    "(default 5; 1 disables)")
+    dn.add_argument("--channel", type=int, default=None,
+                    help="one source channel instead of all channels")
+    dn.add_argument("--bits", type=int, choices=[16, 32], default=16)
+
     fl = sub.add_parser(
         "filter",
         help="EQ / filter audio (Butterworth + RBJ biquads)",
@@ -763,6 +791,48 @@ def _align_cmd(args):
     return 0
 
 
+def _denoise_cmd(args):
+    import numpy as np
+
+    from .config import SpecSetting, derive_stft_params
+    from .io.audio import open_audio_file, open_audio_mono_ex, write_wav
+    from .ops.denoise import denoise
+    from .utils.errors import MsvError
+
+    os.makedirs(args.outdir, exist_ok=True)
+    for f in args.files:
+        if args.channel is None:
+            wav, sr = open_audio_file(f)  # (n_ch, T)
+        else:
+            mono, sr, _, _, _ = open_audio_mono_ex(f, channel=args.channel)
+            wav = np.asarray(mono, np.float32)[None]
+        p = derive_stft_params(sr, SpecSetting())
+        t0 = time.perf_counter()
+        try:
+            out = np.stack([
+                denoise(ch, p.win_length, p.hop_length, p.n_fft, sr=sr,
+                        noise_span=(tuple(args.noise_span)
+                                    if args.noise_span else None),
+                        percentile=args.percentile,
+                        oversub=args.oversub,
+                        reduction_db=args.reduction_db,
+                        smooth_time=args.smooth)
+                for ch in wav])
+        except ValueError as e:
+            raise MsvError(f"{f}: {e}") from e
+        dt = time.perf_counter() - t0
+        stem = os.path.splitext(os.path.basename(f))[0] + (
+            "" if args.channel is None else f"_ch{args.channel}"
+        )
+        path = os.path.join(args.outdir, f"{stem}_dn.wav")
+        write_wav(path, out, sr, bits=args.bits)
+        drop = 20.0 * np.log10(
+            max(float(np.std(wav)), 1e-12) / max(float(np.std(out)), 1e-12))
+        print(f"  {path}  {out.shape[0]} ch, rms drop {drop:+.1f} dB  "
+              f"({dt:.2f}s)")
+    return 0
+
+
 def _filter_sos_from_args(args, sr):
     """Assemble the SOS cascade a `msv_tpu filter` invocation asks for."""
     import numpy as np
@@ -1041,6 +1111,9 @@ def _main(argv=None):
 
     if args.cmd == "align":
         return _align_cmd(args)
+
+    if args.cmd == "denoise":
+        return _denoise_cmd(args)
 
     if args.cmd == "view":
         from . import FreqScale, SpecSetting

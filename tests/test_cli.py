@@ -507,3 +507,37 @@ def test_align_cli(tmp_path, capsys):
 
     # reference alone: clean error
     assert main(["align", pa]) == 1
+
+
+def test_denoise_cli(tmp_path, capsys):
+    """msv_tpu denoise writes <stem>_dn.wav with the noise floor cut
+    and the (bursty) signal preserved; bad spans error cleanly."""
+    from msv_tpu.io.audio import open_audio_file
+
+    rng = np.random.default_rng(12)
+    sr = 8000
+    n = 4 * sr
+    t = np.arange(n) / sr
+    duty = (np.floor(t * 4) % 2 == 0)
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t) * duty).astype(np.float32)
+    wav = tone + (0.04 * rng.standard_normal(n)).astype(np.float32)
+    p = str(tmp_path / "noisy.wav")
+    write_wav(p, wav[None], sr)
+    out = str(tmp_path / "o")
+
+    assert main(["denoise", p, "-o", out]) == 0
+    assert "rms drop" in capsys.readouterr().out
+    w, got_sr = open_audio_file(os.path.join(out, "noisy_dn.wav"))
+    assert got_sr == sr and w.shape == (1, n)
+    # noise-only quarters drop hard, tone quarters survive
+    off = slice(sr // 4 + 200, sr // 2 - 200)  # inside an off half-cycle
+    on = slice(200, sr // 4 - 200)
+    assert np.std(w[0, off]) < 0.4 * np.std(wav[off])
+    assert np.std(w[0, on]) > 0.7 * np.std(wav[on])
+
+    # span profiling drive + validation error path
+    assert main(["denoise", p, "-o", out, "--noise-span", "0.3", "0.45",
+                 "--smooth", "3"]) == 0
+    assert main(["denoise", p, "-o", out, "--noise-span", "0.5",
+                 "0.2"]) == 1
+    assert "bad noise_span" in capsys.readouterr().err
