@@ -24,7 +24,8 @@ from .ops.effects import pitch_shift, split, time_stretch, trim
 from .ops.hpss import hpss, hpss_masks
 from .ops.pitch import yin
 from .ops.cqt import cqt, cqt_frequencies
-from .ops.loudness import integrated_loudness
+from .ops.loudness import (integrated_loudness, loudness_range,
+                           true_peak)
 from .ops.rhythm import beat_track, tempogram_from_envelope
 from .ops.tonal import estimate_key, tonnetz
 from .ops.sequence import dtw, smooth_f0_viterbi, viterbi, yin_smoothed
@@ -82,6 +83,8 @@ __all__ = [
     "cqt",
     "cqt_frequencies",
     "integrated_loudness",
+    "loudness_range",
+    "true_peak",
     "beat_track",
     "tempogram_from_envelope",
     "estimate_key",

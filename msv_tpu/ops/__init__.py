@@ -18,7 +18,8 @@ from .reconstruct import griffin_lim, mel_to_linear
 from .hpss import hpss, hpss_masks
 from .pitch import yin
 from .cqt import cqt, cqt_frequencies
-from .loudness import integrated_loudness, k_weighting_coeffs
+from .loudness import (integrated_loudness, k_weighting_coeffs,
+                       loudness_range, short_term_loudness, true_peak)
 from .rhythm import (beat_track, beat_track_from_envelope,
                      tempo_from_tempogram, tempogram_from_envelope)
 from .filter import (butter_sos, peaking_eq, low_shelf, high_shelf, notch,
@@ -42,6 +43,9 @@ __all__ = [
     "firwin",
     "fir_filter",
     "integrated_loudness",
+    "loudness_range",
+    "short_term_loudness",
+    "true_peak",
     "k_weighting_coeffs",
     "beat_track",
     "beat_track_from_envelope",

@@ -165,17 +165,7 @@ def _k_weight_chunked(x: np.ndarray, sr: int):
 _CH_WEIGHTS = (1.0, 1.0, 1.0, 1.41, 1.41)
 
 
-def integrated_loudness(wav, sr: int) -> float:
-    """Gated integrated loudness in LUFS of (T,) mono or (n_ch, T)
-    multichannel audio (channel order L R C Ls Rs; omit the LFE row).
-
-    Returns ``-inf`` for silence / nothing above the -70 LUFS absolute
-    gate.  The filtering (two scanned biquads per channel) runs on
-    device in fixed-size chunks with discarded warm-up overlap (see
-    :func:`_k_weight_chunked`), and the host keeps only the f64 power
-    cumsum at 100 ms grid points — hour-scale files meter in bounded
-    memory with one compiled scan program.
-    """
+def _validated(wav):
     wav = np.asarray(wav, np.float32)
     if wav.ndim == 1:
         wav = wav[None]
@@ -186,21 +176,30 @@ def integrated_loudness(wav, sr: int) -> float:
             f"{wav.shape[0]} channels: BS.1770 weights cover up to 5 "
             "(L R C Ls Rs, LFE excluded)"
         )
-    hop = int(round(0.100 * sr))   # 75 % overlap
-    block = 4 * hop                # 400 ms, kept on the hop grid
+    return wav
+
+
+def _block_powers(wav: np.ndarray, sr: int, cells: int):
+    """Channel-weighted K-weighted mean square of every ``cells``-cell
+    sliding block on the 100 ms hop grid -> (n_blocks,) f64.
+
+    The shared engine behind integrated (4 cells = 400 ms) and
+    short-term (30 cells = 3 s) metering: per chunk, fold the local f64
+    power cumsum into the global hop-grid samples — O(n_blocks) host
+    memory however long the file is.
+    """
+    hop = int(round(0.100 * sr))
+    block = cells * hop
     if wav.shape[1] < block:
         raise ValueError(
-            f"need at least one 400 ms block ({block} samples), got "
-            f"{wav.shape[1]}"
+            f"need at least one {cells * 100} ms block ({block} "
+            f"samples), got {wav.shape[1]}"
         )
     n_blocks = 1 + (wav.shape[1] - block) // hop
-    n_grid = n_blocks + 3          # cs at 0, hop, ..., (n_blocks+3)*hop
+    n_grid = n_blocks + cells - 1
 
     z = np.zeros(n_blocks, np.float64)
     for ch in range(wav.shape[0]):
-        # streamed block powers: per chunk, fold the local f64 power
-        # cumsum into the global hop-grid samples — O(n_blocks) host
-        # memory however long the file is
         csg = np.zeros(n_grid + 1, np.float64)
         off, pos = 0.0, 0
         for y in _k_weight_chunked(wav[ch], sr):
@@ -214,8 +213,24 @@ def integrated_loudness(wav, sr: int) -> float:
                 csg[gs] = off + lcs[gs * hop - pos]
             off += lcs[-1]
             pos += len(y)
-        ms = (csg[4:4 + n_blocks] - csg[:n_blocks]) / block
+        ms = (csg[cells:cells + n_blocks] - csg[:n_blocks]) / block
         z += _CH_WEIGHTS[ch] * ms
+    return z
+
+
+def integrated_loudness(wav, sr: int) -> float:
+    """Gated integrated loudness in LUFS of (T,) mono or (n_ch, T)
+    multichannel audio (channel order L R C Ls Rs; omit the LFE row).
+
+    Returns ``-inf`` for silence / nothing above the -70 LUFS absolute
+    gate.  The filtering (two scanned biquads per channel) runs on
+    device in fixed-size chunks with discarded warm-up overlap (see
+    :func:`_k_weight_chunked`), and the host keeps only the f64 power
+    cumsum at 100 ms grid points — hour-scale files meter in bounded
+    memory with one compiled scan program.
+    """
+    wav = _validated(wav)
+    z = _block_powers(wav, sr, 4)
 
     with np.errstate(divide="ignore"):
         lb = -0.691 + 10.0 * np.log10(np.maximum(z, 1e-30))
@@ -227,3 +242,79 @@ def integrated_loudness(wav, sr: int) -> float:
     if final.size == 0:
         return float("-inf")
     return -0.691 + 10.0 * math.log10(float(final.mean()))
+
+
+def short_term_loudness(wav, sr: int) -> np.ndarray:
+    """Short-term loudness series in LUFS: 3 s sliding window on the
+    100 ms hop grid (10 Hz update, EBU R128 "S").  Value i covers
+    samples [i*hop, i*hop + 3 s); silence reads as a large negative
+    number (the -0.691 + 10*log10(1e-30) floor), not -inf, so the
+    series stays plottable.
+    """
+    wav = _validated(wav)
+    z = _block_powers(wav, sr, 30)
+    with np.errstate(divide="ignore"):
+        return -0.691 + 10.0 * np.log10(np.maximum(z, 1e-30))
+
+
+def loudness_range(wav, sr: int) -> float:
+    """Loudness range (LRA) in LU, EBU Tech 3342.
+
+    Distribution of short-term (3 s) loudness, absolute-gated at
+    -70 LUFS, then relative-gated 20 LU under the power mean of the
+    absolutely gated values; LRA = the spread between the 10th and
+    95th percentiles of what survives.  Returns 0.0 when the gates
+    leave fewer than two blocks (silence or sub-3 s-scale programs
+    have no meaningful range).
+    """
+    wav = _validated(wav)
+    z = _block_powers(wav, sr, 30)
+    with np.errstate(divide="ignore"):
+        ls = -0.691 + 10.0 * np.log10(np.maximum(z, 1e-30))
+    abs_gated = z[ls > -70.0]
+    if abs_gated.size == 0:
+        return 0.0
+    rel_thresh = (-0.691 + 10.0 * math.log10(abs_gated.mean())) - 20.0
+    final = ls[(ls > -70.0) & (ls > rel_thresh)]
+    if final.size < 2:
+        return 0.0
+    lo, hi = np.percentile(final, [10.0, 95.0])
+    return float(hi - lo)
+
+
+def true_peak(wav, sr: int) -> float:
+    """True-peak level in dBTP (BS.1770-4 annex 2: inter-sample peaks
+    via oversampling to >= 192 kHz before taking max |x|).
+
+    Uses the polyphase resampler (ops/resample.py) at the smallest
+    integer factor reaching 192 kHz — 4x at 48 kHz, the annex's
+    reference design — per channel, unweighted (no K filter), plus a
+    parabolic refinement of |y| around the grid peak: the annex's
+    plain-max design under-reads by up to ``1 - cos(pi f / sr_os)``
+    (~0.17 dB for a tone at the original half-Nyquist), which the
+    three-point fit recovers to <0.01 dB.  Returns ``-inf`` for
+    digital silence.
+    """
+    wav = _validated(wav)
+    if wav.shape[1] < 32:
+        raise ValueError(f"need at least 32 samples, got {wav.shape[1]}")
+    factor = max(1, -(-192000 // int(sr)))
+    peak = 0.0
+    from .resample import resample
+
+    for ch in wav:
+        y = np.abs(np.asarray(resample(ch, sr, sr * factor))) \
+            if factor > 1 else np.abs(ch)
+        i = int(np.argmax(y))
+        p = float(y[i])
+        if 0 < i < len(y) - 1:
+            y0, y1, y2 = float(y[i - 1]), p, float(y[i + 1])
+            den = y0 - 2.0 * y1 + y2
+            if den < -1e-12:
+                d = 0.5 * (y0 - y2) / den
+                if -1.0 < d < 1.0:
+                    p = y1 - 0.25 * (y0 - y2) * d
+        peak = max(peak, p)
+    if peak <= 0.0:
+        return float("-inf")
+    return 20.0 * math.log10(peak)

@@ -372,8 +372,12 @@ document.getElementById('tracks').addEventListener('click', async ev => {
     ev.target.textContent = '…';
     try {
       const d = await (await fetch(`/api/loudness/${lu}`)).json();
+      const txt = d.lufs === null ? 'silence' : `${d.lufs} LUFS` +
+        (d.lra === null ? '' : ` / ${d.lra} LU`) +
+        (d.dbtp === null ? '' : ` / ${d.dbtp} dBTP`);
       ev.target.replaceWith(Object.assign(document.createElement('span'),
-        {textContent: d.lufs === null ? 'silence' : `${d.lufs} LUFS`,
+        {textContent: txt,
+         title: 'EBU R128: integrated loudness / loudness range / true peak',
          style: 'color:#aac;font-size:12px;margin:0 4px'}));
     } catch (e) { ev.target.textContent = 'LUFS?'; }
     return;
@@ -1200,12 +1204,14 @@ class _Handler(BaseHTTPRequestHandler):
                                   gen=self._req_gen)
                 self._send(200, "application/json", body)
             elif url.path.startswith("/api/loudness/"):
-                # BS.1770 integrated loudness of the track's mono view —
-                # the SAME signal /api/audio plays (channel sum or the
-                # selected channel), so the number matches what you hear.
+                # EBU R128 numbers of the track's mono view — the SAME
+                # signal /api/audio plays (channel sum or the selected
+                # channel), so they match what you hear: integrated
+                # LUFS, loudness range (LU), true peak (dBTP).
                 # On-demand (client button) + LRU-cached; the chunked
                 # K-weighting keeps memory bounded at any track length.
-                from .ops.loudness import integrated_loudness
+                from .ops.loudness import (integrated_loudness,
+                                           loudness_range, true_peak)
 
                 tid = int(url.path.rsplit("/", 1)[1])
                 with self.lock.read():
@@ -1213,9 +1219,15 @@ class _Handler(BaseHTTPRequestHandler):
                     wav = tr.wav_slice(0, tr.n_samples)
                     sr = tr.sr
                 lufs = integrated_loudness(wav, sr)
+                tp = true_peak(wav, sr)
+                lra = (loudness_range(wav, sr)
+                       if len(wav) >= 3 * sr else None)
                 body = json.dumps({
                     "lufs": None if lufs == float("-inf")
-                    else round(lufs, 2)
+                    else round(lufs, 2),
+                    "lra": None if lra is None else round(lra, 1),
+                    "dbtp": None if tp == float("-inf")
+                    else round(tp, 2),
                 }).encode()
                 self._cache().put(self.path, "application/json", body,
                                   gen=self._req_gen)

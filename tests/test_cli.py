@@ -187,13 +187,19 @@ def test_stretch_cli(wav_path, tmp_path, capsys):
 
 
 def test_info_loudness(wav_path, capsys):
-    """info --loudness appends the BS.1770 figure; too-short files get a
-    clean error."""
+    """info --loudness appends the R128 figures (LUFS + LRA + dBTP);
+    too-short files get a clean error."""
     assert main(["info", wav_path, "--loudness"]) == 0
     out = capsys.readouterr().out
     assert "loudness=" in out and "LUFS" in out
     lufs = float(out.split("loudness=")[1].split("LUFS")[0])
     assert -16.0 < lufs < -8.0  # 0.4 amplitude 440 Hz tone
+    assert "dBTP" in out
+    tp = float(out.split("peak=")[1].split("dBTP")[0])
+    assert abs(tp - 20 * np.log10(0.4)) < 0.3  # ~-7.96 for the tone
+    # steady tone: near-zero loudness range (if the file is >= 3 s)
+    if "lra=" in out:
+        assert float(out.split("lra=")[1].split("LU")[0]) < 1.0
 
 
 def test_features_cli(wav_path, tmp_path, capsys):
@@ -315,6 +321,9 @@ def test_analyze_cli(tmp_path, capsys):
     assert rep["path"] == p and rep["sr"] == sr and rep["channels"] == 1
     assert abs(rep["duration_s"] - dur) < 1e-3
     assert -40 < rep["loudness_lufs"] < -5
+    assert rep["true_peak_dbtp"] is not None
+    assert abs(rep["true_peak_dbtp"] - 20 * np.log10(0.4)) < 0.5
+    assert rep["loudness_range_lu"] is not None  # 6 s pulse train
     assert abs(rep["tempo_bpm"] - 120.0) < 6.0
     assert rep["n_beats"] >= 8
     assert rep["n_onsets"] >= 8
@@ -341,6 +350,7 @@ def test_analyze_cli(tmp_path, capsys):
     assert main(["analyze", ps]) == 0
     reps = json.loads(capsys.readouterr().out.strip())
     assert reps["loudness_lufs"] is None and reps["key"] is None
+    assert reps["true_peak_dbtp"] is None
     assert reps["tempo_bpm"] == 0.0 and reps["voiced_fraction"] == 0.0
     assert reps["f0_median_hz"] is None
 

@@ -109,3 +109,69 @@ def test_chunked_filtering_matches_one_scan(monkeypatch, rng):
     assert y_chunks.shape == y_whole.shape
     np.testing.assert_allclose(y_chunks, y_whole, atol=2e-5)
     assert abs(integrated_loudness(x, sr) - whole) < 1e-6
+
+
+def test_short_term_series_and_oracle(rng):
+    """short_term_loudness vs a from-scratch f64 lfilter + sliding
+    mean-square oracle, and the spec geometry (10 Hz grid, 3 s span)."""
+    from msv_tpu.ops.loudness import short_term_loudness
+
+    sr = 16000
+    x = (0.2 * rng.standard_normal(8 * sr)).astype(np.float32)
+    got = short_term_loudness(x, sr)
+    hop = sr // 10
+    n_blocks = 1 + (len(x) - 30 * hop) // hop
+    assert got.shape == (n_blocks,)
+
+    (sb, sa), (hb, ha) = k_weighting_coeffs(sr)
+    y = lfilter(hb, ha, lfilter(sb, sa, x.astype(np.float64)))
+    want = np.array([
+        -0.691 + 10 * math.log10(np.mean(y[i * hop:i * hop + 30 * hop] ** 2))
+        for i in range(n_blocks)
+    ])
+    np.testing.assert_allclose(got, want, atol=0.02)
+
+
+def test_loudness_range_step_and_constant():
+    """EBU Tech 3342 sanity: a 12 dB level step reads ~12 LU of range;
+    a constant-level tone reads ~0; silence reads exactly 0."""
+    from msv_tpu.ops.loudness import loudness_range
+
+    sr = 16000
+    t = np.arange(10 * sr) / sr
+    x = (0.1 * np.sin(2 * np.pi * 997.0 * t)).astype(np.float32)
+    x[5 * sr:] *= 4.0
+    lra = loudness_range(x, sr)
+    assert abs(lra - 12.0) < 1.0
+    assert loudness_range(x[: 5 * sr], sr) < 0.1
+    assert loudness_range(np.zeros(5 * sr, np.float32), sr) == 0.0
+
+
+def test_true_peak_recovers_intersample_peak():
+    """A tone at sr/4 with 45-degree phase only ever samples 0.707 of
+    its amplitude; the oversampled true peak recovers the full
+    amplitude (+3 dB over the sample peak)."""
+    from msv_tpu.ops.loudness import true_peak
+
+    sr = 48000
+    n = sr // 2
+    amp = 0.5
+    x = (amp * np.sin(2 * np.pi * (sr / 4) * np.arange(n) / sr
+                      + np.pi / 4)).astype(np.float32)
+    # fade the edges: a hard onset's band-limited reconstruction
+    # legitimately overshoots (Gibbs), which would mask the
+    # inter-sample effect this test pins
+    ramp = np.linspace(0.0, 1.0, 512, dtype=np.float32)
+    x[:512] *= ramp
+    x[-512:] *= ramp[::-1]
+    sample_peak_db = 20 * math.log10(np.max(np.abs(x)))
+    tp = true_peak(x, sr)
+    assert abs(tp - 20 * math.log10(amp)) < 0.1
+    assert tp > sample_peak_db + 2.8
+    # silence and validation
+    assert true_peak(np.zeros(4096, np.float32), sr) == float("-inf")
+    with pytest.raises(ValueError, match="at least 32"):
+        true_peak(np.zeros(8, np.float32), sr)
+    # multichannel: the loudest channel defines the peak
+    two = np.stack([x, (0.25 * x).astype(np.float32)])
+    assert abs(true_peak(two, sr) - tp) < 1e-9
