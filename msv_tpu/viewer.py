@@ -293,6 +293,7 @@ async function load() {
         <button data-key="${t.id}" title="Krumhansl-Schmuckler key estimate of this track's mix">key</button>
         <button data-an="${t.id}" title="full analysis report (loudness, tempo, key, structure, onsets, pitch) — computed in the background">analyze</button>
         ${t.id !== tracks[0].id ? `<button data-align="${t.id}" title="time offset of this track's content vs track #${tracks[0].id} (envelope NCC + GCC-PHAT)">align</button>` : ''}
+        <select data-fx="${t.id}" title="process this track and add the result as a new track"><option value="">fx&#8230;</option><option value="denoise">denoise</option><option value="harmonic">harmonic</option><option value="percussive">percussive</option></select>
         <button data-rm="${t.id}">&#10005;</button></div>
       <div class="imgs" id="box${t.id}" style="position:relative;height:${H + WH}px">
         <div id="spacer${t.id}" style="height:1px"></div>
@@ -455,6 +456,21 @@ document.getElementById('tracks').addEventListener('change', async ev => {
   clearImgCache();  // the track's pixels (and maybe the dB window) changed
   load();
 });
+document.getElementById('tracks').addEventListener('change', async ev => {
+  const fx = ev.target.getAttribute && ev.target.getAttribute('data-fx');
+  if (fx === null || fx === undefined) return;
+  const op = ev.target.value;
+  ev.target.value = '';
+  if (!op) return;
+  ev.target.disabled = true;
+  try {
+    const r = await fetch('/api/process',
+      {method:'POST', body: JSON.stringify({id: +fx, op})});
+    if (!r.ok) { alert(await r.text()); return; }
+    clearImgCache();  // new track shifts the shared dB window
+    load();
+  } finally { ev.target.disabled = false; }
+});
 load();
 </script></body></html>"""
 
@@ -603,6 +619,17 @@ class _Handler(BaseHTTPRequestHandler):
         if c is None:
             c = cls.cache = _RenderCache()
         return c
+
+    proc_dir = None  # server-owned temp dir for /api/process outputs
+
+    @classmethod
+    def _proc_dir(cls):
+        d = cls.proc_dir
+        if d is None:
+            import tempfile
+
+            d = cls.proc_dir = tempfile.mkdtemp(prefix="msv_proc_")
+        return d
 
     analyses = None  # per-server-class (gen, tid) -> analysis job dict
 
@@ -1309,6 +1336,63 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(
                     200, "application/json",
                     json.dumps({"ok": True, "changed": bool(changed)}).encode(),
+                )
+            elif url.path == "/api/process":
+                # derived-track workflow (the "RX editor" shape the
+                # reference's roadmap names, ReadMe.md:18): run a
+                # processing op on a loaded track's mono view and ADD
+                # the result as a NEW track, so original and processed
+                # render side by side on the shared dB window / time
+                # axis.  The processed audio is written to a
+                # server-owned temp dir — no client filesystem path
+                # crosses the wire, so --add-root is moot (like
+                # /api/channel).
+                import os as _os
+
+                import numpy as np
+
+                from .config import derive_stft_params
+                from .io.audio import write_wav
+
+                op = str(body.get("op", ""))
+                if op not in ("denoise", "harmonic", "percussive"):
+                    raise ValueError(
+                        f"unknown op {op!r}: expected denoise | "
+                        "harmonic | percussive")
+                sid = int(body["id"])
+                with self.lock.read():
+                    tr = mt._track(sid)
+                    wav = tr.wav_slice(0, tr.n_samples)
+                    sr = tr.sr
+                p = derive_stft_params(sr, mt.setting)
+                if op == "denoise":
+                    from .ops.denoise import denoise
+
+                    out = denoise(np.asarray(wav, np.float32),
+                                  p.win_length, p.hop_length, p.n_fft,
+                                  sr=sr)
+                else:
+                    from .ops.hpss import hpss
+
+                    h, perc = hpss(np.asarray(wav, np.float32),
+                                   p.win_length, p.hop_length, p.n_fft)
+                    out = h if op == "harmonic" else perc
+                out = np.asarray(out, np.float32)
+                with self.lock.write():
+                    req_id = body.get("new_id")
+                    new_id = (int(req_id) if req_id is not None
+                              else (max(mt.tracks) + 1 if mt.tracks
+                                    else 0))
+                    path = _os.path.join(
+                        self._proc_dir(), f"{op}_{sid}_{new_id}.wav")
+                    # float WAV: the derived track re-decodes bit-exactly
+                    write_wav(path, out[None], sr, bits=32)
+                    mt.add_tracks([new_id], [path])
+                self._cache().bump_gen()
+                self._send(
+                    200, "application/json",
+                    json.dumps({"ok": True, "id": new_id, "op": op,
+                                "source": sid}).encode(),
                 )
             elif url.path == "/api/setting":
                 # live settings: merge partial fields into the current

@@ -902,3 +902,68 @@ def test_align_endpoint(tmp_path, rng):
         assert e.value.code == 500
     finally:
         srv.shutdown()
+
+
+def test_process_endpoint(tmp_path, rng):
+    """POST /api/process runs denoise/hpss on a loaded track and adds
+    the result as a new track (the derived-track 'RX editor' workflow);
+    bad ops and unknown ids fail cleanly."""
+    import urllib.error
+    from http.server import ThreadingHTTPServer
+
+    from msv_tpu.session import MultiTrack
+    from msv_tpu.viewer import _Handler, _RWLock
+
+    sr = 8000
+    n = 4 * sr
+    t = np.arange(n) / sr
+    duty = (np.floor(t * 2) % 2 == 0)
+    tone = (0.4 * np.sin(2 * np.pi * 440 * t) * duty).astype(np.float32)
+    wav = tone + (0.05 * rng.standard_normal(n)).astype(np.float32)
+    p = str(tmp_path / "noisy.wav")
+    write_wav(p, wav[None], sr)
+
+    mt = MultiTrack()
+    mt.add_tracks([0], [p])
+    handler = type("H", (_Handler,), {"session": mt, "lock": _RWLock(),
+                                      "proc_dir": None})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, body = _post(url + "/api/process", {"id": 0, "op": "denoise"})
+        assert code == 200
+        r = json.loads(body)
+        assert r["ok"] and r["id"] == 1 and r["source"] == 0
+        assert set(mt.tracks) == {0, 1}
+        # the derived track really is the denoised signal: noise-only
+        # half-cycles dropped, same length and rate
+        tr = mt._track(1)
+        assert tr.sr == sr and tr.n_samples == n
+        got = np.asarray(tr.wav_slice(0, n))
+        off = slice(sr // 2 + 200, sr - 200)  # inside an off half-cycle
+        assert np.std(got[off]) < 0.4 * np.std(wav[off])
+
+        # hpss ops add two more tracks with fresh ids
+        code, body = _post(url + "/api/process",
+                           {"id": 0, "op": "harmonic"})
+        assert code == 200 and json.loads(body)["id"] == 2
+        code, body = _post(url + "/api/process",
+                           {"id": 0, "op": "percussive", "new_id": 9})
+        assert code == 200 and json.loads(body)["id"] == 9
+        assert set(mt.tracks) == {0, 1, 2, 9}
+        # harmonic + percussive ~ reconstruct the source (default margin)
+        hs = np.asarray(mt._track(2).wav_slice(0, n))
+        ps = np.asarray(mt._track(9).wav_slice(0, n))
+        # 16-bit source quantization + f32 STFT roundtrip tolerance
+        src = np.asarray(mt._track(0).wav_slice(0, n))
+        assert np.max(np.abs((hs + ps) - src)) < 5e-3
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(url + "/api/process", {"id": 0, "op": "reverb"})
+        assert e.value.code == 500
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(url + "/api/process", {"id": 77, "op": "denoise"})
+        assert e.value.code == 500
+    finally:
+        srv.shutdown()
