@@ -1066,25 +1066,19 @@ def _main(argv=None):
             p = derive_stft_params(sr, SpecSetting())
             extra = ""
             if args.loudness:
-                from .ops.loudness import (integrated_loudness,
-                                           loudness_range, true_peak)
+                from .ops.loudness import r128_stats
                 from .utils.errors import MsvError
 
                 try:
-                    lufs = integrated_loudness(wav, sr)
-                    tp = true_peak(wav, sr)
-                    # LRA needs a 3 s short-term block; shorter files
-                    # just omit it
-                    lra = (loudness_range(wav, sr)
-                           if wav.shape[1] >= 3 * sr else None)
+                    r = r128_stats(wav, sr)
                 except ValueError as e:
                     raise MsvError(f"{f}: {e}") from e
-                extra = (" loudness=-inf" if lufs == float("-inf")
-                         else f" loudness={lufs:.2f}LUFS")
-                if lra is not None:
-                    extra += f" lra={lra:.1f}LU"
-                extra += (" peak=-inf" if tp == float("-inf")
-                          else f" peak={tp:.2f}dBTP")
+                extra = (" loudness=-inf" if r["lufs"] is None
+                         else f" loudness={r['lufs']:.2f}LUFS")
+                if r["lra"] is not None:
+                    extra += f" lra={r['lra']:.1f}LU"
+                extra += (" peak=-inf" if r["dbtp"] is None
+                          else f" peak={r['dbtp']:.2f}dBTP")
             print(
                 f"{f}: sr={sr} ch={wav.shape[0]} samples={wav.shape[1]} "
                 f"sec={wav.shape[1]/sr:.3f} win={p.win_length} "

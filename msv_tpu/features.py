@@ -1167,17 +1167,14 @@ def analyze(wav, sr: int) -> dict:
     oracle-pinned op.  Shared by ``msv_tpu analyze`` and the viewer's
     ``/api/analyze/<id>``; JSON-serializable output."""
     from .ops.effects import trim
-    from .ops.loudness import (integrated_loudness, loudness_range,
-                               true_peak)
+    from .ops.loudness import r128_stats
     from .ops.rhythm import beat_track
     from .ops.segment import segment
     from .ops.sequence import yin_smoothed
     from .ops.tonal import estimate_key
 
     dur = len(wav) / sr
-    lufs = integrated_loudness(wav, sr)
-    tp = true_peak(wav, sr)
-    lra = loudness_range(wav, sr) if dur >= 3.0 else None
+    r128 = r128_stats(wav, sr)
     bpm, beats = beat_track(wav, sr)
     tonic, mode, r, _ = estimate_key(wav, sr)
     bounds = segment(wav, sr) if dur >= 4.0 else np.empty(0)
@@ -1193,11 +1190,9 @@ def analyze(wav, sr: int) -> dict:
     _, (a, b) = trim(wav, sr)
     return {
         "duration_s": round(dur, 3),
-        "loudness_lufs": (None if lufs == float("-inf")
-                          else round(lufs, 2)),
-        "loudness_range_lu": None if lra is None else round(lra, 1),
-        "true_peak_dbtp": (None if tp == float("-inf")
-                           else round(tp, 2)),
+        "loudness_lufs": r128["lufs"],
+        "loudness_range_lu": r128["lra"],
+        "true_peak_dbtp": r128["dbtp"],
         "tempo_bpm": round(float(bpm), 1),
         "n_beats": int(len(beats)),
         "key": None if tonic is None else {

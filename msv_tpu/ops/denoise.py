@@ -89,7 +89,17 @@ def _denoise_core(padded, c, s, syn, idx, wsq, n_valid, f0, f1, *,
         npsd = npsd * jnp.float32(1.0 / -np.log1p(-q / 100.0))
     g = wiener_gain(power, npsd, oversub=oversub, floor=floor)
     if smooth > 1:
-        g = _median_axis(g, smooth, axis=0)
+        # the frame grid is bucket-padded: pad rows have zero power and
+        # would enter the tail's medians at the gain floor, ducking the
+        # last smooth//2 true frames of every non-bucket-length file.
+        # Remap pad rows to their reflection across the last true row
+        # first — one tiny row-level take vs the GEMMs — so the median
+        # over true rows equals scipy's mode="reflect" at ANY length.
+        # ndimage mode="reflect" repeats the edge row: (... c b a | a b c)
+        i = jnp.arange(n_frames)
+        src = jnp.clip(jnp.where(i < n_valid, i, 2 * n_valid - 1 - i),
+                       0, jnp.maximum(n_valid - 1, 0))
+        g = _median_axis(jnp.take(g, src, axis=0), smooth, axis=0)
     fr = inverse_rdft((re * g, im * g), n_fft)[:, pl:pl + win]
     sig = jnp.zeros(total, jnp.float32).at[idx].add(
         (fr * syn[None, :]).ravel())
@@ -130,8 +140,11 @@ def denoise(
             f"least {half + 1} samples, got {len(wav)}")
     if smooth_time < 1 or smooth_time % 2 == 0:
         raise ValueError(f"smooth_time must be odd >= 1, got {smooth_time}")
-    if not 0.0 <= percentile <= 100.0:
-        raise ValueError(f"percentile outside [0, 100]: {percentile}")
+    if not 0.0 < percentile < 100.0:
+        # open interval: the exponential bias correction
+        # 1/-log1p(-q/100) is infinite at 0 (NaN/fully-floored output)
+        # and zero at 100 (silent no-op)
+        raise ValueError(f"percentile outside (0, 100): {percentile}")
     if oversub <= 0:
         raise ValueError(f"oversub must be positive, got {oversub}")
     if reduction_db <= 0:

@@ -294,27 +294,90 @@ def true_peak(wav, sr: int) -> float:
     (~0.17 dB for a tone at the original half-Nyquist), which the
     three-point fit recovers to <0.01 dB.  Returns ``-inf`` for
     digital silence.
+
+    Long files stream: the oversampler runs on fixed-length segments
+    with filter context (pure integer upsample, so upfirdn segment
+    outputs equal the one-shot values given >= half_len/up = 10 input
+    samples of context), keeping device/host memory O(segment) while
+    metering hour-scale tracks — same contract as the K-weighting path.
     """
     wav = _validated(wav)
     if wav.shape[1] < 32:
         raise ValueError(f"need at least 32 samples, got {wav.shape[1]}")
     factor = max(1, -(-192000 // int(sr)))
     peak = 0.0
-    from .resample import resample
-
     for ch in wav:
-        y = np.abs(np.asarray(resample(ch, sr, sr * factor))) \
-            if factor > 1 else np.abs(ch)
-        i = int(np.argmax(y))
-        p = float(y[i])
-        if 0 < i < len(y) - 1:
-            y0, y1, y2 = float(y[i - 1]), p, float(y[i + 1])
-            den = y0 - 2.0 * y1 + y2
-            if den < -1e-12:
-                d = 0.5 * (y0 - y2) / den
-                if -1.0 < d < 1.0:
-                    p = y1 - 0.25 * (y0 - y2) * d
-        peak = max(peak, p)
+        peak = max(peak, _channel_true_peak(ch, factor))
     if peak <= 0.0:
         return float("-inf")
     return 20.0 * math.log10(peak)
+
+
+_TP_SEG = 1 << 20   # input samples per oversampling launch (~4 MB f32)
+_TP_CTX = 16        # filter reach: half_len/up = 10 input samples
+
+
+def _parabolic_peak(y: np.ndarray) -> float:
+    """max of |y| with a 3-point parabolic fit around the grid peak."""
+    i = int(np.argmax(y))
+    p = float(y[i])
+    if 0 < i < len(y) - 1:
+        y0, y2 = float(y[i - 1]), float(y[i + 1])
+        den = y0 - 2.0 * p + y2
+        if den < -1e-12:
+            d = 0.5 * (y0 - y2) / den
+            if -1.0 < d < 1.0:
+                p = p - 0.25 * (y0 - y2) * d
+    return p
+
+
+def _channel_true_peak(ch: np.ndarray, factor: int) -> float:
+    from .resample import resample_poly
+
+    if factor == 1:
+        return _parabolic_peak(np.abs(ch))
+    n = len(ch)
+    if n <= _TP_SEG:
+        return _parabolic_peak(
+            np.abs(np.asarray(resample_poly(ch, factor, 1))))
+    # fixed-shape segments + context -> ONE compiled conv program;
+    # values match the one-shot op (upfirdn with down=1 is
+    # shift-invariant and the zero extension equals scipy's)
+    buf_len = _TP_SEG + 2 * _TP_CTX
+    peak = 0.0
+    for a in range(0, n, _TP_SEG):
+        lo = a - _TP_CTX
+        seg = ch[max(0, lo):a + _TP_SEG + _TP_CTX]
+        buf = np.zeros(buf_len, np.float32)
+        buf[max(0, -lo):max(0, -lo) + len(seg)] = seg
+        y = np.abs(np.asarray(resample_poly(buf, factor, 1)))
+        # interior outputs for [a, a+_TP_SEG), +-1 sample of margin so
+        # the parabolic fit sees its grid neighbors across seams
+        o0 = _TP_CTX * factor
+        o1 = o0 + min(_TP_SEG, n - a) * factor
+        peak = max(peak, _parabolic_peak(
+            y[max(0, o0 - 1):o1 + 1]))
+    return peak
+
+
+def r128_stats(wav, sr: int) -> dict:
+    """One-call EBU R128 summary: ``{"lufs", "lra", "dbtp"}``,
+    JSON-ready (rounded; ``None`` where unmeasurable: silence for
+    lufs/dbtp, programs shorter than one 3 s short-term block for
+    lra).  The single source of truth for the CLI `info --loudness`,
+    `features.analyze`, and the viewer's /api/loudness — their gates
+    and rounding stay consistent by construction.  Raises ValueError
+    below one 400 ms block, like :func:`integrated_loudness`.
+    """
+    wav = _validated(wav)
+    lufs = integrated_loudness(wav, sr)
+    tp = true_peak(wav, sr)
+    # the REAL short-term requirement (30 cells of round(0.1*sr)), not
+    # 3*sr: they differ at rates where 0.1*sr rounds up
+    lra = (loudness_range(wav, sr)
+           if wav.shape[1] >= 30 * int(round(0.100 * sr)) else None)
+    return {
+        "lufs": None if lufs == float("-inf") else round(lufs, 2),
+        "lra": None if lra is None else round(lra, 1),
+        "dbtp": None if tp == float("-inf") else round(tp, 2),
+    }

@@ -626,9 +626,14 @@ class _Handler(BaseHTTPRequestHandler):
     def _proc_dir(cls):
         d = cls.proc_dir
         if d is None:
+            import atexit
+            import shutil
             import tempfile
 
             d = cls.proc_dir = tempfile.mkdtemp(prefix="msv_proc_")
+            # derived WAVs are full-length float32 (hundreds of MB for
+            # hour tracks): reclaim them when the server process ends
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
         return d
 
     analyses = None  # per-server-class (gen, tid) -> analysis job dict
@@ -1237,25 +1242,14 @@ class _Handler(BaseHTTPRequestHandler):
                 # LUFS, loudness range (LU), true peak (dBTP).
                 # On-demand (client button) + LRU-cached; the chunked
                 # K-weighting keeps memory bounded at any track length.
-                from .ops.loudness import (integrated_loudness,
-                                           loudness_range, true_peak)
+                from .ops.loudness import r128_stats
 
                 tid = int(url.path.rsplit("/", 1)[1])
                 with self.lock.read():
                     tr = mt._track(tid)
                     wav = tr.wav_slice(0, tr.n_samples)
                     sr = tr.sr
-                lufs = integrated_loudness(wav, sr)
-                tp = true_peak(wav, sr)
-                lra = (loudness_range(wav, sr)
-                       if len(wav) >= 3 * sr else None)
-                body = json.dumps({
-                    "lufs": None if lufs == float("-inf")
-                    else round(lufs, 2),
-                    "lra": None if lra is None else round(lra, 1),
-                    "dbtp": None if tp == float("-inf")
-                    else round(tp, 2),
-                }).encode()
+                body = json.dumps(r128_stats(wav, sr)).encode()
                 self._cache().put(self.path, "application/json", body,
                                   gen=self._req_gen)
                 self._send(200, "application/json", body)
@@ -1380,6 +1374,12 @@ class _Handler(BaseHTTPRequestHandler):
                 out = np.asarray(out, np.float32)
                 with self.lock.write():
                     req_id = body.get("new_id")
+                    if req_id is not None and int(req_id) in mt.tracks:
+                        # add_tracks re-add semantics would silently
+                        # REPLACE the existing track — this endpoint's
+                        # contract is to ADD one
+                        raise ValueError(
+                            f"new_id {int(req_id)} already loaded")
                     new_id = (int(req_id) if req_id is not None
                               else (max(mt.tracks) + 1 if mt.tracks
                                     else 0))

@@ -112,6 +112,18 @@ def test_matches_oracle_no_smoothing_any_length():
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_matches_oracle_smoothed_any_length():
+    """Median smoothing at a NON-bucket length: the pad-row reflect
+    remap keeps the device median equal to scipy mode='reflect' over
+    the true rows, so the tail is not ducked (the bug this pins had
+    max err 1.4e-2 concentrated in the last 1024 samples)."""
+    rng = np.random.default_rng(13)
+    wav, _ = _tone_noise(seconds=0.437, rng=rng)  # default CLI settings
+    got = denoise(wav, WIN, HOP, NFFT, smooth_time=5)
+    want = _oracle(wav, WIN, HOP, NFFT, smooth_time=5)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 def test_snr_improves():
     """Bursty tone + noise: the blind estimator profiles the gaps, the
     tone survives, the noise drops -> >=8 dB SNR gain.  (A tone present
@@ -184,6 +196,11 @@ def test_validation():
         denoise(wav, WIN, HOP, NFFT, smooth_time=4)
     with pytest.raises(ValueError, match="percentile"):
         denoise(wav, WIN, HOP, NFFT, percentile=120.0)
+    # 0 and 100 are poles of the bias correction (inf / silent no-op)
+    with pytest.raises(ValueError, match="percentile"):
+        denoise(wav, WIN, HOP, NFFT, percentile=0.0)
+    with pytest.raises(ValueError, match="percentile"):
+        denoise(wav, WIN, HOP, NFFT, percentile=100.0)
     with pytest.raises(ValueError, match="oversub"):
         denoise(wav, WIN, HOP, NFFT, oversub=0.0)
     with pytest.raises(ValueError, match="reduction_db"):

@@ -175,3 +175,41 @@ def test_true_peak_recovers_intersample_peak():
     # multichannel: the loudest channel defines the peak
     two = np.stack([x, (0.25 * x).astype(np.float32)])
     assert abs(true_peak(two, sr) - tp) < 1e-9
+
+
+def test_true_peak_streamed_matches_one_shot(monkeypatch, rng):
+    """Long-file segmentation: with a tiny forced segment the chunked
+    oversample + per-segment parabolic max equals the one-shot path."""
+    from msv_tpu.ops import loudness as L
+
+    sr = 16000
+    t = np.arange(3 * sr) / sr
+    x = (0.4 * np.sin(2 * np.pi * 1234.5 * t)
+         + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+    want = L.true_peak(x, sr)
+    monkeypatch.setattr(L, "_TP_SEG", 8192)
+    got = L.true_peak(x, sr)
+    assert abs(got - want) < 1e-4
+
+
+def test_r128_stats_contract():
+    """The shared helper: rounded JSON-ready values, None for silence
+    (lufs/dbtp) and for sub-3s programs (lra), ValueError below one
+    400 ms block — the single gate all three consumers share."""
+    from msv_tpu.ops.loudness import r128_stats
+
+    sr = 16000
+    t = np.arange(4 * sr) / sr
+    x = (0.2 * np.sin(2 * np.pi * 997.0 * t)).astype(np.float32)
+    r = r128_stats(x, sr)
+    assert set(r) == {"lufs", "lra", "dbtp"}
+    assert r["lufs"] is not None and r["dbtp"] is not None
+    assert r["lra"] is not None and r["lra"] < 1.0
+    assert abs(r["dbtp"] - 20 * math.log10(0.2)) < 0.1
+    # 2 s: integrated yes, LRA gated off
+    assert r128_stats(x[: 2 * sr], sr)["lra"] is None
+    # silence: Nones, not -inf (JSON-safe)
+    rs = r128_stats(np.zeros(sr, np.float32), sr)
+    assert rs["lufs"] is None and rs["dbtp"] is None and rs["lra"] is None
+    with pytest.raises(ValueError):
+        r128_stats(x[:100], sr)

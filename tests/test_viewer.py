@@ -959,6 +959,13 @@ def test_process_endpoint(tmp_path, rng):
         src = np.asarray(mt._track(0).wav_slice(0, n))
         assert np.max(np.abs((hs + ps) - src)) < 5e-3
 
+        # colliding new_id must not silently replace an existing track
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(url + "/api/process",
+                  {"id": 0, "op": "denoise", "new_id": 0})
+        assert e.value.code == 500
+        assert set(mt.tracks) == {0, 1, 2, 9}  # nothing stomped
+
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(url + "/api/process", {"id": 0, "op": "reverb"})
         assert e.value.code == 500
