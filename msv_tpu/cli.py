@@ -290,6 +290,11 @@ def _build_parser():
     gn.add_argument("--limit", action="store_true",
                     help="reduce the gain if it would push the sample "
                     "peak past 0.999")
+    gn.add_argument("--max-dbtp", type=float, default=None,
+                    metavar="DB",
+                    help="true-peak ceiling in dBTP (BS.1770 annex 2; "
+                    "EBU R128 delivery: -1): reduce the gain so the "
+                    "output's inter-sample peak stays at or under it")
     gn.add_argument("--bits", type=int, choices=[16, 32], default=16)
 
     fe = sub.add_parser(
@@ -949,6 +954,19 @@ def _gain_cmd(args):
                 continue
             g = 10.0 ** ((args.lufs - lufs) / 20.0)
             what = f"{lufs:.2f} -> {args.lufs:g} LUFS"
+        note_tp = ""
+        if args.max_dbtp is not None:
+            # scaling moves the true peak dB-for-dB, so one measurement
+            # of the INPUT gives the exact ceiling gain — no re-measure
+            from .ops.loudness import true_peak
+
+            tp_in = true_peak(wav, sr)
+            if tp_in != float("-inf"):
+                over = (tp_in + 20.0 * np.log10(g)) - args.max_dbtp
+                if over > 0.0:
+                    g *= 10.0 ** (-over / 20.0)
+                    note_tp = (f"  (true-peak limited: -{over:.2f} dB "
+                               f"to hit {args.max_dbtp:g} dBTP)")
         out = wav * np.float32(g)
         peak = float(np.abs(out).max())
         note = ""
@@ -965,7 +983,7 @@ def _gain_cmd(args):
         path = os.path.join(args.outdir, f"{stem}_norm.wav")
         write_wav(path, out, sr, bits=args.bits)
         print(f"  {path}  {what}, gain {20 * np.log10(g):+.2f} dB, "
-              f"out peak {peak:.4f}  ({dt:.2f}s){note}")
+              f"out peak {peak:.4f}  ({dt:.2f}s){note_tp}{note}")
     return 0
 
 

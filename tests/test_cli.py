@@ -551,3 +551,31 @@ def test_denoise_cli(tmp_path, capsys):
     assert main(["denoise", p, "-o", out, "--noise-span", "0.5",
                  "0.2"]) == 1
     assert "bad noise_span" in capsys.readouterr().err
+
+
+def test_gain_true_peak_ceiling(tmp_path, capsys):
+    """gain --max-dbtp: the output's true peak lands at (or under) the
+    ceiling even when the LUFS target alone would push past it."""
+    from msv_tpu.io.audio import open_audio_file
+    from msv_tpu.ops.loudness import true_peak
+
+    sr = 8000
+    t = np.arange(4 * sr) / sr
+    x = (0.1 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = str(tmp_path / "quiet_tone.wav")
+    write_wav(p, x[None], sr)
+    out = str(tmp_path / "o")
+
+    # a loud LUFS target would need ~+17 dB; the -6 dBTP ceiling binds
+    assert main(["gain", p, "--lufs", "-6", "--max-dbtp", "-6.0",
+                 "-o", out, "--bits", "32"]) == 0
+    printed = capsys.readouterr().out
+    assert "true-peak limited" in printed
+    w, wsr = open_audio_file(os.path.join(out, "quiet_tone_norm.wav"))
+    tp = true_peak(w, wsr)
+    assert tp <= -5.9 and tp > -6.3  # at the ceiling, not far under
+
+    # a ceiling that does not bind leaves the LUFS result alone
+    assert main(["gain", p, "--lufs", "-30", "--max-dbtp", "-1",
+                 "-o", out, "--bits", "32"]) == 0
+    assert "true-peak limited" not in capsys.readouterr().out
