@@ -313,7 +313,8 @@ def _build_parser():
         "correlations; winning key printed), contrast (n_frames, 7 "
         "octave-band spectral contrast dB), f0v (n_frames, 2: "
         "Viterbi-smoothed f0 Hz + voiced flag), segments (structure "
-        "boundary times in seconds).",
+        "boundary times in seconds), mtspec (n_frames, n_freq "
+        "multitaper dB — the low-variance Thomson estimate).",
     )
     fe.add_argument("files", nargs="+")
     fe.add_argument("-o", "--outdir", default=".")
@@ -321,7 +322,7 @@ def _build_parser():
                     choices=["logmel", "mfcc", "chroma", "spectral",
                              "whisper", "f0", "onsets", "beats",
                              "tempogram", "pcen", "tonnetz", "key",
-                             "contrast", "f0v", "segments"])
+                             "contrast", "f0v", "segments", "mtspec"])
     fe.add_argument("--target-sr", type=int, default=16000,
                     help="analysis rate (inputs resample on device; "
                     "whisper forces 16000)")
@@ -533,6 +534,10 @@ def _features_cmd(args):
             tonic, kmode, r, out = estimate_key(wav, target)
             extra = ("  (atonal)" if tonic is None
                      else f"  {tonic} {kmode} (r={r:.2f})")
+        elif kind == "mtspec":
+            from .ops.multitaper import multitaper_spec_db
+
+            out = np.asarray(multitaper_spec_db(wav, target))
         elif kind == "tempogram":
             from .features import onset_strength
             from .ops.rhythm import tempogram_from_envelope

@@ -223,6 +223,10 @@ def test_features_cli(wav_path, tmp_path, capsys):
         ("f0v", lambda a: a.shape[1] == 2 and np.all(
             np.abs(a[a[:, 1] > 0, 0] - 440.0) < 15.0)),
         ("segments", lambda a: a.ndim == 1),  # steady tone: none is fine
+        ("mtspec", lambda a: a.ndim == 2 and a.shape[1] == 513
+         # 440 Hz tone at 16 k / n_fft 1024 -> bin 28 dominates
+         and int(np.argmax(np.median(a, axis=0))) == round(440 / 16000
+                                                           * 1024)),
     ]:
         assert main(["features", wav_path, "-o", out,
                      "--kind", kind]) == 0
