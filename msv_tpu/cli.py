@@ -314,7 +314,9 @@ def _build_parser():
         "octave-band spectral contrast dB), f0v (n_frames, 2: "
         "Viterbi-smoothed f0 Hz + voiced flag), segments (structure "
         "boundary times in seconds), mtspec (n_frames, n_freq "
-        "multitaper dB — the low-variance Thomson estimate).",
+        "multitaper dB — the low-variance Thomson estimate), "
+        "reassigned (n_frames, n_freq sharpened dB — energy "
+        "histogrammed at its reassigned time/frequency).",
     )
     fe.add_argument("files", nargs="+")
     fe.add_argument("-o", "--outdir", default=".")
@@ -322,7 +324,8 @@ def _build_parser():
                     choices=["logmel", "mfcc", "chroma", "spectral",
                              "whisper", "f0", "onsets", "beats",
                              "tempogram", "pcen", "tonnetz", "key",
-                             "contrast", "f0v", "segments", "mtspec"])
+                             "contrast", "f0v", "segments", "mtspec",
+                             "reassigned"])
     fe.add_argument("--target-sr", type=int, default=16000,
                     help="analysis rate (inputs resample on device; "
                     "whisper forces 16000)")
@@ -538,6 +541,10 @@ def _features_cmd(args):
             from .ops.multitaper import multitaper_spec_db
 
             out = np.asarray(multitaper_spec_db(wav, target))
+        elif kind == "reassigned":
+            from .ops.reassign import reassigned_spec_db
+
+            out = np.asarray(reassigned_spec_db(wav, target))
         elif kind == "tempogram":
             from .features import onset_strength
             from .ops.rhythm import tempogram_from_envelope

@@ -227,6 +227,9 @@ def test_features_cli(wav_path, tmp_path, capsys):
          # 440 Hz tone at 16 k / n_fft 1024 -> bin 28 dominates
          and int(np.argmax(np.median(a, axis=0))) == round(440 / 16000
                                                            * 1024)),
+        ("reassigned", lambda a: a.ndim == 2 and a.shape[1] == 513
+         and int(np.argmax(np.median(a, axis=0))) == round(440 / 16000
+                                                           * 1024)),
     ]:
         assert main(["features", wav_path, "-o", out,
                      "--kind", kind]) == 0
