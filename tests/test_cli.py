@@ -163,6 +163,28 @@ def test_hpss_cli(wav_path, tmp_path, capsys):
     assert main(["hpss", wav_path, "-o", out, "--channel", "5"]) == 1
 
 
+def test_separate_cli(wav_path, tmp_path, capsys):
+    """separate writes K component WAVs that sum to the input, loudest
+    first."""
+    from msv_tpu.io.audio import open_audio_file
+
+    out = str(tmp_path / "nmf")
+    assert main(["separate", wav_path, "-o", out, "--components", "2",
+                 "--iters", "40"]) == 0
+    assert "2 components" in capsys.readouterr().out
+    x, sr = open_audio_file(wav_path)
+    parts = [open_audio_file(os.path.join(out, f"tone_part{k}.wav"))[0][0]
+             for k in range(2)]
+    assert sr == 8000
+    np.testing.assert_allclose(parts[0] + parts[1], x[0], atol=3e-4)
+    rms = [float(np.sqrt(np.mean(p ** 2))) for p in parts]
+    assert rms[0] >= rms[1]  # loudest-first ordering
+    # error paths stay clean
+    assert main(["separate", wav_path, "-o", out, "--components",
+                 "0"]) == 1
+    assert main(["separate", wav_path, "-o", out, "--channel", "5"]) == 1
+
+
 def test_stretch_cli(wav_path, tmp_path, capsys):
     """stretch writes duration-scaled / pitch-shifted WAVs."""
     from msv_tpu.io.audio import open_audio_file
