@@ -293,7 +293,7 @@ async function load() {
         <button data-key="${t.id}" title="Krumhansl-Schmuckler key estimate of this track's mix">key</button>
         <button data-an="${t.id}" title="full analysis report (loudness, tempo, key, structure, onsets, pitch) — computed in the background">analyze</button>
         ${t.id !== tracks[0].id ? `<button data-align="${t.id}" title="time offset of this track's content vs track #${tracks[0].id} (envelope NCC + GCC-PHAT)">align</button>` : ''}
-        <select data-fx="${t.id}" title="process this track and add the result as a new track"><option value="">fx&#8230;</option><option value="denoise">denoise</option><option value="harmonic">harmonic</option><option value="percussive">percussive</option></select>
+        <select data-fx="${t.id}" title="process this track and add the result as a new track"><option value="">fx&#8230;</option><option value="denoise">denoise</option><option value="harmonic">harmonic</option><option value="percussive">percussive</option><option value="separate">separate (NMF x2)</option></select>
         <button data-rm="${t.id}">&#10005;</button></div>
       <div class="imgs" id="box${t.id}" style="position:relative;height:${H + WH}px">
         <div id="spacer${t.id}" style="height:1px"></div>
@@ -1349,10 +1349,11 @@ class _Handler(BaseHTTPRequestHandler):
                 from .io.audio import write_wav
 
                 op = str(body.get("op", ""))
-                if op not in ("denoise", "harmonic", "percussive"):
+                if op not in ("denoise", "harmonic", "percussive",
+                              "separate"):
                     raise ValueError(
                         f"unknown op {op!r}: expected denoise | "
-                        "harmonic | percussive")
+                        "harmonic | percussive | separate")
                 sid = int(body["id"])
                 with self.lock.read():
                     tr = mt._track(sid)
@@ -1362,36 +1363,59 @@ class _Handler(BaseHTTPRequestHandler):
                 if op == "denoise":
                     from .ops.denoise import denoise
 
-                    out = denoise(np.asarray(wav, np.float32),
-                                  p.win_length, p.hop_length, p.n_fft,
-                                  sr=sr)
+                    outs = [np.asarray(denoise(
+                        np.asarray(wav, np.float32), p.win_length,
+                        p.hop_length, p.n_fft, sr=sr), np.float32)]
+                elif op == "separate":
+                    from .ops.nmf import separate as _nmf_sep
+
+                    k = int(body.get("components", 2))
+                    if not 2 <= k <= 6:
+                        raise ValueError(
+                            f"components must be in [2, 6], got {k}")
+                    parts, _, _ = _nmf_sep(
+                        np.asarray(wav, np.float32), p.win_length,
+                        p.hop_length, p.n_fft, n_components=k)
+                    order = np.argsort(-(parts ** 2).sum(axis=1))
+                    outs = [np.asarray(parts[kk], np.float32)
+                            for kk in order]
                 else:
                     from .ops.hpss import hpss
 
                     h, perc = hpss(np.asarray(wav, np.float32),
                                    p.win_length, p.hop_length, p.n_fft)
-                    out = h if op == "harmonic" else perc
-                out = np.asarray(out, np.float32)
+                    outs = [np.asarray(h if op == "harmonic" else perc,
+                                       np.float32)]
                 with self.lock.write():
                     req_id = body.get("new_id")
+                    if req_id is not None and len(outs) > 1:
+                        raise ValueError(
+                            "new_id only applies to single-output ops")
                     if req_id is not None and int(req_id) in mt.tracks:
                         # add_tracks re-add semantics would silently
                         # REPLACE the existing track — this endpoint's
                         # contract is to ADD one
                         raise ValueError(
                             f"new_id {int(req_id)} already loaded")
-                    new_id = (int(req_id) if req_id is not None
-                              else (max(mt.tracks) + 1 if mt.tracks
-                                    else 0))
-                    path = _os.path.join(
-                        self._proc_dir(), f"{op}_{sid}_{new_id}.wav")
-                    # float WAV: the derived track re-decodes bit-exactly
-                    write_wav(path, out[None], sr, bits=32)
-                    mt.add_tracks([new_id], [path])
+                    new_ids, paths = [], []
+                    nxt = (max(mt.tracks) + 1) if mt.tracks else 0
+                    for j, out in enumerate(outs):
+                        new_id = (int(req_id) if req_id is not None
+                                  else nxt + j)
+                        path = _os.path.join(
+                            self._proc_dir(),
+                            f"{op}{j}_{sid}_{new_id}.wav")
+                        # float WAV: the derived track re-decodes
+                        # bit-exactly
+                        write_wav(path, out[None], sr, bits=32)
+                        new_ids.append(new_id)
+                        paths.append(path)
+                    mt.add_tracks(new_ids, paths)
                 self._cache().bump_gen()
                 self._send(
                     200, "application/json",
-                    json.dumps({"ok": True, "id": new_id, "op": op,
+                    json.dumps({"ok": True, "id": new_ids[0],
+                                "ids": new_ids, "op": op,
                                 "source": sid}).encode(),
                 )
             elif url.path == "/api/setting":

@@ -966,6 +966,27 @@ def test_process_endpoint(tmp_path, rng):
         assert e.value.code == 500
         assert set(mt.tracks) == {0, 1, 2, 9}  # nothing stomped
 
+        # NMF separation adds K tracks (loudest first) that sum to the
+        # source
+        code, body = _post(url + "/api/process",
+                           {"id": 0, "op": "separate", "components": 2})
+        assert code == 200
+        r = json.loads(body)
+        assert r["ids"] == [10, 11] and r["id"] == 10
+        s0 = np.asarray(mt._track(10).wav_slice(0, n))
+        s1 = np.asarray(mt._track(11).wav_slice(0, n))
+        assert np.max(np.abs((s0 + s1) - src)) < 5e-3
+        assert (s0 ** 2).sum() >= (s1 ** 2).sum()
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(url + "/api/process",
+                  {"id": 0, "op": "separate", "components": 9})
+        assert e.value.code == 500
+        with pytest.raises(urllib.error.HTTPError) as e:  # multi-output
+            _post(url + "/api/process",
+                  {"id": 0, "op": "separate", "new_id": 50})
+        assert e.value.code == 500
+        assert set(mt.tracks) == {0, 1, 2, 9, 10, 11}
+
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(url + "/api/process", {"id": 0, "op": "reverb"})
         assert e.value.code == 500
