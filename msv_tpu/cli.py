@@ -128,6 +128,25 @@ def _build_parser():
                    help="separate one source channel instead of the "
                    "channel sum")
 
+    tc = sub.add_parser(
+        "transcribe",
+        help="monophonic audio -> note events (JSON + MIDI)",
+        description="YIN pitch + Viterbi voicing + onset-aware note "
+        "segmentation (ops/transcribe.py): writes notes_<stem>.json "
+        "and notes_<stem>.mid (format-0 SMF).",
+    )
+    tc.add_argument("files", nargs="+")
+    tc.add_argument("-o", "--outdir", default=".")
+    tc.add_argument("--fmin", type=float, default=65.0)
+    tc.add_argument("--fmax", type=float, default=2093.0)
+    tc.add_argument("--min-note-ms", type=float, default=60.0)
+    tc.add_argument("--tempo", type=float, default=120.0,
+                    help="MIDI tempo stamp (BPM)")
+    tc.add_argument("--no-midi", action="store_true",
+                    help="write only the JSON note list")
+    tc.add_argument("--channel", type=int, default=None,
+                    help="one source channel instead of the channel sum")
+
     sp = sub.add_parser(
         "separate",
         help="unsupervised source separation (NMF)",
@@ -1131,6 +1150,44 @@ def _separate_cmd(args):
     return 0
 
 
+def _transcribe_cmd(args):
+    import json as _json
+
+    from .io.audio import open_audio_mono_ex
+    from .ops.transcribe import transcribe_notes, write_midi
+    from .utils.errors import MsvError
+
+    os.makedirs(args.outdir, exist_ok=True)
+    for f in args.files:
+        wav, sr, _, _, _ = open_audio_mono_ex(f, channel=args.channel)
+        t0 = time.perf_counter()
+        try:
+            notes = transcribe_notes(
+                wav, sr, fmin=args.fmin, fmax=args.fmax,
+                min_note_ms=args.min_note_ms,
+            )
+        except ValueError as e:
+            raise MsvError(f"{f}: {e}") from e
+        dt = time.perf_counter() - t0
+        stem = os.path.splitext(os.path.basename(f))[0] + (
+            "" if args.channel is None else f"_ch{args.channel}"
+        )
+        jout = os.path.join(args.outdir, f"notes_{stem}.json")
+        with open(jout, "w") as fh:
+            _json.dump({"sr": sr, "notes": notes}, fh, indent=1)
+        line = f"  {jout}  {len(notes)} notes"
+        if notes:
+            lo = min(nt["midi"] for nt in notes)
+            hi = max(nt["midi"] for nt in notes)
+            line += f"  midi {lo}-{hi}"
+        if not args.no_midi:
+            mout = os.path.join(args.outdir, f"notes_{stem}.mid")
+            write_midi(mout, notes, tempo_bpm=args.tempo)
+            line += f"  + {os.path.basename(mout)}"
+        print(line + f"  ({dt:.2f}s)")
+    return 0
+
+
 def main(argv=None):
     from .utils.errors import MsvError
     from .utils.jaxcache import enable_compilation_cache
@@ -1184,6 +1241,8 @@ def _main(argv=None):
         return _hpss_cmd(args)
     if args.cmd == "separate":
         return _separate_cmd(args)
+    if args.cmd == "transcribe":
+        return _transcribe_cmd(args)
 
     if args.cmd == "stretch":
         return _stretch_cmd(args)

@@ -174,6 +174,12 @@ def reassigned_spec_db(
     at their nominal position (reassigning numerical noise scatters
     it); total energy is conserved exactly.  Host paint, like the
     render/ stages.
+
+    Cross-backend note: nearest-cell rounding makes individual cells
+    backend-sensitive when a coordinate lands ON a cell boundary
+    (measured TPU-vs-CPU on the 44 s reference sample: 4 of 1.4 M
+    cells differ, total power equal to 6e-7) — compare totals or
+    smoothed images across backends, not single cells.
     """
     if rel_thresh < 0:
         raise ValueError(f"rel_thresh must be >= 0, got {rel_thresh}")

@@ -41,6 +41,7 @@ _PAGE = """<!DOCTYPE html>
  <label style="margin-left:14px" title="spectral-flux onset markers (orange ticks)"><input id="onsets" type="checkbox"> onsets</label>
  <label style="margin-left:14px" title="tracked beat grid (green lines) + tempo readout"><input id="beats" type="checkbox"> beats</label>
  <label style="margin-left:14px" title="structure boundaries from self-similarity novelty (magenta lines)"><input id="segs" type="checkbox"> sections</label>
+ <label style="margin-left:14px" title="transcribed note events (yellow piano-roll bars at the note's pitch)"><input id="notes" type="checkbox"> notes</label>
  amp&plusmn;<input id="amp" type="number" value="1.0" min="0.05" max="4" step="0.05" style="width:56px">
  <input id="addpath" placeholder="/path/to/file.wav" style="margin-left:14px;width:220px">
  <button id="addbtn">add</button>
@@ -251,6 +252,29 @@ function fetchView(t, force) {
   } else if (scv.width) {
     scv.getContext('2d').clearRect(0, 0, scv.width, scv.height);
   }
+  // note events (ops/transcribe.py via /api/notes): piano-roll bars at
+  // the note's pitch position; opacity tracks velocity
+  const ncv = document.getElementById('nts' + t.id);
+  if (document.getElementById('notes').checked) {
+    const melq = adaptive ? '&mel=1' : '';
+    fetch(`/api/notes/${t.id}?start=${vis0 / pps}&end=${vis1 / pps}` + melq)
+      .then(r => r.ok ? r.json() : null).then(d => {
+        if (!d || (state[t.id] || {}).gen !== gen) return;
+        ncv.width = Math.max(vis1 - vis0, 1); ncv.height = H;
+        ncv.style.left = vis0 + 'px';
+        const ctx = ncv.getContext('2d');
+        ctx.clearRect(0, 0, ncv.width, H);
+        for (const nt of d.notes) {
+          if (nt.rel <= 0 || nt.rel >= 1) continue;
+          const x0 = nt.start * pps - vis0, x1 = nt.end * pps - vis0;
+          const y = (1 - nt.rel) * H;
+          ctx.fillStyle = `rgba(255,235,80,${0.35 + 0.55 * nt.velocity / 127})`;
+          ctx.fillRect(x0, y - 2, Math.max(x1 - x0, 2), 5);
+        }
+      }).catch(() => {});
+  } else if (ncv.width) {
+    ncv.getContext('2d').clearRect(0, 0, ncv.width, ncv.height);
+  }
 }
 
 function refresh() {
@@ -302,6 +326,7 @@ async function load() {
         <canvas id="ons${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
         <canvas id="bts${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
         <canvas id="seg${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
+        <canvas id="nts${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
         <img id="wav${t.id}" style="position:absolute;top:${H}px;left:0">
       </div>`;
     el.appendChild(div);
@@ -335,6 +360,7 @@ document.getElementById('psmooth').addEventListener('change', refresh);
 document.getElementById('onsets').addEventListener('change', refresh);
 document.getElementById('beats').addEventListener('change', refresh);
 document.getElementById('segs').addEventListener('change', refresh);
+document.getElementById('notes').addEventListener('change', refresh);
 document.getElementById('amp').addEventListener('change', refresh);
 document.getElementById('addbtn').addEventListener('click', async () => {
   const path = document.getElementById('addpath').value.trim();
@@ -599,7 +625,8 @@ class _RWLock:
 _CACHEABLE = ("/api/spec/", "/api/wav/", "/api/spec_crop/",
               "/api/wav_crop/", "/api/adaptive_crop/", "/api/pitch/",
               "/api/loudness/", "/api/onsets/", "/api/beats/",
-              "/api/segments/", "/api/key/", "/api/align/")
+              "/api/segments/", "/api/key/", "/api/align/",
+              "/api/notes/")
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -1150,6 +1177,49 @@ class _Handler(BaseHTTPRequestHandler):
                     body = json.dumps({
                         "t": [round(a / sr + float(v), 3) for v in bounds],
                     }).encode()
+                self._cache().put(self.path, "application/json", body,
+                                  gen=self._req_gen)
+                self._send(200, "application/json", body)
+            elif url.path.startswith("/api/notes/"):
+                # transcribed note events over a bounded window
+                # (ops/transcribe.py): piano-roll bars for the client.
+                # "rel" maps each note's hz through the same display
+                # mapping as /api/pitch so the bar lands where the
+                # cursor readout would report that Hz.
+                import numpy as np
+
+                from .config import FreqScale
+                from .ops.mel import hz_to_mel
+                from .ops.transcribe import transcribe_notes
+
+                tid = int(url.path.rsplit("/", 1)[1])
+                s0 = qf("start", 0.0, 0.0, 1e7)
+                s1 = qf("end", s0 + 30.0, 0.0, 1e7)
+                fmin = qf("fmin", 65.0, 10.0, 4000.0)
+                fmax = qf("fmax", 2093.0, 20.0, 20000.0)
+                force_mel = q.get("mel", ["0"])[0] == "1"
+                with self.lock.read():
+                    tr = mt._track(tid)
+                    sr = tr.sr
+                    a = min(max(0, int(s0 * sr)), tr.n_samples)
+                    b = min(tr.n_samples, int(s1 * sr), a + 120 * sr)
+                    wav = tr.wav_slice(a, b)
+                    scale_linear = (mt.setting.freq_scale
+                                    == FreqScale.LINEAR) and not force_mel
+                fmax_eff = min(fmax, sr / 2.0 * 0.99)
+                if fmax_eff <= fmin:
+                    raise ValueError(f"fmin {fmin} too high for sr {sr}")
+                notes = ([] if len(wav) < sr // 4 else transcribe_notes(
+                    wav, sr, fmin=fmin, fmax=fmax_eff))
+                half_hz = sr / 2.0
+                for nt in notes:
+                    nt["start"] = round(nt["start"] + a / sr, 6)
+                    nt["end"] = round(nt["end"] + a / sr, 6)
+                    rel = (nt["hz"] / half_hz if scale_linear
+                           else float(hz_to_mel(np.float32(nt["hz"])))
+                           / float(hz_to_mel(np.float32(half_hz))))
+                    nt["rel"] = round(float(rel), 4)
+                body = json.dumps({"notes": notes}).encode()
                 self._cache().put(self.path, "application/json", body,
                                   gen=self._req_gen)
                 self._send(200, "application/json", body)

@@ -163,6 +163,32 @@ def test_hpss_cli(wav_path, tmp_path, capsys):
     assert main(["hpss", wav_path, "-o", out, "--channel", "5"]) == 1
 
 
+def test_transcribe_cli(tmp_path, capsys):
+    """transcribe writes a JSON note list + a parseable MIDI file."""
+    sr = 16000
+    t = np.arange(int(0.5 * sr)) / sr
+    env = np.minimum(1.0, np.minimum(t, t[::-1]) / 0.01)
+    x = np.concatenate([
+        np.zeros(int(0.2 * sr), np.float32),
+        (0.4 * env * np.sin(2 * np.pi * 440 * t)).astype(np.float32),
+        np.zeros(int(0.2 * sr), np.float32),
+    ])
+    p = str(tmp_path / "a4.wav")
+    write_wav(p, x[None], sr)
+    out = str(tmp_path / "notes")
+    assert main(["transcribe", p, "-o", out]) == 0
+    cap = capsys.readouterr().out
+    assert "1 notes" in cap and "midi 69-69" in cap
+    import json
+
+    d = json.load(open(os.path.join(out, "notes_a4.json")))
+    assert d["sr"] == sr and len(d["notes"]) == 1
+    assert d["notes"][0]["midi"] == 69
+    mid = open(os.path.join(out, "notes_a4.mid"), "rb").read()
+    assert mid[:4] == b"MThd" and b"MTrk" in mid
+    assert main(["transcribe", p, "-o", out, "--channel", "5"]) == 1
+
+
 def test_separate_cli(wav_path, tmp_path, capsys):
     """separate writes K component WAVs that sum to the input, loudest
     first."""

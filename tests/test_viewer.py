@@ -774,6 +774,72 @@ def test_beats_endpoint(tmp_path):
         srv.shutdown()
 
 
+def test_notes_endpoint(tmp_path):
+    """/api/notes transcribes the viewport window to piano-roll events
+    with absolute times and a display 'rel' per note."""
+    import threading as _t
+    from http.server import ThreadingHTTPServer
+
+    from msv_tpu.session import MultiTrack
+    from msv_tpu.viewer import _Handler, _RWLock
+
+    sr = 16000
+    t = np.arange(int(0.5 * sr)) / sr
+    env = np.minimum(1.0, np.minimum(t, t[::-1]) / 0.01)
+    tone = (0.4 * env * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    x = np.concatenate([np.zeros(int(0.3 * sr), np.float32), tone,
+                        np.zeros(int(0.3 * sr), np.float32)])
+    p = str(tmp_path / "a4.wav")
+    write_wav(p, x[None], sr)
+    mt = MultiTrack()
+    mt.add_tracks([0], [p])
+    handler = type("H", (_Handler,), {"session": mt, "lock": _RWLock()})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    _t.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, body = _get(base + "/api/notes/0?start=0&end=1.2")
+        assert code == 200
+        notes = json.loads(body)["notes"]
+        assert len(notes) == 1
+        nt = notes[0]
+        assert nt["midi"] == 69 and abs(nt["start"] - 0.3) < 0.08
+        # default display scale is MEL: rel matches the hz_to_mel map
+        from msv_tpu.ops.mel import hz_to_mel
+
+        rel_mel = float(hz_to_mel(np.float32(nt["hz"]))
+                        ) / float(hz_to_mel(np.float32(8000.0)))
+        assert abs(nt["rel"] - rel_mel) < 1e-3
+        # a window starting mid-file reports absolute time
+        code, body = _get(base + "/api/notes/0?start=0.2&end=1.2")
+        notes = json.loads(body)["notes"]
+        assert len(notes) == 1 and abs(notes[0]["start"] - 0.3) < 0.1
+        # linear scale (through the endpoint, so the render LRU's
+        # generation bumps): rel = hz / (sr/2), below the mel position
+        code, _ = _post(base + "/api/setting",
+                        {"freq_scale": "linear"})
+        assert code == 200
+        code, body = _get(base + "/api/notes/0?start=0&end=1.2")
+        nlin = json.loads(body)["notes"]
+        assert abs(nlin[0]["rel"] - nlin[0]["hz"] / 8000.0) < 1e-3
+        assert nlin[0]["rel"] < nt["rel"]
+        # forcing mel on a linear session restores the mel mapping
+        code, body = _get(base + "/api/notes/0?start=0&end=1.2&mel=1")
+        nmel = json.loads(body)["notes"]
+        assert abs(nmel[0]["rel"] - rel_mel) < 1e-3
+        # tiny window -> []
+        code, body = _get(base + "/api/notes/0?start=0&end=0.01")
+        assert json.loads(body)["notes"] == []
+        # unknown track -> clean 500
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base + "/api/notes/9?start=0&end=1")
+        assert e.value.code == 500
+    finally:
+        srv.shutdown()
+
+
 def test_segments_endpoint(tmp_path):
     """/api/segments reports the tone->noise structure boundary in
     absolute seconds; tiny windows return an empty list."""
