@@ -354,7 +354,9 @@ def _build_parser():
         "boundary times in seconds), mtspec (n_frames, n_freq "
         "multitaper dB — the low-variance Thomson estimate), "
         "reassigned (n_frames, n_freq sharpened dB — energy "
-        "histogrammed at its reassigned time/frequency).",
+        "histogrammed at its reassigned time/frequency), "
+        "lpcenv (n_frames, 513 LPC all-pole envelope dB), "
+        "formants (n_frames, 5 Praat-style formant Hz, NaN gaps).",
     )
     fe.add_argument("files", nargs="+")
     fe.add_argument("-o", "--outdir", default=".")
@@ -363,7 +365,7 @@ def _build_parser():
                              "whisper", "f0", "onsets", "beats",
                              "tempogram", "pcen", "tonnetz", "key",
                              "contrast", "f0v", "segments", "mtspec",
-                             "reassigned"])
+                             "reassigned", "lpcenv", "formants"])
     fe.add_argument("--target-sr", type=int, default=16000,
                     help="analysis rate (inputs resample on device; "
                     "whisper forces 16000)")
@@ -583,6 +585,14 @@ def _features_cmd(args):
             from .ops.reassign import reassigned_spec_db
 
             out = np.asarray(reassigned_spec_db(wav, target))
+        elif kind == "lpcenv":
+            from .ops.lpc import lpc_envelope_db
+
+            out = np.asarray(lpc_envelope_db(wav, target)[0])
+        elif kind == "formants":
+            from .ops.lpc import formant_track
+
+            out = np.asarray(formant_track(wav, target)[0])
         elif kind == "tempogram":
             from .features import onset_strength
             from .ops.rhythm import tempogram_from_envelope

@@ -80,6 +80,22 @@ def _irdft_matrices_cached(n_fft: int, dtype_str: str):
     return ci, si
 
 
+@functools.lru_cache(maxsize=16)
+def end_padded_rdft_matrices(n_rows: int, n_fft: int):
+    """Real-DFT matrices for END-zero-padded rows, (n_rows, n_freq) each.
+
+    Correlation-style analyses (YIN difference function, LPC
+    autocorrelation) need the signal anchored at index 0, unlike the
+    session's centered pad.  Standard rFFT sign convention:
+    ``rows @ C + 1j * rows @ S == np.fft.rfft(rows, n_fft)``.
+    """
+    j = np.arange(n_rows, dtype=np.float64)[:, None]
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * j * k / n_fft
+    return (np.cos(ang).astype(np.float32),
+            (-np.sin(ang)).astype(np.float32))
+
+
 def inverse_rdft(spec, n_fft: int):
     """Inverse of the real DFT (reference: ``InvRealFFT``, realfft.rs:166-242
     — present in the reference's public surface though unused by its app).

@@ -27,21 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .dft import inverse_rdft
+from .dft import end_padded_rdft_matrices, inverse_rdft
 from .stft import frame_device
 from ..utils import next_pow2, round_up_to
 
-
-@functools.lru_cache(maxsize=8)
-def _end_padded_dft(n_rows: int, n_fft: int):
-    """Real-DFT matrices for END-zero-padded rows (the correlation needs
-    the signal anchored at index 0, unlike the session's centered pad).
-    (n_rows, n_freq) each; standard rFFT sign convention."""
-    j = np.arange(n_rows, dtype=np.float64)[:, None]
-    k = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
-    ang = 2.0 * np.pi * j * k / n_fft
-    return (np.cos(ang).astype(np.float32),
-            (-np.sin(ang)).astype(np.float32))
+# correlation analyses share the end-anchored DFT builder (ops/dft.py)
+_end_padded_dft = end_padded_rdft_matrices
 
 
 @functools.partial(

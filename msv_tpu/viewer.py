@@ -38,6 +38,7 @@ _PAGE = """<!DOCTYPE html>
  <label style="margin-left:14px" title="adaptive multi-resolution STFT (transients from short windows, harmonics from long ones)"><input id="adaptive" type="checkbox"> adaptive</label>
  <label style="margin-left:14px" title="YIN f0 contour drawn on the spectrogram (cyan; gaps where the frame is unvoiced)"><input id="pitch" type="checkbox"> pitch</label>
  <label title="Viterbi-decode the f0 contour (ops/sequence.py): heals octave glitches, hysteresis on voicing"><input id="psmooth" type="checkbox" checked> smooth</label>
+ <label style="margin-left:14px" title="LPC formant tracks F1-F4 (ops/lpc.py, Praat-style; white dotted contours)"><input id="formants" type="checkbox"> formants</label>
  <label style="margin-left:14px" title="spectral-flux onset markers (orange ticks)"><input id="onsets" type="checkbox"> onsets</label>
  <label style="margin-left:14px" title="tracked beat grid (green lines) + tempo readout"><input id="beats" type="checkbox"> beats</label>
  <label style="margin-left:14px" title="structure boundaries from self-similarity novelty (magenta lines)"><input id="segs" type="checkbox"> sections</label>
@@ -190,6 +191,38 @@ function fetchView(t, force) {
   } else if (pcv.width) {
     pcv.getContext('2d').clearRect(0, 0, pcv.width, pcv.height);
   }
+  // formant overlay (ops/lpc.py via /api/formants): K dotted contours,
+  // same rel mapping as the pitch overlay
+  const fcv = document.getElementById('fmt' + t.id);
+  if (document.getElementById('formants').checked) {
+    const melq = adaptive ? '&mel=1' : '';
+    fetch(`/api/formants/${t.id}?start=${vis0 / pps}&end=${vis1 / pps}` + melq)
+      .then(r => r.ok ? r.json() : null).then(d => {
+        if (!d || (state[t.id] || {}).gen !== gen) return;
+        fcv.width = Math.max(vis1 - vis0, 1); fcv.height = H;
+        fcv.style.left = vis0 + 'px';
+        const ctx = fcv.getContext('2d');
+        ctx.clearRect(0, 0, fcv.width, H);
+        ctx.strokeStyle = 'rgba(245,245,245,0.85)'; ctx.lineWidth = 1.2;
+        ctx.setLineDash([3, 3]);
+        const K = d.rel.length ? d.rel[0].length : 0;
+        for (let k = 0; k < K; k++) {
+          ctx.beginPath();
+          let pen = false;
+          for (let i = 0; i < d.rel.length; i++) {
+            const v = d.rel[i][k];
+            if (v == null || v <= 0 || v >= 1) { pen = false; continue; }
+            const x = (d.t0 + i * d.hop_s) * pps - vis0;
+            const y = (1 - v) * H;
+            if (pen) ctx.lineTo(x, y); else { ctx.moveTo(x, y); pen = true; }
+          }
+          ctx.stroke();
+        }
+        ctx.setLineDash([]);
+      }).catch(() => {});
+  } else if (fcv.width) {
+    fcv.getContext('2d').clearRect(0, 0, fcv.width, fcv.height);
+  }
   // onset ticks (features.py spectral flux via /api/onsets)
   const ocv = document.getElementById('ons' + t.id);
   if (document.getElementById('onsets').checked) {
@@ -323,6 +356,7 @@ async function load() {
         <div id="spacer${t.id}" style="height:1px"></div>
         <img id="spec${t.id}" style="position:absolute;top:0;left:0">
         <canvas id="pitch${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
+        <canvas id="fmt${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
         <canvas id="ons${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
         <canvas id="bts${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
         <canvas id="seg${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
@@ -357,6 +391,7 @@ document.getElementById('showwav').addEventListener('change', refresh);
 document.getElementById('adaptive').addEventListener('change', refresh);
 document.getElementById('pitch').addEventListener('change', refresh);
 document.getElementById('psmooth').addEventListener('change', refresh);
+document.getElementById('formants').addEventListener('change', refresh);
 document.getElementById('onsets').addEventListener('change', refresh);
 document.getElementById('beats').addEventListener('change', refresh);
 document.getElementById('segs').addEventListener('change', refresh);
@@ -624,6 +659,7 @@ class _RWLock:
 # image endpoints whose responses are pure functions of (session gen, URL)
 _CACHEABLE = ("/api/spec/", "/api/wav/", "/api/spec_crop/",
               "/api/wav_crop/", "/api/adaptive_crop/", "/api/pitch/",
+              "/api/formants/",
               "/api/loudness/", "/api/onsets/", "/api/beats/",
               "/api/segments/", "/api/key/", "/api/align/",
               "/api/notes/")
@@ -1094,6 +1130,59 @@ class _Handler(BaseHTTPRequestHandler):
                     "f0": [round(float(v), 2) for v in f0],
                     "ap": [round(float(v), 3) for v in ap],
                     "rel": [round(float(v), 4) for v in rel],
+                }).encode()
+                self._cache().put(self.path, "application/json", body,
+                                  gen=self._req_gen)
+                self._send(200, "application/json", body)
+            elif url.path.startswith("/api/formants/"):
+                # Praat-style formant tracks over a bounded window
+                # (ops/lpc.py: autocorrelation LPC on the MXU ->
+                # all-pole envelope -> ordered grid peaks).  Same wire
+                # shape idea as /api/pitch but with K parallel contours;
+                # NaN gaps travel as nulls (JSON has no NaN).
+                import numpy as _np
+
+                from .config import FreqScale
+                from .ops.lpc import formant_track
+                from .ops.mel import hz_to_mel
+
+                tid = int(url.path.rsplit("/", 1)[1])
+                nf = max(1, min(int(qf("n", 4, 1, 8)), 8))
+                fmax = qf("fmax", 5500.0, 500.0, 20000.0)
+                s0 = qf("start", 0.0, 0.0, 1e7)
+                s1 = qf("end", s0 + 30.0, 0.0, 1e7)
+                force_mel = q.get("mel", ["0"])[0] == "1"
+                with self.lock.read():
+                    tr = mt._track(tid)
+                    sr = tr.sr
+                    a = min(max(0, int(s0 * sr)), tr.n_samples)
+                    b = min(tr.n_samples, int(s1 * sr), a + 120 * sr)
+                    wav = tr.wav_slice(a, b)
+                    scale_linear = (mt.setting.freq_scale
+                                    == FreqScale.LINEAR) and not force_mel
+                if len(wav) < sr // 20:
+                    self._send(200, "application/json", json.dumps(
+                        {"t0": a / sr, "hop_s": 0.01, "f": [],
+                         "rel": []}).encode())
+                    return
+                f, hop_s, _t0 = formant_track(
+                    wav, sr, n_formants=nf, fmax=min(fmax, sr / 2.0))
+                f = _np.asarray(f, _np.float32)
+                half_sr = _np.float32(sr) / _np.float32(2.0)
+                if scale_linear:
+                    rel = f / float(half_sr)
+                else:
+                    rel = _np.asarray(
+                        hz_to_mel(f)) / float(hz_to_mel(half_sr))
+                ok = _np.isfinite(f)
+                body = json.dumps({
+                    "t0": a / sr, "hop_s": hop_s,
+                    "f": [[round(float(v), 1) if o else None
+                           for v, o in zip(row, okr)]
+                          for row, okr in zip(f, ok)],
+                    "rel": [[round(float(v), 4) if o else None
+                             for v, o in zip(row, okr)]
+                            for row, okr in zip(rel, ok)],
                 }).encode()
                 self._cache().put(self.path, "application/json", body,
                                   gen=self._req_gen)

@@ -625,6 +625,38 @@ def test_pitch_endpoint(viewer_url):
     assert e.value.code == 500
 
 
+def test_formants_endpoint(viewer_url):
+    """/api/formants returns K ordered contours; on a pure 440 Hz tone
+    the first formant sits on the tone, rel mirrors /api/freq's mapping,
+    and bounds/unknown ids behave like the other overlay endpoints."""
+    code, body = _get(viewer_url + "/api/formants/0?start=0&end=1&n=3")
+    assert code == 200
+    d = json.loads(body)
+    assert set(d) == {"t0", "hop_s", "f", "rel"}
+    assert len(d["f"]) == len(d["rel"]) and len(d["f"][0]) == 3
+    f1 = np.array([r[0] for r in d["f"][4:-4]], np.float64)
+    assert np.nanmedian(np.abs(f1 - 440.0)) < 40.0
+    # rel mirrors the cursor mapping at the same display position
+    mid = len(d["rel"]) // 2
+    rel = d["rel"][mid][0]
+    if rel is not None:
+        code, fbody = _get(viewer_url + f"/api/freq/0?rel={rel}")
+        assert json.loads(fbody)["hz"] == pytest.approx(
+            d["f"][mid][0], rel=0.02)
+    # empty window past the end
+    code, body = _get(viewer_url + "/api/formants/0?start=500&end=501")
+    assert code == 200 and json.loads(body)["f"] == []
+    # unknown id -> 500 with a message
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(viewer_url + "/api/formants/7")
+    assert e.value.code == 500
+    # the overlay checkbox + canvas are wired in the client
+    code, page = _get(viewer_url + "/")
+    assert b'id="formants"' in page and b"/api/formants/" in page
+
+
 def test_pitch_endpoint_smooth(viewer_url):
     """smooth=1 Viterbi-decodes the contour (ops/sequence.py): same
     wire shape, f0 snapped near 440, ap collapsed to a 0/1 mask."""
