@@ -271,6 +271,29 @@ def _build_parser():
                     help="one source channel instead of all channels")
     dn.add_argument("--bits", type=int, choices=[16, 32], default=16)
 
+    se = sub.add_parser(
+        "specedit",
+        help="edit time-frequency boxes (duck / erase / patch repair)",
+        description="Spectral editing (ops/specedit.py): apply "
+        "rectangular time-frequency edits — the RX-style repair move. "
+        "--box T0:T1:F0:F1[:GAIN_DB] ducks a region (seconds x Hz; "
+        "gain default -80 dB = erase); --patch T0:T1:F0:F1 replaces it "
+        "by interpolating each bin's magnitude across the span with "
+        "phase-vocoder-coherent phase.  Repeatable; edges feathered. "
+        "Each channel edits independently; writes <stem>_edit.wav.",
+    )
+    se.add_argument("files", nargs="+")
+    se.add_argument("-o", "--outdir", default=".")
+    se.add_argument("--box", action="append", default=[],
+                    metavar="T0:T1:F0:F1[:GAIN_DB]",
+                    help="duck/erase box (repeatable)")
+    se.add_argument("--patch", action="append", default=[],
+                    metavar="T0:T1:F0:F1",
+                    help="patch-repair box (repeatable)")
+    se.add_argument("--channel", type=int, default=None,
+                    help="one source channel instead of all channels")
+    se.add_argument("--bits", type=int, choices=[16, 32], default=16)
+
     fl = sub.add_parser(
         "filter",
         help="EQ / filter audio (Butterworth + RBJ biquads)",
@@ -856,6 +879,67 @@ def _align_cmd(args):
     return 0
 
 
+def _parse_box(spec: str, mode: str):
+    from .ops.specedit import Box
+    from .utils.errors import MsvError
+
+    parts = spec.split(":")
+    want = (4, 5) if mode == "gain" else (4,)
+    if len(parts) not in want:
+        raise MsvError(
+            f"bad box '{spec}': expected T0:T1:F0:F1"
+            + ("[:GAIN_DB]" if mode == "gain" else ""))
+    try:
+        vals = [float(v) for v in parts]
+    except ValueError as e:
+        raise MsvError(f"bad box '{spec}': {e}") from e
+    try:
+        if mode == "gain":
+            gain = vals[4] if len(vals) == 5 else -80.0
+            return Box(vals[0], vals[1], vals[2], vals[3], gain_db=gain)
+        return Box(vals[0], vals[1], vals[2], vals[3], mode="patch")
+    except ValueError as e:
+        raise MsvError(f"bad box '{spec}': {e}") from e
+
+
+def _specedit_cmd(args):
+    import numpy as np
+
+    from .config import SpecSetting, derive_stft_params
+    from .io.audio import open_audio_file, open_audio_mono_ex, write_wav
+    from .ops.specedit import spectral_edit
+    from .utils.errors import MsvError
+
+    boxes = ([_parse_box(b, "gain") for b in args.box]
+             + [_parse_box(b, "patch") for b in args.patch])
+    if not boxes:
+        raise MsvError("no edits: give at least one --box or --patch")
+    os.makedirs(args.outdir, exist_ok=True)
+    for f in args.files:
+        if args.channel is None:
+            wav, sr = open_audio_file(f)  # (n_ch, T)
+        else:
+            mono, sr, _, _, _ = open_audio_mono_ex(f, channel=args.channel)
+            wav = np.asarray(mono, np.float32)[None]
+        p = derive_stft_params(sr, SpecSetting())
+        t0 = time.perf_counter()
+        try:
+            out = np.stack([
+                spectral_edit(ch, sr, boxes, win_length=p.win_length,
+                              hop_length=p.hop_length, n_fft=p.n_fft)
+                for ch in wav])
+        except ValueError as e:
+            raise MsvError(f"{f}: {e}") from e
+        dt = time.perf_counter() - t0
+        stem = os.path.splitext(os.path.basename(f))[0] + (
+            "" if args.channel is None else f"_ch{args.channel}"
+        )
+        path = os.path.join(args.outdir, f"{stem}_edit.wav")
+        write_wav(path, out, sr, bits=args.bits)
+        print(f"  {f}: {len(boxes)} edit(s) -> {path}  ({dt:.2f}s)")
+    return 0
+
+
 def _denoise_cmd(args):
     import numpy as np
 
@@ -1277,6 +1361,8 @@ def _main(argv=None):
 
     if args.cmd == "denoise":
         return _denoise_cmd(args)
+    if args.cmd == "specedit":
+        return _specedit_cmd(args)
 
     if args.cmd == "view":
         from . import FreqScale, SpecSetting

@@ -104,7 +104,14 @@ def inverse_rdft(spec, n_fft: int):
     real signal (..., n_fft), normalized by 1/n_fft (i.e. a true inverse of
     the unnormalized forward transform).  Implemented as two GEMMs so it
     runs on the MXU like the forward path.
+
+    HIGHEST precision, matching every caller's forward GEMMs: on TPU the
+    default matmul precision rounds operands through bf16, which is fatal
+    where the inverse feeds conditioning-critical math (the LPC normal
+    equations NaN'd from a bf16 autocorrelation — measured on v5e) and
+    audible where it feeds resynthesis.
     """
+    import jax
     import jax.numpy as jnp
 
     ci, si = _irdft_matrices_cached(n_fft, "<f4")
@@ -112,4 +119,6 @@ def inverse_rdft(spec, n_fft: int):
         re, im = spec
     else:
         re, im = jnp.real(spec), jnp.imag(spec)
-    return jnp.dot(re, jnp.asarray(ci).T) + jnp.dot(im, jnp.asarray(si).T)
+    prec = jax.lax.Precision.HIGHEST
+    return (jnp.dot(re, jnp.asarray(ci).T, precision=prec)
+            + jnp.dot(im, jnp.asarray(si).T, precision=prec))

@@ -76,7 +76,11 @@ def _levinson(r, order: int):
         # v[i] = rn[m - i] (zeros for i > m): slice the reversed lags
         v = jax.lax.dynamic_slice(rf_ext, (0, p1 - 1 - m), (n, p1))
         acc = jnp.sum(a * v, axis=1)  # a_i == 0 for i >= m by induction
-        lam = -acc / err
+        # |reflection| < 1 always holds for an exact PD system; clamping
+        # makes f32 rounding on near-singular frames (sustained tones at
+        # high order) degrade gracefully instead of driving err negative
+        # and the recursion to NaN
+        lam = jnp.clip(-acc / err, -0.9999, 0.9999)
         # u[i] = a[m - i] (zeros for i > m): same trick on the coeffs
         a_ext = jnp.concatenate([a[:, ::-1], jnp.zeros_like(a)], axis=1)
         u = jax.lax.dynamic_slice(a_ext, (0, p1 - 1 - m), (n, p1))

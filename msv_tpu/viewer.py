@@ -43,6 +43,7 @@ _PAGE = """<!DOCTYPE html>
  <label style="margin-left:14px" title="tracked beat grid (green lines) + tempo readout"><input id="beats" type="checkbox"> beats</label>
  <label style="margin-left:14px" title="structure boundaries from self-similarity novelty (magenta lines)"><input id="segs" type="checkbox"> sections</label>
  <label style="margin-left:14px" title="transcribed note events (yellow piano-roll bars at the note's pitch)"><input id="notes" type="checkbox"> notes</label>
+ <select id="editmode" title="spectral editing: pick a mode, then drag a box on a spectrogram — the edited audio is added as a new track" style="margin-left:14px"><option value="">edit&#8230;</option><option value="erase">erase box</option><option value="duck">duck -18 dB</option><option value="patch">patch (repair)</option></select>
  amp&plusmn;<input id="amp" type="number" value="1.0" min="0.05" max="4" step="0.05" style="width:56px">
  <input id="addpath" placeholder="/path/to/file.wav" style="margin-left:14px;width:220px">
  <button id="addbtn">add</button>
@@ -361,6 +362,7 @@ async function load() {
         <canvas id="bts${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
         <canvas id="seg${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
         <canvas id="nts${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
+        <canvas id="sel${t.id}" style="position:absolute;top:0;left:0;pointer-events:none"></canvas>
         <img id="wav${t.id}" style="position:absolute;top:${H}px;left:0">
       </div>`;
     el.appendChild(div);
@@ -380,6 +382,61 @@ async function load() {
         document.getElementById('readout').textContent =
           `t=${sec.toFixed(2)} s, f=${f.hz.toFixed(0)} Hz`;
       });
+    });
+    // spectral editing: with an edit mode armed, drag a box on the
+    // spectrogram; on release the box (seconds x Hz, Hz via /api/freq
+    // so mel sessions map correctly) POSTs to /api/process specedit
+    // and the edited audio joins the session as a new track
+    const selcv = div.querySelector(`#sel${t.id}`);
+    let selA = null;
+    img.addEventListener('mousedown', ev => {
+      if (!document.getElementById('editmode').value) return;
+      ev.preventDefault();
+      const rect = img.getBoundingClientRect();
+      selA = [ev.clientX - rect.left, ev.clientY - rect.top];
+      selcv.width = rect.width; selcv.height = rect.height;
+      selcv.style.left = img.style.left || '0px';
+    });
+    img.addEventListener('mousemove', ev => {
+      if (!selA) return;
+      const rect = img.getBoundingClientRect();
+      const x = ev.clientX - rect.left, y = ev.clientY - rect.top;
+      const ctx = selcv.getContext('2d');
+      ctx.clearRect(0, 0, selcv.width, selcv.height);
+      ctx.strokeStyle = 'rgba(255,255,255,0.9)'; ctx.lineWidth = 1;
+      ctx.setLineDash([4, 3]);
+      ctx.strokeRect(Math.min(selA[0], x), Math.min(selA[1], y),
+                     Math.abs(x - selA[0]), Math.abs(y - selA[1]));
+      ctx.setLineDash([]);
+    });
+    window.addEventListener('mouseup', async ev => {
+      if (!selA) return;
+      const a = selA; selA = null;
+      selcv.getContext('2d').clearRect(0, 0, selcv.width, selcv.height);
+      const mode = document.getElementById('editmode').value;
+      if (!mode) return;
+      const rect = img.getBoundingClientRect();
+      const x = Math.min(Math.max(ev.clientX - rect.left, 0), rect.width);
+      const y = Math.min(Math.max(ev.clientY - rect.top, 0), rect.height);
+      if (Math.abs(x - a[0]) < 3 || Math.abs(y - a[1]) < 3) return;
+      const c0 = state[t.id] ? state[t.id].c0 : 0;
+      const t0 = (c0 + Math.min(a[0], x)) / pps;
+      const t1 = (c0 + Math.max(a[0], x)) / pps;
+      const melq = viewParams().adaptive ? '&mel=1' : '';
+      const rel0 = 1 - Math.max(a[1], y) / rect.height;
+      const rel1 = 1 - Math.min(a[1], y) / rect.height;
+      try {
+        const f0 = (await (await fetch(`/api/freq/${t.id}?rel=${rel0.toFixed(4)}` + melq)).json()).hz;
+        const f1 = (await (await fetch(`/api/freq/${t.id}?rel=${rel1.toFixed(4)}` + melq)).json()).hz;
+        const box = {t0, t1, f0: Math.max(f0, 0), f1: Math.max(f1, 1)};
+        if (mode === 'patch') box.mode = 'patch';
+        else box.gain_db = mode === 'duck' ? -18 : -80;
+        const r = await fetch('/api/process', {method: 'POST',
+          body: JSON.stringify({id: t.id, op: 'specedit', boxes: [box]})});
+        if (!r.ok) { alert(await r.text()); return; }
+        clearImgCache();  // new track shifts the shared dB window
+        load();
+      } catch (e) {}
     });
   }
   refresh();
@@ -1509,10 +1566,10 @@ class _Handler(BaseHTTPRequestHandler):
 
                 op = str(body.get("op", ""))
                 if op not in ("denoise", "harmonic", "percussive",
-                              "separate"):
+                              "separate", "specedit"):
                     raise ValueError(
                         f"unknown op {op!r}: expected denoise | "
-                        "harmonic | percussive | separate")
+                        "harmonic | percussive | separate | specedit")
                 sid = int(body["id"])
                 with self.lock.read():
                     tr = mt._track(sid)
@@ -1525,6 +1582,26 @@ class _Handler(BaseHTTPRequestHandler):
                     outs = [np.asarray(denoise(
                         np.asarray(wav, np.float32), p.win_length,
                         p.hop_length, p.n_fft, sr=sr), np.float32)]
+                elif op == "specedit":
+                    # parameterized edit: boxes in seconds x Hz, same
+                    # schema as ops.specedit.Box dicts
+                    from .ops.specedit import Box, spectral_edit
+
+                    raw = body.get("boxes")
+                    if (not isinstance(raw, list) or not raw
+                            or len(raw) > 32):
+                        raise ValueError(
+                            "boxes must be a non-empty list of up to "
+                            "32 {t0,t1,f0,f1[,gain_db][,mode]} dicts")
+                    boxes = [Box(float(b["t0"]), float(b["t1"]),
+                                 float(b["f0"]), float(b["f1"]),
+                                 float(b.get("gain_db", -80.0)),
+                                 str(b.get("mode", "gain")))
+                             for b in raw]
+                    outs = [np.asarray(spectral_edit(
+                        np.asarray(wav, np.float32), sr, boxes,
+                        win_length=p.win_length, hop_length=p.hop_length,
+                        n_fft=p.n_fft), np.float32)]
                 elif op == "separate":
                     from .ops.nmf import separate as _nmf_sep
 

@@ -608,6 +608,48 @@ def test_denoise_cli(tmp_path, capsys):
     assert "bad noise_span" in capsys.readouterr().err
 
 
+def test_specedit_cli(tmp_path, capsys):
+    """msv_tpu specedit writes <stem>_edit.wav with the boxed tone
+    erased and the co-present tone kept; box syntax errors are clean."""
+    from msv_tpu.io.audio import open_audio_file
+
+    sr = 8000
+    n = 2 * sr
+    t = np.arange(n) / sr
+    wav = (0.3 * np.sin(2 * np.pi * 500 * t)
+           + 0.3 * np.sin(2 * np.pi * 2000 * t)).astype(np.float32)
+    p = str(tmp_path / "twotone.wav")
+    write_wav(p, wav[None], sr)
+    out = str(tmp_path / "o")
+
+    assert main(["specedit", p, "-o", out,
+                 "--box", "0.5:1.5:1800:2200:-60"]) == 0
+    assert "1 edit(s)" in capsys.readouterr().out
+    w, got_sr = open_audio_file(os.path.join(out, "twotone_edit.wav"))
+    assert got_sr == sr and w.shape == (1, n)
+
+    def band_rms(x, f0, f1):
+        X = np.abs(np.fft.rfft(np.asarray(x, np.float64)))
+        f = np.fft.rfftfreq(len(x), 1 / sr)
+        return np.sqrt((X[(f >= f0) & (f < f1)] ** 2).sum())
+
+    mid = slice(int(0.8 * sr), int(1.2 * sr))
+    assert (band_rms(w[0, mid], 1800, 2200)
+            < 0.02 * band_rms(wav[mid], 1800, 2200))
+    assert (band_rms(w[0, mid], 400, 600)
+            > 0.95 * band_rms(wav[mid], 400, 600))
+
+    # patch box drives too; bad syntax and no-edit error cleanly
+    assert main(["specedit", p, "-o", out,
+                 "--patch", "0.9:1.0:0:3999"]) == 0
+    assert main(["specedit", p, "-o", out]) == 1
+    assert "no edits" in capsys.readouterr().err
+    assert main(["specedit", p, "-o", out, "--box", "1:2"]) == 1
+    assert "bad box" in capsys.readouterr().err
+    assert main(["specedit", p, "-o", out, "--box", "2:1:0:100"]) == 1
+    assert "bad box" in capsys.readouterr().err
+
+
 def test_gain_true_peak_ceiling(tmp_path, capsys):
     """gain --max-dbtp: the output's true peak lands at (or under) the
     ceiling even when the LUFS target alone would push past it."""

@@ -1091,5 +1091,31 @@ def test_process_endpoint(tmp_path, rng):
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(url + "/api/process", {"id": 77, "op": "denoise"})
         assert e.value.code == 500
+
+        # spectral editing: erase the tone's box over [1, 2] s; the
+        # derived track loses the tone there but keeps it elsewhere
+        code, body = _post(url + "/api/process", {
+            "id": 0, "op": "specedit",
+            "boxes": [{"t0": 1.0, "t1": 2.0, "f0": 300, "f1": 600,
+                       "gain_db": -60}]})
+        assert code == 200
+        eid = json.loads(body)["id"]
+        ed = np.asarray(mt._track(eid).wav_slice(0, n))
+        inside = slice(int(1.3 * sr), int(1.45 * sr))  # a tone-on span
+        outside = slice(int(0.1 * sr), int(0.3 * sr))
+        assert np.std(ed[inside]) < 0.25 * np.std(src[inside])
+        assert np.std(ed[outside]) > 0.8 * np.std(src[outside])
+        # hostile boxes fail cleanly
+        for bad in ([], [{"t0": 0, "t1": 1}],
+                    [{"t0": 0, "t1": 1, "f0": 100, "f1": 50}],
+                    [{"t0": 0, "t1": 1, "f0": 0, "f1": 100,
+                      "mode": "wat"}]):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post(url + "/api/process",
+                      {"id": 0, "op": "specedit", "boxes": bad})
+            assert e.value.code == 500
+        # the client ships the edit UI
+        code, page = _get(url + "/")
+        assert b'id="editmode"' in page and b"'specedit'" in page
     finally:
         srv.shutdown()
