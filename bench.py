@@ -33,10 +33,33 @@ entry point is a PARENT process that never imports jax.  It
      still prints one structured JSON line with an ``error`` field and
      exits 0, so the driver always records a parseable result.
 
-Env knobs: MSV_BENCH_PROBE_ATTEMPTS (3), MSV_BENCH_PROBE_TIMEOUT (120 s),
-MSV_BENCH_PROBE_WAIT (90 s between attempts), MSV_BENCH_TIMEOUT (3600 s
-child watchdog).  MSV_BENCH_FORCE_PROBE_FAIL=1 / MSV_BENCH_FORCE_CHILD_FAIL=1
-force the failure paths for tests.
+Probe horizon (round-5 fix; the fixed 3-probe/9-minute loop of round 4
+could not survive the 1-12 h outages CLAUDE.md documents and nulled two
+rounds' claims of record): probing is TIME-BUDGETED — keep retrying until
+MSV_BENCH_PROBE_BUDGET seconds (default 2700 = 45 min) have elapsed,
+waiting MSV_BENCH_PROBE_WAIT (180 s) between attempts.  Setting
+MSV_BENCH_PROBE_ATTEMPTS caps the attempt count instead (test hook /
+manual runs).
+
+Last-good sidecar (round-5 fix): every successful TPU measurement
+persists its JSON (timestamped) to BENCH_LAST_GOOD.json next to this
+file; every error line embeds that sidecar as ``last_good`` — so a
+capture that lands in a dead window still carries the most recent
+measured number instead of a bare null.  CPU-pinned runs (test hook)
+never touch the sidecar.
+
+Weather independence (round-5 fix): the child also measures a
+device-resident, transfer-free hour (same compiled streaming program,
+segments already in HBM) and reports ``compute_realtime_factor`` /
+``kernel_frames_per_s`` extras — the number a kernel regression would
+move, which the tunnel's 6.5x bandwidth spread cannot.
+
+Env knobs: MSV_BENCH_PROBE_BUDGET (2700 s), MSV_BENCH_PROBE_ATTEMPTS
+(unset = budget mode), MSV_BENCH_PROBE_TIMEOUT (120 s),
+MSV_BENCH_PROBE_WAIT (180 s between attempts), MSV_BENCH_TIMEOUT (3600 s
+child watchdog), MSV_BENCH_LAST_GOOD_PATH (sidecar override).
+MSV_BENCH_FORCE_PROBE_FAIL=1 / MSV_BENCH_FORCE_CHILD_FAIL=1 force the
+failure paths for tests.
 
 Run: python bench.py            (real TPU via the axon backend)
      python bench.py --quick    (shorter audio; CI smoke)
@@ -57,9 +80,46 @@ METRIC = "mel_spectrogram_streaming_realtime_factor_48k"
 UNIT = "x_realtime_per_chip"
 
 
+def _last_good_path() -> str:
+    return os.environ.get(
+        "MSV_BENCH_LAST_GOOD_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LAST_GOOD.json"))
+
+
+def read_last_good():
+    """The most recent successful measurement (dict) or None."""
+    try:
+        with open(_last_good_path()) as f:
+            out = json.load(f)
+        return out if isinstance(out, dict) and out.get("value") else None
+    except (OSError, ValueError):
+        return None
+
+
+def write_last_good(result: dict) -> None:
+    """Persist a successful measurement, atomically.  A --quick smoke
+    number never overwrites a full-run record (but fills an empty
+    sidecar: a quick TPU number beats none)."""
+    prev = read_last_good()
+    if result.get("quick") and prev is not None and not prev.get("quick"):
+        return
+    out = dict(result)
+    out["captured_unix"] = round(time.time(), 1)
+    out["captured_iso"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    path = _last_good_path()
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(out, f)
+    os.replace(tmp, path)
+
+
 def _error_line(error: str, **extras) -> str:
     out = {"metric": METRIC, "value": None, "unit": UNIT,
            "vs_baseline": None, "error": error}
+    lg = read_last_good()
+    if lg is not None:
+        out["last_good"] = lg
     out.update(extras)
     return json.dumps(out)
 
@@ -99,23 +159,38 @@ def probe_backend(timeout_s: float) -> tuple[bool, str]:
 def run_guarded(argv) -> int:
     """Parent mode: probe w/ retries, then run the measurement child
     under a watchdog.  Always prints one JSON line; always returns 0."""
-    attempts = int(os.environ.get("MSV_BENCH_PROBE_ATTEMPTS", "3"))
+    attempts_env = os.environ.get("MSV_BENCH_PROBE_ATTEMPTS")
+    budget = float(os.environ.get("MSV_BENCH_PROBE_BUDGET", "2700"))
     probe_timeout = float(os.environ.get("MSV_BENCH_PROBE_TIMEOUT", "120"))
-    probe_wait = float(os.environ.get("MSV_BENCH_PROBE_WAIT", "90"))
+    probe_wait = float(os.environ.get("MSV_BENCH_PROBE_WAIT", "180"))
     child_timeout = float(os.environ.get("MSV_BENCH_TIMEOUT", "3600"))
 
+    # Time-budgeted probe horizon: outages here run hours, so the loop
+    # keeps probing for ``budget`` seconds (not a fixed attempt count) —
+    # unless MSV_BENCH_PROBE_ATTEMPTS pins an explicit cap.
+    deadline = time.monotonic() + budget
     detail = ""
-    for i in range(attempts):
+    attempts = 0
+    ok = False
+    while True:
+        attempts += 1
         ok, detail = probe_backend(probe_timeout)
         if ok:
             break
-        print(f"# probe {i + 1}/{attempts} failed: {detail}",
-              file=sys.stderr)
-        if i + 1 < attempts:
-            time.sleep(probe_wait)
-    else:
+        label = (f"{attempts}/{attempts_env}" if attempts_env
+                 else f"{attempts} ({max(0.0, deadline - time.monotonic()):.0f}s of budget left)")
+        print(f"# probe {label} failed: {detail}", file=sys.stderr)
+        if attempts_env is not None:
+            if attempts >= int(attempts_env):
+                break
+        elif time.monotonic() + probe_wait >= deadline:
+            break
+        time.sleep(min(probe_wait, max(0.0, deadline - time.monotonic())))
+    if not ok:
         print(_error_line("tpu_backend_unavailable",
-                          probe_attempts=attempts, probe_detail=detail))
+                          probe_attempts=attempts,
+                          probe_budget_s=None if attempts_env else budget,
+                          probe_detail=detail))
         return 0
 
     cmd = [sys.executable, os.path.abspath(__file__), "--child"] + argv
@@ -286,6 +361,80 @@ def bench_streaming_hour(seconds: float, reps: int):
     return walls, nfr
 
 
+def bench_compute_hour(seconds: float, reps: int):
+    """Weather-independent extra: the same hour of frames through the SAME
+    compiled streaming program, but with every operand already resident in
+    HBM — no host->device transfer inside the timed region.  This is the
+    number a kernel regression moves; the wire-dominated headline cannot
+    see one through the tunnel's 6.5x bandwidth spread (BASELINE.md).
+
+    One representative segment is shipped once (outside timing) and
+    re-dispatched for every segment slot; compute time is value-invariant
+    (static shapes).  The final fetch of one scalar syncs the in-order
+    relay stream, so it covers every dispatched scan.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from msv_tpu.config import (SpecSetting, derive_stft_params,
+                                get_precision_mode)
+    from msv_tpu.ops.dft import windowed_dft_matrices
+    from msv_tpu.ops.framing import n_frames_for
+    from msv_tpu.ops.mel import calc_mel_fb_default
+    from msv_tpu.ops.windows import default_stft_window
+    from msv_tpu.parallel.streaming import _streaming_core, padded_slice
+
+    sr = 48000
+    p = derive_stft_params(sr, SpecSetting())
+    window = default_stft_window(p.win_length, p.n_fft)
+    c, s = windowed_dft_matrices(window, p.n_fft)
+    fb = calc_mel_fb_default(sr, p.n_fft)
+    win, hop = p.win_length, p.hop_length
+    cf, sc = 4096, 8  # streaming_spec_db defaults: same compiled program
+
+    n_samples = int(sr * seconds)
+    n_frames = n_frames_for(n_samples, win, hop)
+    seg_frames = cf * sc
+    n_segs = -(-n_frames // seg_frames)
+    seg_len = seg_frames * hop + (win - hop)
+    src = realistic_audio(min(seconds, 400.0), sr)
+    seg_np = padded_slice(src, 0, seg_len, win // 2, len(src))
+    seg_dev = jax.device_put(seg_np)
+    float(np.asarray(jax.device_get(seg_dev.ravel()[0])))  # transfer done
+
+    c_d, s_d = jnp.asarray(np.asarray(c)), jnp.asarray(np.asarray(s))
+    w_d = jnp.asarray(np.asarray(window, np.float32))
+    fb_d = jnp.asarray(np.asarray(fb))
+    mode = get_precision_mode()
+
+    def run():
+        out = None
+        for _ in range(n_segs):
+            out = _streaming_core(
+                seg_dev, c_d, s_d, w_d, fb_d, jnp.int32(seg_frames),
+                jnp.float32(2.0 ** -15), win=win, hop=hop, n_fft=p.n_fft,
+                chunk_frames=cf, n_chunks=sc, use_mel=True, impl="dft",
+                mode=mode)
+        # in-order stream: this scalar is ready only after every scan
+        float(np.asarray(jax.device_get(out[1])))
+
+    run()  # warm (compile cache shared with the primary metric)
+    walls = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        walls.append(time.perf_counter() - t0)
+    med = statistics.median(walls)
+    return {
+        "compute_realtime_factor": round(seconds / med, 1),
+        "kernel_frames_per_s": round(n_frames / med),
+        "compute_wall_median_s": round(med, 3),
+        "compute_wall_min_s": round(min(walls), 3),
+        "compute_wall_max_s": round(max(walls), 3),
+        "compute_mode": mode,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="short smoke run")
@@ -331,6 +480,14 @@ def main():
     wall_med = statistics.median(walls)
     realtime = hour_sec / wall_med
 
+    # -------- weather-independent extra: device-resident compute hour -----
+    # (best-effort: a failure here must not void the primary metric)
+    comp = {}
+    try:
+        comp = bench_compute_hour(hour_sec, max(2, min(reps, 3)))
+    except Exception as e:
+        comp = {"compute_error": f"{type(e).__name__}: {e}"[:200]}
+
     # -------- secondary: interactive 1-minute session ---------------------
     # (best-effort: a failure here must not void the primary metric)
     sess_sec = 5.0 if args.quick else 60.0
@@ -361,6 +518,12 @@ def main():
         "hour_wall_max_s": round(max(walls), 2),
         "stft_frames_per_s": round(n_frames / wall_med, 1),
     }
+    result.update(comp)
+    import jax
+
+    result["platform"] = jax.default_backend()
+    if args.quick:
+        result["quick"] = True
     if r is not None:
         sess_total = r["add_track_s"] + r["first_render_s"]
         result.update({
@@ -373,6 +536,13 @@ def main():
         })
     else:
         result["session_error"] = sess_err
+    # persist the claim of record: only genuine TPU measurements feed the
+    # last-good sidecar (CPU-pinned runs are the guard tests' hook)
+    if result["platform"] not in ("cpu",) and not plat:
+        try:
+            write_last_good(result)
+        except OSError as e:
+            print(f"# last-good sidecar write failed: {e}", file=sys.stderr)
     print(json.dumps(result))
 
 

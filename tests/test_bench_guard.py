@@ -24,6 +24,8 @@ def run_bench(env_extra, timeout=180):
     env = dict(os.environ)
     # the guard paths never need a TPU; keep any jax subprocesses on CPU
     env.pop("JAX_PLATFORMS", None)
+    # isolate from the repo's real BENCH_LAST_GOOD.json sidecar
+    env.setdefault("MSV_BENCH_LAST_GOOD_PATH", "/nonexistent-dir/lg.json")
     env.update(env_extra)
     return subprocess.run(
         [sys.executable, BENCH, "--quick"],
@@ -78,6 +80,69 @@ def test_child_hang_hits_watchdog_and_exit_0():
     out = parse_single_json_line(r.stdout)
     assert out["error"] == "bench_timeout"
     assert out["timeout_s"] == 3.0
+
+
+def test_probe_budget_mode_stops_at_deadline():
+    """Without an explicit attempt cap, the probe loop is time-budgeted:
+    a tiny budget with a nonzero wait stops after the deadline passes
+    (outages run hours; the default budget is 45 min)."""
+    r = run_bench({
+        "MSV_BENCH_FORCE_PROBE_FAIL": "1",
+        "MSV_BENCH_PROBE_BUDGET": "1",
+        "MSV_BENCH_PROBE_WAIT": "0.6",
+    })
+    assert r.returncode == 0, r.stderr
+    out = parse_single_json_line(r.stdout)
+    assert out["error"] == "tpu_backend_unavailable"
+    assert out["probe_budget_s"] == 1.0
+    # 1 s budget / 0.6 s wait: 2-3 attempts, not 1 and not unbounded
+    assert 2 <= out["probe_attempts"] <= 3, out
+
+
+def test_error_line_embeds_last_good_sidecar(tmp_path):
+    """A capture in a dead window still carries the most recent measured
+    number: the sidecar rides every error line, timestamped."""
+    lg = {"metric": "mel_spectrogram_streaming_realtime_factor_48k",
+          "value": 412.5, "unit": "x_realtime_per_chip",
+          "vs_baseline": 8.25, "captured_iso": "2026-08-20T10:00:00Z"}
+    p = tmp_path / "lg.json"
+    p.write_text(json.dumps(lg))
+    r = run_bench({
+        "MSV_BENCH_FORCE_PROBE_FAIL": "1",
+        "MSV_BENCH_PROBE_ATTEMPTS": "1",
+        "MSV_BENCH_LAST_GOOD_PATH": str(p),
+    })
+    assert r.returncode == 0, r.stderr
+    out = parse_single_json_line(r.stdout)
+    assert out["error"] == "tpu_backend_unavailable"
+    assert out["last_good"]["value"] == 412.5
+    assert out["last_good"]["captured_iso"] == "2026-08-20T10:00:00Z"
+
+
+def test_last_good_quick_never_overwrites_full(tmp_path):
+    """A --quick smoke number must not clobber a full-run record (but
+    does fill an empty sidecar)."""
+    sys.path.insert(0, os.path.dirname(BENCH))
+    import bench
+
+    p = tmp_path / "lg.json"
+    old = os.environ.get("MSV_BENCH_LAST_GOOD_PATH")
+    os.environ["MSV_BENCH_LAST_GOOD_PATH"] = str(p)
+    try:
+        quick = {"metric": bench.METRIC, "value": 10.0, "quick": True}
+        full = {"metric": bench.METRIC, "value": 300.0}
+        bench.write_last_good(quick)
+        assert bench.read_last_good()["value"] == 10.0  # filled empty
+        bench.write_last_good(full)
+        assert bench.read_last_good()["value"] == 300.0
+        bench.write_last_good(quick)
+        assert bench.read_last_good()["value"] == 300.0  # not clobbered
+        assert "captured_unix" in bench.read_last_good()
+    finally:
+        if old is None:
+            os.environ.pop("MSV_BENCH_LAST_GOOD_PATH", None)
+        else:
+            os.environ["MSV_BENCH_LAST_GOOD_PATH"] = old
 
 
 @pytest.mark.slow
