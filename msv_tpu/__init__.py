@@ -32,6 +32,7 @@ from .ops.sequence import dtw, smooth_f0_viterbi, viterbi, yin_smoothed
 from .ops.segment import segment, segment_boundaries, self_similarity
 from .ops.filter import butter_sos, filtfilt, firwin, sosfilt
 from .ops.align import align_offset
+from .ops.declick import declick, find_clicks
 from .ops.denoise import denoise
 from .features import (
     analyze,
@@ -53,7 +54,9 @@ __version__ = "0.3.0"
 
 __all__ = [
     "align_offset",
+    "declick",
     "denoise",
+    "find_clicks",
     "butter_sos",
     "sosfilt",
     "filtfilt",

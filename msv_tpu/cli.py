@@ -271,6 +271,29 @@ def _build_parser():
                     help="one source channel instead of all channels")
     dn.add_argument("--bits", type=int, choices=[16, 32], default=16)
 
+    dc = sub.add_parser(
+        "declick",
+        help="find and repair clicks/pops (LPC detection + patch repair)",
+        description="Automatic click repair (ops/declick.py): two-pass "
+        "LPC-residual detection finds transient defects, each repaired "
+        "by a phase-coherent short-window STFT patch.  Spans too close "
+        "to the signal edges are reported but left.  Each channel "
+        "processes independently; writes <stem>_dc.wav.",
+    )
+    dc.add_argument("files", nargs="+")
+    dc.add_argument("-o", "--outdir", default=".")
+    dc.add_argument("--thresh", type=float, default=9.0,
+                    help="robust outlier factor vs the frame residual "
+                    "scale (default 9; lower finds more)")
+    dc.add_argument("--max-click-ms", type=float, default=15.0,
+                    help="spans longer than this are not clicks "
+                    "(default 15)")
+    dc.add_argument("--detect-only", action="store_true",
+                    help="print detected spans, write nothing")
+    dc.add_argument("--channel", type=int, default=None,
+                    help="one source channel instead of all channels")
+    dc.add_argument("--bits", type=int, choices=[16, 32], default=16)
+
     se = sub.add_parser(
         "specedit",
         help="edit time-frequency boxes (duck / erase / patch repair)",
@@ -982,6 +1005,56 @@ def _denoise_cmd(args):
     return 0
 
 
+def _declick_cmd(args):
+    import numpy as np
+
+    from .io.audio import open_audio_file, open_audio_mono_ex, write_wav
+    from .ops.declick import declick, find_clicks
+    from .utils.errors import MsvError
+
+    if not args.detect_only:
+        os.makedirs(args.outdir, exist_ok=True)
+    for f in args.files:
+        if args.channel is None:
+            wav, sr = open_audio_file(f)  # (n_ch, T)
+        else:
+            mono, sr, _, _, _ = open_audio_mono_ex(f, channel=args.channel)
+            wav = np.asarray(mono, np.float32)[None]
+        t0 = time.perf_counter()
+        try:
+            if args.detect_only:
+                for ci, ch in enumerate(wav):
+                    spans = find_clicks(ch, sr, thresh=args.thresh,
+                                        max_click_ms=args.max_click_ms)
+                    for (a, b) in spans:
+                        print(f"  {f} ch{ci}  {a / sr:.4f}s - {b / sr:.4f}s"
+                              f"  ({b - a} samples)")
+                    if not spans:
+                        print(f"  {f} ch{ci}  no clicks")
+                continue
+            chans, n_rep, n_skip = [], 0, 0
+            for ch in wav:
+                rep, spans, skipped = declick(
+                    ch, sr, thresh=args.thresh,
+                    max_click_ms=args.max_click_ms)
+                chans.append(rep)
+                n_rep += len(spans)
+                n_skip += len(skipped)
+            out = np.stack(chans)
+        except ValueError as e:
+            raise MsvError(f"{f}: {e}") from e
+        dt = time.perf_counter() - t0
+        stem = os.path.splitext(os.path.basename(f))[0] + (
+            "" if args.channel is None else f"_ch{args.channel}"
+        )
+        path = os.path.join(args.outdir, f"{stem}_dc.wav")
+        write_wav(path, out, sr, bits=args.bits)
+        skip_note = f", {n_skip} edge span(s) left" if n_skip else ""
+        print(f"  {path}  {out.shape[0]} ch, {n_rep} click(s) "
+              f"repaired{skip_note}  ({dt:.2f}s)")
+    return 0
+
+
 def _filter_sos_from_args(args, sr):
     """Assemble the SOS cascade a `msv_tpu filter` invocation asks for."""
     import numpy as np
@@ -1361,6 +1434,8 @@ def _main(argv=None):
 
     if args.cmd == "denoise":
         return _denoise_cmd(args)
+    if args.cmd == "declick":
+        return _declick_cmd(args)
     if args.cmd == "specedit":
         return _specedit_cmd(args)
 

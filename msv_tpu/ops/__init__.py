@@ -25,12 +25,15 @@ from .rhythm import (beat_track, beat_track_from_envelope,
 from .filter import (butter_sos, peaking_eq, low_shelf, high_shelf, notch,
                      sosfilt, sosfilt_streamed, filtfilt, firwin, fir_filter)
 from .align import align_offset, AlignResult
+from .declick import declick, find_clicks
 from .denoise import denoise, wiener_gain
 
 __all__ = [
     "align_offset",
     "AlignResult",
+    "declick",
     "denoise",
+    "find_clicks",
     "wiener_gain",
     "butter_sos",
     "peaking_eq",

@@ -110,6 +110,10 @@ def find_clicks(
         m = np.maximum(m, np.maximum(np.roll(m, 1), np.roll(m, -1)))
         return np.repeat(m, hop)[:n]
 
+    merge = int(merge_ms / 1000.0 * sr)
+    pad = int(pad_ms / 1000.0 * sr)
+    lim = int(max_click_ms / 1000.0 * sr)
+
     # pass 1: lenient flags off the possibly click-corrupted models,
     # then interpolate the suspects out of the MODEL signal
     absr1 = residual_of(fit(wav), wav)
@@ -133,12 +137,12 @@ def find_clicks(
     absr2 = residual_of(a2, wav)
     scale2 = chunk_scale(residual_of(a2, clean))
     floor = max(float(np.median(absr2)) * 0.1, 1e-8)
-    flags = absr2 > np.float32(thresh) * np.maximum(scale2, floor)
+    denom = np.maximum(scale2, floor)
+    ratio = absr2 / denom
+    flags = ratio > np.float32(thresh)
     if not flags.any():
         return []
     idx = np.flatnonzero(flags)
-    merge = int(merge_ms / 1000.0 * sr)
-    pad = int(pad_ms / 1000.0 * sr)
     spans = []
     a0 = b0 = idx[0]
     for t in idx[1:]:
@@ -149,11 +153,23 @@ def find_clicks(
             a0 = b0 = t
     spans.append((a0, b0 + 1))
     out = []
-    lim = int(max_click_ms / 1000.0 * sr)
     for (s0, s1) in spans:
         s0 = max(s0 - pad, 0)
         s1 = min(s1 + pad, n)
-        if s1 - s0 <= lim:
+        # Over-long spans are not clicks — EXCEPT at the signal edges,
+        # where they are kept (reported) when they contain a decisively
+        # click-like spike: the first/last LPC frames are half zero-pad,
+        # so pass 1 interpolates a large fraction of the edge chunk out
+        # and the pass-2 re-fit flags a residual smear across the whole
+        # edge that merges with any true edge click.  Dropping that
+        # merged span would silently LOSE the click (measured: the click
+        # at 0.004 s vanished); keeping it lets downstream classify it
+        # as too-close-to-edge-to-patch.  The 5x-thresh peak gate keeps
+        # smears WITHOUT a click out (true clicks run decades above
+        # threshold — measured 2257x vs 1.6x for a click-free smear).
+        edge_hit = ((s0 < frame_length or s1 > n - frame_length)
+                    and float(ratio[s0:s1].max()) > 5.0 * thresh)
+        if s1 - s0 <= lim or edge_hit:
             if out and s0 <= out[-1][1]:
                 out[-1] = (out[-1][0], s1)
             else:
@@ -185,15 +201,24 @@ def declick(
     if not spans:
         return wav, [], []
     hop = repair_win // 4
-    # a patch box needs 2 clean frames left + 1 right of its span; the
-    # box builder adds a frame of slack each side, so require ~4 hops
-    lead = 4 * hop + repair_win // 2
+    # each span is widened by win/2 per side before boxing: the patch's
+    # "clean" boundary frames (fa-1 left, fb right) overlap the raw span
+    # by up to win/2 - hop samples, so an unwidened box interpolates from
+    # click-contaminated endpoints (measured: -9.7 dB repair vs -70 dB
+    # widened).  The edge guard grows by the same amount so a widened
+    # box still has its clean frames inside the signal.
+    widen = repair_win // 2
+    lead = 4 * hop + repair_win // 2 + widen
+    lim = int(find_kw.get("max_click_ms", 15.0) / 1000.0 * sr)
     ok, skipped = [], []
     for (s0, s1) in spans:
-        if s0 < lead or s1 > len(wav) - lead:
+        if s0 < lead or s1 > len(wav) - lead or s1 - s0 > lim:
+            # too close to an edge for the patch's clean-frame
+            # requirement, or an over-long edge smear (find_clicks keeps
+            # those so the click inside is reported, not silently lost)
             skipped.append((s0, s1))
         else:
-            ok.append((s0, s1))
+            ok.append((max(s0 - widen, 0), min(s1 + widen, len(wav))))
     if not ok:
         return wav, [], skipped
     # merge spans whose repair boxes would overlap in frames

@@ -333,6 +333,10 @@ async function load() {
   window._gen = d.gen;
   window._dbText = `${d.min_db.toFixed(1)} … ${d.max_db.toFixed(1)} dB`;
   document.getElementById('dbrange').textContent = window._dbText;
+  // per-load window listeners die with the load that made them (the
+  // track nodes are GC'd with innerHTML, but window listeners are not)
+  if (window._selAbort) window._selAbort.abort();
+  window._selAbort = new AbortController();
   const el = document.getElementById('tracks'); el.innerHTML = '';
   for (const t of tracks) {
     const div = document.createElement('div'); div.className = 'track';
@@ -351,7 +355,7 @@ async function load() {
         <button data-key="${t.id}" title="Krumhansl-Schmuckler key estimate of this track's mix">key</button>
         <button data-an="${t.id}" title="full analysis report (loudness, tempo, key, structure, onsets, pitch) — computed in the background">analyze</button>
         ${t.id !== tracks[0].id ? `<button data-align="${t.id}" title="time offset of this track's content vs track #${tracks[0].id} (envelope NCC + GCC-PHAT)">align</button>` : ''}
-        <select data-fx="${t.id}" title="process this track and add the result as a new track"><option value="">fx&#8230;</option><option value="denoise">denoise</option><option value="harmonic">harmonic</option><option value="percussive">percussive</option><option value="separate">separate (NMF x2)</option></select>
+        <select data-fx="${t.id}" title="process this track and add the result as a new track"><option value="">fx&#8230;</option><option value="denoise">denoise</option><option value="declick">declick</option><option value="harmonic">harmonic</option><option value="percussive">percussive</option><option value="separate">separate (NMF x2)</option></select>
         <button data-rm="${t.id}">&#10005;</button></div>
       <div class="imgs" id="box${t.id}" style="position:relative;height:${H + WH}px">
         <div id="spacer${t.id}" style="height:1px"></div>
@@ -437,7 +441,7 @@ async function load() {
         clearImgCache();  // new track shifts the shared dB window
         load();
       } catch (e) {}
-    });
+    }, {signal: window._selAbort.signal});
   }
   refresh();
 }
@@ -1565,10 +1569,10 @@ class _Handler(BaseHTTPRequestHandler):
                 from .io.audio import write_wav
 
                 op = str(body.get("op", ""))
-                if op not in ("denoise", "harmonic", "percussive",
-                              "separate", "specedit"):
+                if op not in ("denoise", "declick", "harmonic",
+                              "percussive", "separate", "specedit"):
                     raise ValueError(
-                        f"unknown op {op!r}: expected denoise | "
+                        f"unknown op {op!r}: expected denoise | declick | "
                         "harmonic | percussive | separate | specedit")
                 sid = int(body["id"])
                 with self.lock.read():
@@ -1576,7 +1580,16 @@ class _Handler(BaseHTTPRequestHandler):
                     wav = tr.wav_slice(0, tr.n_samples)
                     sr = tr.sr
                 p = derive_stft_params(sr, mt.setting)
-                if op == "denoise":
+                detail = None
+                if op == "declick":
+                    from .ops.declick import declick as _declick
+
+                    rep, dspans, dskip = _declick(
+                        np.asarray(wav, np.float32), sr)
+                    outs = [np.asarray(rep, np.float32)]
+                    detail = {"repaired": len(dspans),
+                              "skipped": len(dskip)}
+                elif op == "denoise":
                     from .ops.denoise import denoise
 
                     outs = [np.asarray(denoise(
@@ -1648,12 +1661,12 @@ class _Handler(BaseHTTPRequestHandler):
                         paths.append(path)
                     mt.add_tracks(new_ids, paths)
                 self._cache().bump_gen()
-                self._send(
-                    200, "application/json",
-                    json.dumps({"ok": True, "id": new_ids[0],
-                                "ids": new_ids, "op": op,
-                                "source": sid}).encode(),
-                )
+                resp = {"ok": True, "id": new_ids[0], "ids": new_ids,
+                        "op": op, "source": sid}
+                if detail is not None:
+                    resp["detail"] = detail
+                self._send(200, "application/json",
+                           json.dumps(resp).encode())
             elif url.path == "/api/setting":
                 # live settings: merge partial fields into the current
                 # SpecSetting and re-derive every track (lib.rs:57-61
