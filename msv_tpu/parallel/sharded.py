@@ -369,3 +369,137 @@ def freq_sharded_spec(mesh, wav, win, hop, c, s, mel_fb=None):
     if not use_mel and f_pad:
         db = db[:, :n_freq]
     return db, n_frames
+
+
+# ---------------------------------------------------------------------------
+# Sequence-sharded waveform envelope (display.rs:92-97 min/max windows).
+#
+# The envelope render scans the whole waveform once per zoom — at hour
+# scale that is the second-largest device pass after the STFT itself.  The
+# sharded form splits the waveform across every mesh device (both axes
+# flattened: a pure sequence op has no batch dimension), exchanges a
+# 1.5*spp-sample halo with each neighbor over ICI (two ppermutes), and each
+# device reduces the columns whose windows live in its local span.  Column
+# windows come in pre-clamped from the host (the exact f32 rust-round
+# semantics of render/envelope.py col_windows), so the device math is pure
+# min/max — parity with the single-chip path is bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def make_sharded_envelope_fn(mesh, *, cols_per_dev, local_len, halo, max_w):
+    """Build the jitted shard_map envelope reducer for one shape bucket.
+
+    fn(wav (n_dev*local_len,) sharded, starts (n_dev*cols_per_dev,) i32,
+       ends (same,)) -> (mx, mn) each (n_dev*cols_per_dev,) f32 sharded.
+    ``starts``/``ends`` are GLOBAL sample indices, already clamped to the
+    real signal; windows are guaranteed <= max_w and to reach at most
+    ``halo`` samples outside the local span.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    axes = ("dp", "sp")
+    n_dev = mesh.shape["dp"] * mesh.shape["sp"]
+
+    def per_device(wav_l, starts_l, ends_l):
+        d = jax.lax.axis_index("dp") * mesh.shape["sp"] + jax.lax.axis_index("sp")
+        # halo exchange: left neighbor's tail, right neighbor's head.
+        # Missing ends (device 0 / n-1) receive zeros — harmless, since
+        # starts/ends never index outside the real signal.
+        right_src = [(i, i + 1) for i in range(n_dev - 1)]
+        left_src = [(i + 1, i) for i in range(n_dev - 1)]
+        lh = jax.lax.ppermute(wav_l[-halo:], axes, right_src)
+        rh = jax.lax.ppermute(wav_l[:halo], axes, left_src)
+        ext = jnp.concatenate([lh, wav_l, rh])
+        base = d * local_len - halo  # global index of ext[0]
+        offs = jnp.arange(max_w, dtype=jnp.int32)[None, :]
+        idx_g = starts_l[:, None] + offs
+        valid = idx_g < ends_l[:, None]
+        idx_l = jnp.clip(idx_g - base, 0, ext.shape[0] - 1)
+        g = ext[idx_l]
+        mx = jnp.max(jnp.where(valid, g, -jnp.inf), axis=1)
+        mn = jnp.min(jnp.where(valid, g, jnp.inf), axis=1)
+        return mx, mn
+
+    spec_w = P(("dp", "sp"))
+    return jax.jit(
+        shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(spec_w, spec_w, spec_w),
+            out_specs=(spec_w, spec_w),
+        )
+    )
+
+
+def sharded_envelope_minmax(mesh, wav, n_cols: int):
+    """Per-column (max, min) of the min/max waveform envelope, sequence-
+    sharded over every device of ``mesh``.
+
+    Columns follow the reference semantics (display.rs:92-97 via
+    render/envelope.py col_windows): window i spans
+    [round((i-1.5)*spp), round((i+1.5)*spp)) clamped to the signal, spp =
+    len(wav)/n_cols.  Requires spp >= 1 (the upsampling branch is a
+    host-side pre-step on the single-chip path).  Returns (mx, mn) numpy
+    arrays of length n_cols, bit-identical to the unsharded reduction.
+    """
+    import numpy as np
+
+    from ..utils.rounding import rust_round_np
+
+    f32 = np.float32
+    n = len(wav)
+    if n_cols < 1 or n < n_cols:
+        raise ValueError(f"need 1 <= n_cols <= len(wav), got {n_cols}, {n}")
+    n_dev = mesh.shape["dp"] * mesh.shape["sp"]
+    spp = f32(n) / f32(n_cols)
+    # identical f32 value stream to EnvelopeState._windows_for
+    i_px = np.arange(n_cols, dtype=np.float32)
+    starts = rust_round_np((i_px - f32(1.5)) * spp)
+    starts = np.maximum(starts, 0.0).astype(np.int64)
+    ends = rust_round_np((i_px + f32(1.5)) * spp).astype(np.int64)
+    ends = np.minimum(ends, n)
+    ends = np.maximum(ends, starts + 1)
+
+    cols_per_dev = -(-n_cols // n_dev)
+    n_cols_pad = cols_per_dev * n_dev
+    # device d's wav shard must cover its columns' windows: col c lives
+    # near sample c*spp, so the shard length tracks cols_per_dev*spp (the
+    # per-device drift from the ceil is < 1 sample per device boundary,
+    # absorbed into the halo below)
+    local_len = int(np.ceil(cols_per_dev * float(spp)))
+    n_pad = local_len * n_dev
+    # dummy columns: 1-sample windows at the end of their device's span so
+    # the halo bound still holds; results are discarded host-side
+    d_of = np.minimum(np.arange(n_cols, n_cols_pad) // cols_per_dev,
+                      n_dev - 1)
+    pad_pos = np.minimum((d_of + 1) * local_len - 1, n - 1)
+    starts_p = np.concatenate([starts, pad_pos]).astype(np.int32)
+    ends_p = np.concatenate([ends, pad_pos + 1]).astype(np.int32)
+    max_w = int((ends - starts).max())
+    # windows reach at most ~1.5*spp + ceil drift + rounding outside the
+    # local span
+    halo = int(np.ceil(1.5 * float(spp))) + n_dev + 2
+    if halo > local_len:
+        raise ValueError(
+            f"shards too small for the halo ({local_len} < {halo}): "
+            f"use fewer devices or more samples per column")
+    # bucket the gather width so zoom levels share compiled programs
+    max_w_b = 1 << max(int(np.ceil(np.log2(max(max_w, 2)))), 1)
+
+    wav_f = np.zeros(n_pad, np.float32)
+    wav_f[:n] = np.asarray(wav, np.float32)
+
+    fn = make_sharded_envelope_fn(
+        mesh, cols_per_dev=cols_per_dev, local_len=local_len, halo=halo,
+        max_w=max_w_b,
+    )
+    sh = NamedSharding(mesh, P(("dp", "sp")))
+    mx, mn = fn(
+        jax.device_put(wav_f, sh),
+        jax.device_put(starts_p, sh),
+        jax.device_put(ends_p, sh),
+    )
+    import numpy as _np
+
+    return _np.asarray(mx)[:n_cols], _np.asarray(mn)[:n_cols]

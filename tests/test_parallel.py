@@ -390,3 +390,37 @@ def test_session_streams_all_long_tracks(tmp_path, monkeypatch, rng):
     assert calls, "long track bypassed the streaming engine"
     img = mt.get_spec_image(0, 50.0, 100)
     assert img.shape[0] == 100
+
+
+@pytest.mark.parametrize("n_dp,n_sp", [(1, 8), (2, 4), (4, 2)])
+def test_sharded_envelope_matches_oracle(rng, n_dp, n_sp):
+    """Sequence-sharded envelope min/max (ppermute halo over the flattened
+    mesh) is bit-identical to a direct reduction over the reference's
+    col_windows (display.rs:92-97 via EnvelopeState._windows_for)."""
+    from msv_tpu.parallel.sharded import sharded_envelope_minmax
+    from msv_tpu.utils.rounding import rust_round_np
+
+    mesh = make_mesh(n_dp, n_sp)
+    f32 = np.float32
+    for n, n_cols in [(48000, 441), (9973, 37)]:
+        wav = (rng.standard_normal(n) * 0.3).astype(np.float32)
+        mx, mn = sharded_envelope_minmax(mesh, wav, n_cols)
+        spp = f32(n) / f32(n_cols)
+        i_px = np.arange(n_cols, dtype=np.float32)
+        st = np.maximum(rust_round_np((i_px - f32(1.5)) * spp), 0).astype(np.int64)
+        en = np.minimum(rust_round_np((i_px + f32(1.5)) * spp), n).astype(np.int64)
+        en = np.maximum(en, st + 1)
+        omx = np.array([wav[a:b].max() for a, b in zip(st, en)])
+        omn = np.array([wav[a:b].min() for a, b in zip(st, en)])
+        np.testing.assert_array_equal(mx, omx)
+        np.testing.assert_array_equal(mn, omn)
+
+
+def test_sharded_envelope_validation(rng):
+    from msv_tpu.parallel.sharded import sharded_envelope_minmax
+
+    mesh = make_mesh(1, 8)
+    with pytest.raises(ValueError):
+        sharded_envelope_minmax(mesh, np.zeros(100, np.float32), 200)
+    with pytest.raises(ValueError):  # shards smaller than the halo
+        sharded_envelope_minmax(mesh, np.zeros(64, np.float32), 32)
