@@ -246,3 +246,23 @@ def set_db_wire(wire: str) -> None:
 
 def get_db_wire() -> str:
     return _DB_WIRE
+
+
+# Session HBM budget: device bytes the cached per-track state (dB planes,
+# envelope buffers, adaptive builds) may hold before the LRU track spills
+# to host.  None = unbounded (the reference keeps everything in RAM,
+# lib.rs:80; a v5e has 16 GB of HBM and an hour-track's dB plane is
+# ~90 MB, so a few dozen hour tracks would otherwise OOM with no
+# graceful path).  Per-session override: MultiTrack(hbm_budget_bytes=...).
+_SESSION_HBM_BUDGET: int | None = None
+
+
+def set_session_hbm_budget(n_bytes: int | None) -> None:
+    global _SESSION_HBM_BUDGET
+    if n_bytes is not None and n_bytes < 0:
+        raise ValueError(f"hbm budget must be >= 0 or None, got {n_bytes}")
+    _SESSION_HBM_BUDGET = n_bytes
+
+
+def get_session_hbm_budget() -> int | None:
+    return _SESSION_HBM_BUDGET

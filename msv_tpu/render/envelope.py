@@ -296,6 +296,23 @@ class EnvelopeState:
         self._init_caches()
         return self
 
+    def device_nbytes(self) -> int:
+        """Current device footprint: the resident waveform plus every
+        cached sparse-table level and column-index array (session HBM
+        budget accounting)."""
+        with self._cache_lock:
+            total = int(self.dev.nbytes)
+            for levels in self._sparse_cache.values():
+                for arr in levels:
+                    total += int(getattr(arr, "nbytes", 0))
+            for pair in self._dev_col_cache.values():
+                for arr in pair:
+                    total += int(getattr(arr, "nbytes", 0))
+            if self._pooled is not None:
+                for arr in self._pooled:
+                    total += int(getattr(arr, "nbytes", 0))
+        return total
+
     def pooled(self):
         with self._cache_lock:
             if self._pooled is None:

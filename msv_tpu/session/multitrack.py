@@ -304,12 +304,32 @@ class _TrackState:
 
 
 class MultiTrack:
-    """Multi-track spectrogram/waveform session (lib.rs:72-365)."""
+    """Multi-track spectrogram/waveform session (lib.rs:72-365).
 
-    def __init__(self, setting: SpecSetting | None = None):
+    ``hbm_budget_bytes`` bounds the device footprint of the cached
+    per-track state (dB planes ~90 MB per hour-track, envelope buffers,
+    adaptive builds): past the budget the least-recently-rendered track's
+    dB plane spills to host f32 (bit-exact; re-uploaded on its next
+    render) and its envelope/adaptive buffers drop (lazily rebuilt).
+    None (default, or config.set_session_hbm_budget) = unbounded, the
+    reference's keep-everything behavior (lib.rs:80).
+    """
+
+    def __init__(self, setting: SpecSetting | None = None,
+                 hbm_budget_bytes: int | None = None):
         import jax.numpy as jnp  # deferred so host-only use stays light
 
+        from ..config import get_session_hbm_budget
+
         self._jnp = jnp
+        self.hbm_budget_bytes = (
+            hbm_budget_bytes if hbm_budget_bytes is not None
+            else get_session_hbm_budget()
+        )
+        self._lru: dict[int, int] = {}  # id -> last-use tick
+        self._lru_clock = 0
+        self._hbm_spills = 0
+        self._hbm_reuploads = 0
         self.setting = setting or SpecSetting()
         self.tracks: dict[int, AudioTrack] = {}
         self.windows: dict[int, np.ndarray] = {}  # sr -> window (hann/n_fft)
@@ -344,6 +364,90 @@ class MultiTrack:
         if mel:
             self.mel_fbs[sr] = fb
             self._mel_dev[sr] = fb_dev
+
+    # -------------------------------------------------- HBM budget / LRU
+
+    def _touch(self, id: int) -> None:
+        self._lru_clock += 1
+        self._lru[id] = self._lru_clock
+
+    def _track_device_bytes(self, id: int) -> int:
+        """Device bytes currently held for one track (dB plane + envelope
+        buffers + adaptive build)."""
+        total = 0
+        st = self._state.get(id)
+        if st is not None and isinstance(st.spec_db, self._jnp.ndarray):
+            total += int(st.spec_db.nbytes)
+        env = self._env_states.get(id)
+        if env is not None:
+            total += env.device_nbytes()
+        with self._adaptive_lock:
+            b = self._adaptive_db.get(id)
+        if b is not None:
+            with b.lock:
+                if b.full is not None:
+                    total += int(b.full.nbytes)
+        return total
+
+    def hbm_stats(self) -> dict:
+        """Device-memory accounting (surfaced by the viewer's /api/stats)."""
+        per = {tid: self._track_device_bytes(tid) for tid in self.tracks}
+        return {
+            "budget_bytes": self.hbm_budget_bytes,
+            "resident_bytes": sum(per.values()),
+            "per_track_bytes": per,
+            "spills": self._hbm_spills,
+            "reuploads": self._hbm_reuploads,
+        }
+
+    def _spill_track(self, id: int) -> None:
+        """Move one track's dB plane to host (bit-exact f32) and drop its
+        rebuildable device buffers.  Renders of the track keep working:
+        the next one re-uploads the identical plane (pixel parity) and
+        the envelope/adaptive state lazily rebuilds."""
+        st = self._state.get(id)
+        if st is not None and isinstance(st.spec_db, self._jnp.ndarray):
+            st.spec_db = np.asarray(st.spec_db)
+        with self._env_lock:
+            self._env_states.pop(id, None)
+        self._drop_adaptive(id)
+        self._hbm_spills += 1
+        self._log.debug("hbm budget: spilled track %d", id)
+
+    def _enforce_hbm_budget(self, exclude=()) -> None:
+        """Spill least-recently-rendered tracks until the device total fits
+        the budget.  Concurrent renders stay safe: a render already holding
+        a device array keeps it alive (jax arrays are immutable and
+        refcounted); spilling only drops the session's reference."""
+        budget = self.hbm_budget_bytes
+        if budget is None:
+            return
+        per = {tid: self._track_device_bytes(tid) for tid in self.tracks}
+        total = sum(per.values())
+        if total <= budget:
+            return
+        order = sorted(
+            (tid for tid in self.tracks if tid not in exclude),
+            key=lambda t: self._lru.get(t, 0),
+        )
+        for tid in order:
+            if total <= budget:
+                break
+            if per.get(tid, 0) <= 0:
+                continue
+            self._spill_track(tid)
+            total -= per[tid]
+
+    def _ensure_resident(self, id: int) -> "_TrackState":
+        """The track's state with its dB plane on device, re-uploading a
+        spilled plane on demand (and making room by LRU if needed)."""
+        st = self._state[id]
+        self._touch(id)
+        if not isinstance(st.spec_db, self._jnp.ndarray):
+            st.spec_db = self._jnp.asarray(st.spec_db)
+            self._hbm_reuploads += 1
+            self._enforce_hbm_budget(exclude=(id,))
+        return st
 
     def _use_pallas(self, track) -> bool:
         from ..config import get_engine
@@ -633,6 +737,9 @@ class MultiTrack:
             self.id_max_sec, self.max_sec = best_id, best_sec
         with self.timer.stage("add_tracks.spec"):
             self._compute_specs(list(id_list))
+        for id in id_list:
+            self._touch(id)  # newest tracks evict last
+        self._enforce_hbm_budget()
         return self._update_db_state()
 
     def _compute_specs(self, id_list) -> None:
@@ -736,6 +843,7 @@ class MultiTrack:
         self._state.pop(id, None)
         self._env_states.pop(id, None)
         self._drop_adaptive(id)
+        self._lru.pop(id, None)
         if self.id_max_sec == id:
             best_id, best_sec = 0, 0.0
             for tid, t in self.tracks.items():
@@ -811,7 +919,7 @@ class MultiTrack:
         """
         from ..config import get_db_wire
 
-        st = self._state[self._require(id)]
+        st = self._ensure_resident(self._require(id))
         wire = wire or get_db_wire()
         if wire == "f32":
             return np.asarray(st.spec_db[: st.n_frames])
@@ -892,7 +1000,7 @@ class MultiTrack:
         (docs/PARITY.md).
         """
         track = self._track(id)
-        st = self._state[id]
+        st = self._ensure_resident(id)
         f32 = np.float32
         nwidth = trunc_int(f32(px_per_sec) * f32(track.n_samples) / f32(track.sr))
         if nwidth == 0 or nheight == 0:
@@ -909,10 +1017,12 @@ class MultiTrack:
         )
 
         with self.timer.stage("get_spec_image.render"):
-            return self._run_render(
+            out = self._run_render(
                 st, wv, wh, height=height, banded=banded, nheight=nheight,
                 ncols=nwidth, wire=wire or get_image_wire(),
             )
+        self._enforce_hbm_budget(exclude=(id,))
+        return out
 
     def get_spec_image_crop(
         self,
@@ -932,7 +1042,7 @@ class MultiTrack:
         full-width image would be ~10^5 px wide.
         """
         track = self._track(id)
-        st = self._state[id]
+        st = self._ensure_resident(id)
         full_w, c0, c1 = _crop_cols(track, px_per_sec, start_sec, end_sec)
         if c1 <= c0 or nheight == 0:
             return np.zeros((nheight, 0, 3), dtype=np.uint8)
@@ -945,10 +1055,12 @@ class MultiTrack:
         wv = _dev_vertical_weights(height, nheight, out_h_b)
         wh = _dev_horizontal_weights_crop(st.n_frames, full_w, c0, c1, out_w_b)
         with self.timer.stage("get_spec_image.render"):
-            return self._run_render(
+            out = self._run_render(
                 st, wv, wh, height=height, banded=True, nheight=nheight,
                 ncols=ncols, wire=wire or get_image_wire(),
             )
+        self._enforce_hbm_budget(exclude=(id,))
+        return out
 
     # Slice-local adaptive renders recompute their frame support at 3
     # window scales per request; past this support the render switches to
@@ -1204,13 +1316,16 @@ class MultiTrack:
         wh = _dev_horizontal_weights_crop(nf, full_w, c0, c1, out_w_b,
                                           base=base)
         with self.timer.stage("adaptive.render"):
-            return self._run_render(
+            out = self._run_render(
                 SimpleNamespace(spec_db=db_p), wv, wh, height=height,
                 banded=True, nheight=nheight, ncols=ncols,
                 wire=wire or get_image_wire(),
             )
+        self._enforce_hbm_budget(exclude=(id,))
+        return out
 
     def _env_state_for(self, id: int, track):
+        self._touch(id)
         st = self._env_states.get(id)
         if st is None:
             from ..render.envelope import EnvelopeState
@@ -1229,6 +1344,7 @@ class MultiTrack:
                         scale=track.scale,
                     )
                     self._env_states[id] = st
+            self._enforce_hbm_budget(exclude=(id,))
         return st
 
     def get_wav_image(
@@ -1241,9 +1357,11 @@ class MultiTrack:
         _check_render_dims(nwidth, nheight, "get_wav_image")
         st = self._env_state_for(id, track)
         with self.timer.stage("get_wav_image.render"):
-            return wav_to_image(
+            out = wav_to_image(
                 None, nwidth, nheight, (amp_min, amp_max), state=st
             )
+        self._enforce_hbm_budget(exclude=(id,))
+        return out
 
     def get_wav_image_crop(
         self,
@@ -1266,7 +1384,7 @@ class MultiTrack:
                            "get_wav_image_crop")
         st = self._env_state_for(id, track)
         with self.timer.stage("get_wav_image.render"):
-            return wav_to_image(
+            out = wav_to_image(
                 None,
                 nwidth,
                 nheight,
@@ -1274,6 +1392,8 @@ class MultiTrack:
                 state=st,
                 col_range=(c0, c1),
             )
+        self._enforce_hbm_budget(exclude=(id,))
+        return out
 
     def get_grey(self, id: int) -> np.ndarray:
         """The normalized grey image (display.rs:44-54) — exposed for tests
@@ -1281,7 +1401,7 @@ class MultiTrack:
         from ..render.grey import spec_to_grey
 
         track = self._track(id)
-        st = self._state[id]
+        st = self._ensure_resident(id)
         height = grey_height(st.n_out, self._up_ratio(track.sr))
         g = spec_to_grey(
             st.spec_db,

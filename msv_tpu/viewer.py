@@ -1093,6 +1093,7 @@ class _Handler(BaseHTTPRequestHandler):
                             "tracks": len(mt.tracks),
                             "sr_cache": sorted(mt.windows),
                             "env_states": len(mt._env_states),
+                            "hbm": mt.hbm_stats(),
                             "adaptive_builds": mt.adaptive_build_progress(),
                             "render_cache": {
                                 "hits": self._cache().hits,
