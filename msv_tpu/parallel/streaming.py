@@ -166,27 +166,37 @@ def padded_slice(src, a: int, b: int, half: int, n: int, dtype=np.int16):
 def _to_device_packed(seg_np, transfer: str):
     """Ship one segment host->device, bit-packed when it pays.
 
-    'pack'/'auto': int16 segments go through the wirepack codec — fewer
-    wire bytes (the binding constraint: ~25 MB/s sustained), unpacked
-    on-device by vectorized integer ops into the identical int16 buffer.
-    Falls back to raw whenever packing would not shrink the transfer.
+    'pack'/'auto': int16/int32/f32 segments go through the wirepack codec
+    — fewer wire bytes (the binding constraint: ~25 MB/s sustained),
+    unpacked on-device by vectorized integer ops into the identical
+    buffer.  pack_best picks the v2 stream (per-block LPC / patched
+    widths, native/wirepack2.cc) when it measures smaller, else the v1
+    delta stream; raw whenever packing would not shrink the transfer.
+    'pack1' pins the v1 codec (A/B harnesses).
     """
-    if transfer in ("pack", "auto"):
-        if seg_np.dtype in (np.int16, np.int32):
-            from .wirepack import pack_int, unpack_jax
+    if transfer in ("pack", "auto", "pack1"):
+        if transfer == "pack1" or _WIRE_V1_ONLY:
+            from .wirepack import pack_f32, pack_int, unpack_jax as _uj
 
-            p = pack_int(seg_np)
-        elif seg_np.dtype == np.float32:
-            # true-float sources: lossless ordered-float packing (strips
-            # shared zero mantissa planes; raw when entropy is full)
-            from .wirepack import pack_f32, unpack_jax
+            if seg_np.dtype in (np.int16, np.int32):
+                p = pack_int(seg_np)
+            elif seg_np.dtype == np.float32:
+                p = pack_f32(seg_np)
+            else:
+                p = None
+        elif seg_np.dtype in (np.int16, np.int32, np.float32):
+            from .wirepack import pack_best, unpack2_jax as _uj
 
-            p = pack_f32(seg_np)
+            p = pack_best(seg_np)
         else:
             p = None
         if p is not None:
-            return unpack_jax(p)
+            return _uj(p)
     return jnp.asarray(seg_np)
+
+
+# test/A-B hook: force the v1 wire codec globally (see bench harnesses)
+_WIRE_V1_ONLY = False
 
 
 def _run_segments(
