@@ -48,9 +48,25 @@ _LOG10_AMIN = math.log10(_AMIN)
 _DB_SCALE = 20.0 / math.log(10.0)
 
 
+def split_bf16(a: np.ndarray) -> np.ndarray:
+    """f32 -> stacked (2, ...) bf16 (hi, lo) planes with hi + lo ~= a to
+    ~16 mantissa bits.  The split-f32 kernel mode computes each f32 GEMM
+    as THREE single-pass bf16 dots (hi@hi + hi@lo + lo@hi, dropping the
+    ~2^-16-relative lo@lo term) — near-f32 accuracy without Mosaic's
+    multi-pass f32 scratch, which is what caps the parity kernel's frame
+    tile at 128 (round-3 crash regression; see _auto_tile_f)."""
+    import ml_dtypes
+
+    a = np.asarray(a, np.float32)
+    hi = a.astype(ml_dtypes.bfloat16)
+    lo = (a - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return np.stack([hi, lo])
+
+
 def _kernel(wav_ref, c_ref, s_ref, fb_ref, out_ref,
             chunk, frames, acc, cbuf, sbuf, fbbuf, sems, *,
-            t_overlap, hop, win, n_k_tiles, precision, batched=False):
+            t_overlap, hop, win, n_k_tiles, precision, batched=False,
+            split=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -98,6 +114,30 @@ def _kernel(wav_ref, c_ref, s_ref, fb_ref, out_ref,
         # iteration issues a redundant clamped reload (predicated DMA is not
         # supported by this Mosaic toolchain); it is drained after the loop.
         start_k(jnp.minimum(k + 1, n_k_tiles - 1), jax.lax.rem(k + 1, 2))
+        if split:
+            # split-f32: each f32 dot as 3 single-pass bf16 dots (hi@hi +
+            # hi@lo + lo@hi); operands carry (hi, lo) planes in dim 1
+            fr32 = frames[:]
+            fh = fr32.astype(jnp.bfloat16)
+            fl = (fr32 - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def sdot(a_h, a_l, b_pair):
+                hi = jnp.dot(a_h, b_pair[0],
+                             preferred_element_type=jnp.float32)
+                md = jnp.dot(a_h, b_pair[1],
+                             preferred_element_type=jnp.float32)
+                lo = jnp.dot(a_l, b_pair[0],
+                             preferred_element_type=jnp.float32)
+                return hi + md + lo
+
+            re = sdot(fh, fl, cbuf[slot])
+            im = sdot(fh, fl, sbuf[slot])
+            mag = jnp.sqrt(re * re + im * im)
+            mh = mag.astype(jnp.bfloat16)
+            ml = (mag - mh.astype(jnp.float32)).astype(jnp.bfloat16)
+            part = sdot(mh, ml, fbbuf[slot])
+            acc[:] = jnp.where(k == 0, part, acc[:] + part)
+            return _
         # precision: MXU f32 dots default to a single bf16 pass (~1e-3 rel
         # error — visible in dB near cancellation); parity mode forces the
         # multi-pass f32 algorithm.
@@ -220,15 +260,18 @@ def _resident_plan(n_frames, nk, win_p, hop_p, n_mel_p, t_overlap,
 
 
 def _auto_tile_f(n_frames, win_p, hop_p, n_mel_p, t_overlap, bpe_mat,
-                 bpe_wav):
+                 bpe_wav, split=False):
     """Largest frame tile that divides n_frames and fits the ~16 MB VMEM
     budget (measured: bf16 tf512 = +27% frames/s over tf128; f32 operands
     at tf256 already blow scoped vmem on v5e)."""
-    if bpe_mat == 4:
+    if bpe_mat == 4 and not split:
         # f32 operands (parity mode): tf256 blows scoped vmem on v5e even
         # though the declared-scratch sum fits the budget — Mosaic's
         # compiler-managed scratch for the multi-pass f32 dots is not in
         # this estimate.  128 is the measured ceiling; do not offer more.
+        # (split mode carries the same operand bytes as hi/lo bf16 pairs
+        # but its dots are single-pass — no hidden scratch — so it walks
+        # the normal tile ladder below.)
         return TILE_F
     budget = 14 * 1024 * 1024  # leave headroom under the 16 MB limit
     for tf in (512, 256, 128):
@@ -288,24 +331,39 @@ def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
     t_overlap = win // hop
     if win % hop:
         raise ValueError("pallas kernel requires win % hop == 0")
-    if c3d.ndim != 3 or s3d.ndim != 3 or fb3d.ndim != 3:
+    split = c3d.ndim == 4  # (nk, 2, win_p, TILE_K) bf16 hi/lo planes
+    if split:
+        if (s3d.ndim != 4 or fb3d.ndim != 4
+                or c3d.dtype != jnp.bfloat16):
+            raise ValueError(
+                "split operands must all be (nk, 2, ...) bf16 "
+                "(use prepare_matrices_split)")
+    elif c3d.ndim != 3 or s3d.ndim != 3 or fb3d.ndim != 3:
         raise ValueError("operands must be pre-tiled (use prepare_operands)")
     if wav2d.ndim not in (2, 3):
         raise ValueError("wav2d must be (rows, hop) or batched (B, rows, hop)")
     batched = wav2d.ndim == 3
     n_batch = wav2d.shape[0] if batched else 1
     n_k_tiles = c3d.shape[0]
-    win_p = c3d.shape[1]
+    win_p = c3d.shape[-2]
     hop_p = wav2d.shape[-1]
-    n_mel_p = fb3d.shape[2]
-    bpe_mat = 2 if c3d.dtype == jnp.bfloat16 else 4
+    n_mel_p = fb3d.shape[-1]
+    bpe_mat = 4 if split else (2 if c3d.dtype == jnp.bfloat16 else 4)
     bpe_wav = 2 if wav2d.dtype == jnp.int16 else 4
     if variant not in (None, "resident", "stream"):
         raise ValueError(f"unknown variant: {variant!r}")
-    res_fits, res_tf = _resident_plan(
-        n_frames, n_k_tiles, win_p, hop_p, n_mel_p, t_overlap,
-        bpe_mat, bpe_wav,
-    )
+    if split:
+        # hi/lo operand pairs cost f32 bytes but the dots are single-pass
+        # bf16 — no Mosaic multi-pass scratch, so the big frame tiles are
+        # back on the table; the resident schedule is out (48k operands
+        # at 4 B/elem never fit the resident budget anyway)
+        res_fits, res_tf = False, TILE_F
+        variant = "stream"
+    else:
+        res_fits, res_tf = _resident_plan(
+            n_frames, n_k_tiles, win_p, hop_p, n_mel_p, t_overlap,
+            bpe_mat, bpe_wav,
+        )
     if variant is None:
         variant = "resident" if res_fits else "stream"
     elif variant == "resident" and not res_fits and tile_f is None:
@@ -315,6 +373,7 @@ def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
     if tile_f is None:
         tile_f = res_tf if variant == "resident" else _auto_tile_f(
             n_frames, win_p, hop_p, n_mel_p, t_overlap, bpe_mat, bpe_wav,
+            split=split,
         )
     if n_frames % tile_f:
         raise ValueError(f"n_frames must be a multiple of {tile_f}")
@@ -376,8 +435,14 @@ def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
 
     kernel = functools.partial(
         _kernel, t_overlap=t_overlap, hop=hop, win=win, n_k_tiles=n_k_tiles,
-        precision=precision, batched=batched,
+        precision=precision, batched=batched, split=split,
     )
+    if split:  # (slot, hi/lo, ...) double buffers of the bf16 pairs
+        cs_buf = pltpu.VMEM((2, 2, win_p, TILE_K), jnp.bfloat16)
+        fb_buf = pltpu.VMEM((2, 2, TILE_K, n_mel_p), jnp.bfloat16)
+    else:
+        cs_buf = pltpu.VMEM((2, win_p, TILE_K), c3d.dtype)
+        fb_buf = pltpu.VMEM((2, TILE_K, n_mel_p), fb3d.dtype)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -393,9 +458,9 @@ def mel_spectrogram_pallas(wav2d, c3d, s3d, fb3d, *, win, hop, n_frames,
             pltpu.VMEM((n_chunk_rows, hop_p), wav2d.dtype),  # chunk
             pltpu.VMEM((tile_f, win_p), jnp.float32),  # frames
             pltpu.VMEM((tile_f, n_mel_p), jnp.float32),  # accumulator
-            pltpu.VMEM((2, win_p, TILE_K), c3d.dtype),  # C double buffer
-            pltpu.VMEM((2, win_p, TILE_K), s3d.dtype),  # S double buffer
-            pltpu.VMEM((2, TILE_K, n_mel_p), fb3d.dtype),  # fb double buffer
+            cs_buf,  # C double buffer
+            cs_buf,  # S double buffer
+            fb_buf,  # fb double buffer
             pltpu.SemaphoreType.DMA((7,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -447,6 +512,19 @@ def prepare_matrices(c: np.ndarray, s: np.ndarray, mel_fb: np.ndarray,
     s3d = np.ascontiguousarray(s_p.reshape(win_p, nk, TILE_K).transpose(1, 0, 2))
     fb3d = np.ascontiguousarray(fb_p.reshape(nk, TILE_K, n_mel_p))
     return c3d, s3d, fb3d, n_mel
+
+
+def prepare_matrices_split(c: np.ndarray, s: np.ndarray,
+                           mel_fb: np.ndarray, win: int):
+    """Split-f32 operand tiling: each f32 matrix becomes (nk, 2, ...)
+    stacked bf16 (hi, lo) planes for the 3-dot split kernel mode.
+    Returns (c4d, s4d, fb4d, n_mel)."""
+    c3d, s3d, fb3d, n_mel = prepare_matrices(c, s, mel_fb, win)
+
+    def sp(a):  # (nk, ...) -> (nk, 2, ...)
+        return np.ascontiguousarray(np.moveaxis(split_bf16(a), 0, 1))
+
+    return sp(c3d), sp(s3d), sp(fb3d), n_mel
 
 
 def prepare_operands(padded: np.ndarray, c: np.ndarray, s: np.ndarray,

@@ -220,3 +220,73 @@ def test_batched_launch_matches_per_row(variant, rng):
         want = np.asarray(mel_spectrogram_pallas(
             jnp.asarray(rows[b]), *ops, **kw))
         np.testing.assert_array_equal(got[b], want, err_msg=f"row {b}")
+
+
+@pytest.mark.parametrize("sr", [16000, 48000])
+def test_split_mode_accuracy_between_fast_and_parity(sr, rng):
+    """Split-f32 (bf16 hi/lo, 3 single-pass dots per f32 GEMM): accuracy
+    must sit orders of magnitude inside fast mode and within one grey
+    step of parity (round-5 VERDICT #9).  The residual error concentrates
+    at deep spectral nulls (cancellation); everywhere else it is ~1e-3 dB."""
+    import ml_dtypes
+
+    from msv_tpu.kernels.spectrogram_pallas import (
+        mel_spectrogram_pallas, prepare_matrices, prepare_matrices_split,
+        prepare_wav2d)
+
+    p = derive_stft_params(sr, SpecSetting())
+    window = default_stft_window(p.win_length, p.n_fft)
+    c, s = windowed_dft_matrices(window, p.n_fft)
+    fb = calc_mel_fb_default(sr, p.n_fft)
+    t = np.arange(sr) / sr
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t)
+           + 0.2 * np.sin(2 * np.pi * 1367 * t)
+           + 0.005 * rng.standard_normal(len(t))).astype(np.float32)
+    n_frames = 128
+    padded = reflect_pad_center(wav, p.win_length)
+    wav2d = jnp.asarray(prepare_wav2d(padded, p.win_length, p.hop_length,
+                                      n_frames))
+    c3, s3, fb3, n_mel = prepare_matrices(
+        np.asarray(c), np.asarray(s), np.asarray(fb), p.win_length)
+    c4, s4, fb4, _ = prepare_matrices_split(
+        np.asarray(c), np.asarray(s), np.asarray(fb), p.win_length)
+    kw = dict(win=p.win_length, hop=p.hop_length, n_frames=n_frames,
+              interpret=True, tile_f=128)
+    par = np.asarray(mel_spectrogram_pallas(
+        wav2d, jnp.asarray(c3), jnp.asarray(s3), jnp.asarray(fb3),
+        mode="parity", **kw))[:, :n_mel]
+    fast = np.asarray(mel_spectrogram_pallas(
+        wav2d, jnp.asarray(c3.astype(ml_dtypes.bfloat16)),
+        jnp.asarray(s3.astype(ml_dtypes.bfloat16)),
+        jnp.asarray(fb3.astype(ml_dtypes.bfloat16)),
+        mode="fast", **kw))[:, :n_mel]
+    split = np.asarray(mel_spectrogram_pallas(
+        wav2d, jnp.asarray(c4), jnp.asarray(s4), jnp.asarray(fb4),
+        mode="split", **kw))[:, :n_mel]
+    d_fast = np.abs(fast - par).max()
+    d_split = np.abs(split - par).max()
+    assert d_split < 0.47, d_split  # one 120dB/255 grey step
+    assert d_split < d_fast / 20, (d_split, d_fast)
+    # bulk accuracy: 99th percentile well under 0.01 dB
+    assert np.percentile(np.abs(split - par), 99) < 0.01
+
+
+def test_split_operand_validation(rng):
+    from msv_tpu.kernels.spectrogram_pallas import (
+        mel_spectrogram_pallas, prepare_matrices, prepare_matrices_split)
+
+    sr = 16000
+    p = derive_stft_params(sr, SpecSetting())
+    window = default_stft_window(p.win_length, p.n_fft)
+    c, s = windowed_dft_matrices(window, p.n_fft)
+    fb = calc_mel_fb_default(sr, p.n_fft)
+    c4, s4, fb4, _ = prepare_matrices_split(
+        np.asarray(c), np.asarray(s), np.asarray(fb), p.win_length)
+    c3, s3, fb3, _ = prepare_matrices(
+        np.asarray(c), np.asarray(s), np.asarray(fb), p.win_length)
+    wav2d = jnp.zeros((200, 256), jnp.float32)
+    with pytest.raises(ValueError):  # mixed split / plain operands
+        mel_spectrogram_pallas(
+            wav2d, jnp.asarray(c4), jnp.asarray(s3), jnp.asarray(fb3),
+            win=p.win_length, hop=p.hop_length, n_frames=128,
+            interpret=True)
