@@ -15,7 +15,8 @@ sequence sharding for multi-chip scaling (msv_tpu.parallel).
 """
 
 from .config import FreqScale, SpecSetting, StftParams, derive_stft_params
-from .config import get_precision_mode, set_precision_mode
+from .config import (get_precision_mode, get_session_hbm_budget,
+                     set_precision_mode, set_session_hbm_budget)
 from .session import AudioTrack, MultiTrack
 from .render.colormap import get_colormap
 from .ops.reconstruct import griffin_lim, mel_to_linear
@@ -68,6 +69,8 @@ __all__ = [
     "derive_stft_params",
     "get_precision_mode",
     "set_precision_mode",
+    "set_session_hbm_budget",
+    "get_session_hbm_budget",
     "AudioTrack",
     "MultiTrack",
     "get_colormap",

@@ -18,11 +18,13 @@ full frame tensor.
 """
 
 from .mesh import make_mesh
-from .sharded import sharded_spec_pipeline, sharded_streaming_spec_db
+from .sharded import (sharded_envelope_minmax, sharded_spec_pipeline,
+                      sharded_streaming_spec_db)
 from .streaming import streaming_spec_db
 
 __all__ = [
     "make_mesh",
+    "sharded_envelope_minmax",
     "sharded_spec_pipeline",
     "sharded_streaming_spec_db",
     "streaming_spec_db",
