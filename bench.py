@@ -100,13 +100,24 @@ def read_last_good():
 def write_last_good(result: dict) -> None:
     """Persist a successful measurement, atomically.  A --quick smoke
     number never overwrites a full-run record (but fills an empty
-    sidecar: a quick TPU number beats none)."""
+    sidecar: a quick TPU number beats none).  The sidecar keeps BOTH the
+    most recent value (honest recency — the tunnel's weather swings the
+    headline 6.5x between windows) and the best full-run value ever
+    measured, with its own timestamp."""
     prev = read_last_good()
     if result.get("quick") and prev is not None and not prev.get("quick"):
         return
     out = dict(result)
     out["captured_unix"] = round(time.time(), 1)
     out["captured_iso"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    best_v, best_iso = out["value"], out["captured_iso"]
+    if prev is not None and not prev.get("quick") and not out.get("quick"):
+        pv = prev.get("best_value", prev.get("value"))
+        if pv is not None and pv > best_v:
+            best_v = pv
+            best_iso = prev.get("best_iso", prev.get("captured_iso"))
+    out["best_value"] = best_v
+    out["best_iso"] = best_iso
     path = _last_good_path()
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

@@ -589,6 +589,13 @@ document.getElementById('tracks').addEventListener('change', async ev => {
     const r = await fetch('/api/process',
       {method:'POST', body: JSON.stringify({id: +fx, op})});
     if (!r.ok) { alert(await r.text()); return; }
+    const res = await r.json();
+    if (res.detail) {  // e.g. declick: {repaired: N, skipped: M}
+      const d = res.detail;
+      document.getElementById('readout').textContent =
+        `${op}: ${d.repaired} repaired` +
+        (d.skipped ? `, ${d.skipped} edge span(s) left` : '');
+    }
     clearImgCache();  // new track shifts the shared dB window
     load();
   } finally { ev.target.disabled = false; }

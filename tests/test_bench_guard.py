@@ -138,6 +138,17 @@ def test_last_good_quick_never_overwrites_full(tmp_path):
         bench.write_last_good(quick)
         assert bench.read_last_good()["value"] == 300.0  # not clobbered
         assert "captured_unix" in bench.read_last_good()
+        # best-value retention: a later worse-weather full run keeps the
+        # best full-run number (the headline swings 6.5x with weather)
+        worse = {"metric": bench.METRIC, "value": 120.0}
+        bench.write_last_good(worse)
+        lg = bench.read_last_good()
+        assert lg["value"] == 120.0  # honest recency
+        assert lg["best_value"] == 300.0  # record retained
+        better = {"metric": bench.METRIC, "value": 450.0}
+        bench.write_last_good(better)
+        lg = bench.read_last_good()
+        assert lg["value"] == 450.0 and lg["best_value"] == 450.0
     finally:
         if old is None:
             os.environ.pop("MSV_BENCH_LAST_GOOD_PATH", None)
