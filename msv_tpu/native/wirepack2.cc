@@ -46,23 +46,14 @@ inline int bit_width2(uint32_t v) {
 // L*block + penalty*nexc.  counts[w] = #samples with bit length w (0..32).
 inline void plan_block(const int32_t* counts, int block, int64_t penalty,
                        int* out_L, int64_t* out_nexc) {
-  // suffix[w] = #samples with bit length > w
-  int64_t suffix = 0;
+  // nexc_at[L] = #samples with bit length > L (suffix sums; counts[w]
+  // holds the samples needing exactly w bits)
   int64_t nexc_at[33];
-  for (int w = 32; w >= 0; w--) {
-    nexc_at[w] = suffix;  // exceptions if L = w
-    suffix += counts[w];  // counts[w]: samples NEEDING exactly w bits
-  }
-  // note: counts index w means "bit length == w"; samples with length > L
-  // are exceptions, so nexc_at[L] must sum counts[L+1..32]
-  // (recompute cleanly)
   int64_t acc = 0;
   for (int w = 32; w >= 0; w--) {
     nexc_at[w] = acc;
     acc += counts[w];
   }
-  // acc currently includes counts[0]; shift: nexc_at[w] = sum_{v>w} counts
-  // which the loop above already produced before adding counts[w].
   int best_L = 32;
   int64_t best_cost = INT64_MAX, best_nexc = 0;
   for (int L = 0; L <= 32; L++) {
