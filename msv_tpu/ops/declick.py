@@ -210,12 +210,17 @@ def declick(
     widen = repair_win // 2
     lead = 4 * hop + repair_win // 2 + widen
     lim = int(find_kw.get("max_click_ms", 15.0) / 1000.0 * sr)
+    near_edge = frame_length  # find_clicks' edge-keep criterion
     ok, skipped = [], []
     for (s0, s1) in spans:
-        if s0 < lead or s1 > len(wav) - lead or s1 - s0 > lim:
+        over_long_edge = s1 - s0 > lim and (
+            s0 < near_edge or s1 > len(wav) - near_edge)
+        if s0 < lead or s1 > len(wav) - lead or over_long_edge:
             # too close to an edge for the patch's clean-frame
-            # requirement, or an over-long edge smear (find_clicks keeps
-            # those so the click inside is reported, not silently lost)
+            # requirement, or an over-long EDGE smear (find_clicks keeps
+            # those so the click inside is reported, not silently lost).
+            # Mid-signal spans that merged past lim after padding stay
+            # repairable — only edge smears take this path.
             skipped.append((s0, s1))
         else:
             ok.append((max(s0 - widen, 0), min(s1 + widen, len(wav))))

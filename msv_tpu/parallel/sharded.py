@@ -438,6 +438,12 @@ def sharded_envelope_minmax(mesh, wav, n_cols: int):
 
     Columns follow the reference semantics (display.rs:92-97 via
     render/envelope.py col_windows): window i spans
+    Per-device columns reduce via a clamped gather — fine for the
+    many-devices/modest-columns shapes this targets; a per-shard
+    sparse-table build (render/envelope.py) is the next step if a
+    single-shard column count ever grows gather-bound (CLAUDE.md: TPU
+    gathers run 10-30x slower per element than streaming reads).
+
     [round((i-1.5)*spp), round((i+1.5)*spp)) clamped to the signal, spp =
     len(wav)/n_cols.  Requires spp >= 1 (the upsampling branch is a
     host-side pre-step on the single-chip path).  Returns (mx, mn) numpy
@@ -477,9 +483,21 @@ def sharded_envelope_minmax(mesh, wav, n_cols: int):
     starts_p = np.concatenate([starts, pad_pos]).astype(np.int32)
     ends_p = np.concatenate([ends, pad_pos + 1]).astype(np.int32)
     max_w = int((ends - starts).max())
-    # windows reach at most ~1.5*spp + ceil drift + rounding outside the
-    # local span
-    halo = int(np.ceil(1.5 * float(spp))) + n_dev + 2
+    # Exact halo from the actual window arrays: an analytic bound
+    # (1.5*spp + drift) misses the f32 product rounding in starts/ends,
+    # which grows as position * 2^-24 — ~5-10 samples at hour-scale n,
+    # where a too-small halo silently clips the gather to a wrong sample
+    # (caught by review: column windows fell 3 samples outside coverage
+    # at n ~ 1.5e8).  Computing the per-device reach from starts/ends
+    # themselves is coverage by construction.
+    col_dev = np.arange(n_cols_pad, dtype=np.int64) // cols_per_dev
+    left_reach = (col_dev * local_len
+                  - starts_p.astype(np.int64)).max()
+    right_reach = (ends_p.astype(np.int64)
+                   - (col_dev + 1) * local_len).max()
+    halo = int(max(left_reach, right_reach, 1)) + 1
+    # bucket so zoom levels share compiled programs
+    halo = 1 << max(int(np.ceil(np.log2(halo))), 1)
     if halo > local_len:
         raise ValueError(
             f"shards too small for the halo ({local_len} < {halo}): "

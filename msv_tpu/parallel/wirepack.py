@@ -400,6 +400,45 @@ _WMAX = 32  # full-range int32 residuals (ordered-float / scaled-int
 _ROW_WORDS = BLOCK * _WMAX // 32  # u32 words covering one max-width block
 
 
+def _decode_dense(words, block_w, block_start, n_blocks):
+    """Trace-time dense field decode shared by unpack_device and
+    unpack2_device (contractually bit-identical for the dense stream):
+    scan over blocks, dynamic-slice each block's (32-bit-aligned) words,
+    expand to a bit vector, and a (WMAX+1)-way static-width switch
+    reassembles the fields.  No gathers anywhere.  Returns the zigzag
+    stream (n_blocks * BLOCK,) uint32."""
+    import jax
+    import jax.numpy as jnp
+
+    words_p = jnp.pad(words, (0, _ROW_WORDS))
+    start_word = (block_start >> 5).astype(jnp.int32)
+    pow2 = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+
+    def decode_w(w):
+        def f(row_bits):
+            if w == 0:
+                return jnp.zeros((BLOCK,), jnp.uint32)
+            fld = row_bits[: BLOCK * w].reshape(BLOCK, w)
+            return (fld * pow2[:w]).sum(axis=1, dtype=jnp.uint32)
+
+        return f
+
+    branches = [decode_w(w) for w in range(_WMAX + 1)]
+    shifts32 = jnp.arange(32, dtype=jnp.uint32)
+
+    def step(_, sw_w):
+        sw, w = sw_w
+        row = jax.lax.dynamic_slice(words_p, (sw,), (_ROW_WORDS,))
+        row_bits = (
+            (row[:, None] >> shifts32[None, :]) & jnp.uint32(1)
+        ).reshape(-1)
+        z = jax.lax.switch(jnp.clip(w, 0, _WMAX), branches, row_bits)
+        return None, z
+
+    _, zrows = jax.lax.scan(step, None, (start_word, block_w))
+    return zrows.reshape(n_blocks * BLOCK)
+
+
 @functools.partial(
     __import__("jax").jit,
     static_argnames=("n", "n_blocks", "out_dtype"),
@@ -428,33 +467,7 @@ def unpack_device(words, block_w, block_start, head, order, shift, *, n,
     import jax
     import jax.numpy as jnp
 
-    # room for the widest block's slice at the last block
-    words_p = jnp.pad(words, (0, _ROW_WORDS))
-    start_word = (block_start >> 5).astype(jnp.int32)
-    pow2 = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
-
-    def decode_w(w):
-        def f(row_bits):
-            if w == 0:
-                return jnp.zeros((BLOCK,), jnp.uint32)
-            fld = row_bits[: BLOCK * w].reshape(BLOCK, w)
-            return (fld * pow2[:w]).sum(axis=1, dtype=jnp.uint32)
-
-        return f
-
-    branches = [decode_w(w) for w in range(_WMAX + 1)]
-
-    shifts32 = jnp.arange(32, dtype=jnp.uint32)
-
-    def step(_, sw_w):
-        sw, w = sw_w
-        row = jax.lax.dynamic_slice(words_p, (sw,), (_ROW_WORDS,))
-        row_bits = ((row[:, None] >> shifts32[None, :]) & jnp.uint32(1)).reshape(-1)
-        z = jax.lax.switch(jnp.clip(w, 0, _WMAX), branches, row_bits)
-        return None, z
-
-    _, zrows = jax.lax.scan(step, None, (start_word, block_w))
-    z = zrows.reshape(n_blocks * BLOCK)  # uint32
+    z = _decode_dense(words, block_w, block_start, n_blocks)
     # un-zigzag in uint32 then bitcast: full-width (w=32) fields exceed
     # int32 as values, but the BITS are exactly the wrapped residual
     r = jax.lax.bitcast_convert_type(
@@ -1416,33 +1429,7 @@ def unpack2_device(words, block_w, block_start, head, order, shift,
     import jax
     import jax.numpy as jnp
 
-    words_p = jnp.pad(words, (0, _ROW_WORDS))
-    start_word = (block_start >> 5).astype(jnp.int32)
-    pow2 = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
-
-    def decode_w(w):
-        def f(row_bits):
-            if w == 0:
-                return jnp.zeros((BLOCK,), jnp.uint32)
-            fld = row_bits[: BLOCK * w].reshape(BLOCK, w)
-            return (fld * pow2[:w]).sum(axis=1, dtype=jnp.uint32)
-
-        return f
-
-    branches = [decode_w(w) for w in range(_WMAX + 1)]
-    shifts32 = jnp.arange(32, dtype=jnp.uint32)
-
-    def step(_, sw_w):
-        sw, w = sw_w
-        row = jax.lax.dynamic_slice(words_p, (sw,), (_ROW_WORDS,))
-        row_bits = (
-            (row[:, None] >> shifts32[None, :]) & jnp.uint32(1)
-        ).reshape(-1)
-        z = jax.lax.switch(jnp.clip(w, 0, _WMAX), branches, row_bits)
-        return None, z
-
-    _, zrows = jax.lax.scan(step, None, (start_word, block_w))
-    z = zrows.reshape(n_blocks * BLOCK)
+    z = _decode_dense(words, block_w, block_start, n_blocks)
     if n_exc:
         # padded tail entries are (idx 0, val 0): adding 0 is a no-op
         z = z.at[exc_idx].add(exc_val)

@@ -919,12 +919,18 @@ class MultiTrack:
         """
         from ..config import get_db_wire
 
-        st = self._ensure_resident(self._require(id))
+        id = self._require(id)
         wire = wire or get_db_wire()
         if wire == "f32":
+            # a spilled (host) plane serves the raw export directly —
+            # re-uploading ~90 MB over the relay only to fetch the same
+            # bytes straight back would be two wasted transits
+            st = self._state[id]
+            self._touch(id)
             return np.asarray(st.spec_db[: st.n_frames])
         if wire not in ("q16", "q12", "q10", "q8"):
             raise ValueError(f"unknown dB wire format: {wire!r}")
+        st = self._ensure_resident(id)
         bits = int(wire[1:])
         from ..parallel.wirepack import (
             fetch_unpack_spec_stream,
