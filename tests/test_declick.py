@@ -102,3 +102,32 @@ def test_validation():
     assert find_clicks(np.zeros(100, np.float32), sr) == []  # too short
     z = np.zeros(sr, np.float32)  # digital silence: nothing to flag
     assert find_clicks(z, sr) == []
+
+
+def test_real_music_detection_quality():
+    """Real-music regression (round-5): planted clicks in sample_44k1 are
+    all found, and the local-contrast gate keeps false spans bounded (the
+    ungated detector flagged 423 musical transients; a declick pass over
+    CLEAN music must touch almost nothing)."""
+    import wave
+
+    w = wave.open("/root/reference/samples/sample_44k1.wav")
+    sr = w.getframerate()
+    clean = (np.frombuffer(w.readframes(sr * 10), np.int16)
+             .astype(np.float32) / 32768.0)
+    r = np.random.default_rng(11)
+    times = np.sort(r.uniform(0.5, 9.5, 6))
+    wav = clean.copy()
+    for ts in times:
+        i = int(ts * sr)
+        wav[i:i + 3] += np.float32(r.choice([-1.0, 1.0]) * 0.5)
+    spans = find_clicks(wav, sr)
+    hits = sum(any(a <= int(ts * sr) < b for (a, b) in spans)
+               for ts in times)
+    assert hits == len(times), (hits, spans[:8])
+    false = [s for s in spans
+             if not any(s[0] <= int(ts * sr) < s[1] for ts in times)]
+    assert len(false) <= 30, len(false)  # was ~200+/10 s ungated
+    # clean-music pass: bounded touch count and zero edge skips
+    out_c, rep_c, skip_c = declick(clean, sr)
+    assert len(rep_c) <= 30 and skip_c == []
