@@ -1092,7 +1092,7 @@ class PackedPCM2:
         self.shift = shift          # f32 only: stripped mantissa planes
         self.exc_idx = exc_idx      # int32[E] global field positions
         self.exc_val = exc_val      # uint32[E] zigzag high parts (shifted)
-        self.lpc_cq = lpc_cq        # int32[NB, P] coeffs (pred='lpc')
+        self.lpc_cq = lpc_cq        # int16[NB, P] coeffs (pred='lpc')
         self.lpc_shift = lpc_shift  # int32[NB]
         self.lpc_warmup = lpc_warmup  # int32[NB, P] first P samples/block
 
@@ -1335,14 +1335,15 @@ def pack_int2(x: np.ndarray, native: bool | None = None):
         order, z, plan = payload
         return finish(z.copy(), plan, "delta", order)
     zl, plan = payload
-    # warmup ships in the carrier width (i16 sources: half the bytes);
-    # the unpackers widen to int32 after the wire
+    # coeffs + warmup ship narrow (LPC_PREC=14 fits i16; warmup in the
+    # carrier width); the unpackers widen to int32 after the wire
     warmup = xb[:, :LPC_P].astype(
         np.int16 if out_dtype == "int16" else np.int32
     )
     if plan is None:
         plan = (None, None)
-    return finish(zl.copy(), plan, "lpc", 0, cq, shift, warmup)
+    return finish(zl.copy(), plan, "lpc", 0, cq.astype(np.int16), shift,
+                  warmup)
 
 
 def pack2_f32(x: np.ndarray, native: bool | None = None):
@@ -1441,8 +1442,9 @@ def unpack2_device(words, block_w, block_start, head, order, shift,
     if use_lpc:
         p = LPC_P
         r2 = r.reshape(n_blocks, BLOCK)
-        cq_rev = lpc_cq[:, ::-1]  # cq_rev[:, j] multiplies x[t - p + j]
-        warm32 = lpc_warmup.astype(jnp.int32)  # i16 carrier on the wire
+        # i16 wire carriers widen on device (products need int32 wrap)
+        cq_rev = lpc_cq[:, ::-1].astype(jnp.int32)
+        warm32 = lpc_warmup.astype(jnp.int32)
 
         def lstep(hist, rt):
             # wrapped int32 products/sums == wrap32 of the true sum
@@ -1604,7 +1606,7 @@ def _pack_int2_native(x: np.ndarray, out_dtype: str):
                    if nexc else np.zeros(0, np.uint32))
         if pred == 2:
             cq = np.ctypeslib.as_array(
-                out_cq, shape=(nb, LPC_P)).copy()
+                out_cq, shape=(nb, LPC_P)).astype(np.int16)
             sh = np.ctypeslib.as_array(out_shift, shape=(nb,)).copy()
             wu = np.ctypeslib.as_array(
                 out_warmup, shape=(nb, LPC_P)).copy()
