@@ -110,14 +110,17 @@ def write_last_good(result: dict) -> None:
     out = dict(result)
     out["captured_unix"] = round(time.time(), 1)
     out["captured_iso"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-    best_v, best_iso = out["value"], out["captured_iso"]
-    if prev is not None and not prev.get("quick") and not out.get("quick"):
-        pv = prev.get("best_value", prev.get("value"))
-        if pv is not None and pv > best_v:
-            best_v = pv
-            best_iso = prev.get("best_iso", prev.get("captured_iso"))
-    out["best_value"] = best_v
-    out["best_iso"] = best_iso
+    # best_* track FULL-run records only — a quick smoke number filling an
+    # empty sidecar must not masquerade as the best measured result
+    if not out.get("quick"):
+        best_v, best_iso = out["value"], out["captured_iso"]
+        if prev is not None and not prev.get("quick"):
+            pv = prev.get("best_value", prev.get("value"))
+            if pv is not None and pv > best_v:
+                best_v = pv
+                best_iso = prev.get("best_iso", prev.get("captured_iso"))
+        out["best_value"] = best_v
+        out["best_iso"] = best_iso
     path = _last_good_path()
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

@@ -213,7 +213,14 @@ def find_clicks(
 
 def _ar_coef(ctx: np.ndarray, p: int) -> np.ndarray:
     """Autocorrelation-method AR(p) predictor coefficients (Levinson),
-    float64; returns c with prediction x[t] ~= sum c[k] * x[t-1-k]."""
+    float64; returns c with prediction x[t] ~= sum c[k] * x[t-1-k].
+
+    Third sibling of the same recursion in the tree, each shaped by its
+    host: ops/lpc.py::_levinson (batched JAX fori_loop for device frame
+    grids) and native/wirepack2.cc::lpc_fit_block (single-block C for
+    the packer).  This one runs once per detected click on the host
+    with per-call regularization — keep the three numerically aligned
+    if the recursion or its floors ever change."""
     c = np.asarray(ctx, np.float64)
     n = len(c)
     ac = np.array([np.dot(c[: n - k], c[k:]) for k in range(p + 1)])

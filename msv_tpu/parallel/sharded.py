@@ -438,16 +438,16 @@ def sharded_envelope_minmax(mesh, wav, n_cols: int):
 
     Columns follow the reference semantics (display.rs:92-97 via
     render/envelope.py col_windows): window i spans
+    [round((i-1.5)*spp), round((i+1.5)*spp)) clamped to the signal, spp =
+    len(wav)/n_cols.  Requires spp >= 1 (the upsampling branch is a
+    host-side pre-step on the single-chip path).  Returns (mx, mn) numpy
+    arrays of length n_cols, bit-identical to the unsharded reduction.
+
     Per-device columns reduce via a clamped gather — fine for the
     many-devices/modest-columns shapes this targets; a per-shard
     sparse-table build (render/envelope.py) is the next step if a
     single-shard column count ever grows gather-bound (CLAUDE.md: TPU
     gathers run 10-30x slower per element than streaming reads).
-
-    [round((i-1.5)*spp), round((i+1.5)*spp)) clamped to the signal, spp =
-    len(wav)/n_cols.  Requires spp >= 1 (the upsampling branch is a
-    host-side pre-step on the single-chip path).  Returns (mx, mn) numpy
-    arrays of length n_cols, bit-identical to the unsharded reduction.
     """
     import numpy as np
 
@@ -495,13 +495,14 @@ def sharded_envelope_minmax(mesh, wav, n_cols: int):
                   - starts_p.astype(np.int64)).max()
     right_reach = (ends_p.astype(np.int64)
                    - (col_dev + 1) * local_len).max()
-    halo = int(max(left_reach, right_reach, 1)) + 1
-    # bucket so zoom levels share compiled programs
-    halo = 1 << max(int(np.ceil(np.log2(halo))), 1)
-    if halo > local_len:
+    halo_exact = int(max(left_reach, right_reach, 1)) + 1
+    if halo_exact > local_len:
         raise ValueError(
-            f"shards too small for the halo ({local_len} < {halo}): "
+            f"shards too small for the halo ({local_len} < {halo_exact}): "
             f"use fewer devices or more samples per column")
+    # bucket up (program-cache reuse across zoom levels) but never past
+    # local_len — coverage only needs the exact value
+    halo = min(1 << max(int(np.ceil(np.log2(halo_exact))), 1), local_len)
     # bucket the gather width so zoom levels share compiled programs
     max_w_b = 1 << max(int(np.ceil(np.log2(max(max_w, 2)))), 1)
 

@@ -104,14 +104,14 @@ def test_validation():
     assert find_clicks(z, sr) == []
 
 
-def test_real_music_detection_quality():
+def test_real_music_detection_quality(reference_sample_paths):
     """Real-music regression (round-5): planted clicks in sample_44k1 are
     all found, and the local-contrast gate keeps false spans bounded (the
     ungated detector flagged 423 musical transients; a declick pass over
     CLEAN music must touch almost nothing)."""
     import wave
 
-    w = wave.open("/root/reference/samples/sample_44k1.wav")
+    w = wave.open(reference_sample_paths[-1])  # sample_44k1.wav
     sr = w.getframerate()
     clean = (np.frombuffer(w.readframes(sr * 10), np.int16)
              .astype(np.float32) / 32768.0)

@@ -422,5 +422,30 @@ def test_sharded_envelope_validation(rng):
     mesh = make_mesh(1, 8)
     with pytest.raises(ValueError):
         sharded_envelope_minmax(mesh, np.zeros(100, np.float32), 200)
-    with pytest.raises(ValueError):  # shards smaller than the halo
-        sharded_envelope_minmax(mesh, np.zeros(64, np.float32), 32)
+    with pytest.raises(ValueError):  # shards smaller than the exact halo
+        # n_cols=2 over 8 devices: cols_per_dev=1, local_len=spp=32, but a
+        # window reaches 1.5*spp=48 past a shard — no halo can cover it
+        sharded_envelope_minmax(mesh, np.zeros(64, np.float32), 2)
+
+
+def test_sharded_envelope_low_column_counts(rng):
+    """Thumbnail-zoom shapes (few columns per device) must WORK, not
+    raise: the exact halo fits even when its power-of-2 bucket would
+    exceed local_len (the bucket is clamped — review finding)."""
+    from msv_tpu.parallel.sharded import sharded_envelope_minmax
+    from msv_tpu.utils.rounding import rust_round_np
+
+    mesh = make_mesh(1, 8)
+    f32 = np.float32
+    n, n_cols = 1_000_000, 16
+    wav = (rng.standard_normal(n) * 0.3).astype(np.float32)
+    mx, mn = sharded_envelope_minmax(mesh, wav, n_cols)
+    spp = f32(n) / f32(n_cols)
+    i_px = np.arange(n_cols, dtype=np.float32)
+    st = np.maximum(rust_round_np((i_px - f32(1.5)) * spp), 0).astype(np.int64)
+    en = np.minimum(rust_round_np((i_px + f32(1.5)) * spp), n).astype(np.int64)
+    en = np.maximum(en, st + 1)
+    omx = np.array([wav[a:b].max() for a, b in zip(st, en)])
+    omn = np.array([wav[a:b].min() for a, b in zip(st, en)])
+    np.testing.assert_array_equal(mx, omx)
+    np.testing.assert_array_equal(mn, omn)
