@@ -191,6 +191,24 @@ def beat_track_from_envelope(env, fps: float, *, bpm: float | None = None,
     while backlink[beats[-1]] >= 0:
         beats.append(int(backlink[beats[-1]]))
     beats = np.asarray(beats[::-1], np.int64)
+    # Edge trim (librosa's __trim_beats remedy for the raw DP's boundary
+    # wart): the backtrace starts at the best cumulative score in the
+    # final period, and a near-period gap costs ~0, so a noise frame at
+    # the very edge can out-score the true last beat by its own tiny
+    # onset value and append a spurious beat (found by fresh-seed sweep:
+    # 40 exact beats + one 0.49 s past the last click).  Trim leading/
+    # trailing beats whose smoothed onset strength falls under half the
+    # beat-aligned RMS; interior beats are never touched.
+    if len(beats) > 1:
+        w = np.hanning(5)
+        sm = np.convolve(loc, w / w.sum(), mode="same")
+        thr = 0.5 * float(np.sqrt(np.mean(sm[beats] ** 2)))
+        lo_i, hi_i = 0, len(beats)
+        while hi_i - lo_i > 1 and sm[beats[hi_i - 1]] < thr:
+            hi_i -= 1
+        while hi_i - lo_i > 1 and sm[beats[lo_i]] < thr:
+            lo_i += 1
+        beats = beats[lo_i:hi_i]
     return float(bpm), beats
 
 

@@ -68,7 +68,18 @@ def test_viterbi_sticky_hmm_denoises(rng):
     decoded state."""
     true = np.repeat([0, 1, 0], [30, 40, 30])
     p_correct = np.full(len(true), 0.9)
-    flip = rng.choice(len(true), 8, replace=False)
+    # genuinely ISOLATED flips: away from the state boundaries and from
+    # each other — two adjacent flips AT a boundary make the MAP path
+    # legitimately move the decoded transition (found by fresh-seed
+    # sweep), which is correct decoding, not a failure to denoise
+    cand = [i for i in range(len(true))
+            if min(abs(i - 30), abs(i - 70)) > 2]
+    flip = []
+    for i in rng.permutation(cand):
+        if all(abs(int(i) - j) > 1 for j in flip):
+            flip.append(int(i))
+        if len(flip) == 8:
+            break
     p_correct[flip] = 0.2  # noisy frames vote for the wrong state
     prob = np.stack([np.where(true == 0, p_correct, 1 - p_correct),
                      np.where(true == 1, p_correct, 1 - p_correct)],
