@@ -26,11 +26,12 @@ EXPECTED = {
 
 @pytest.mark.slow
 def test_bench_suite_quick_runs_every_workload():
+    path = os.path.join(REPO, "bench_suite.py")
     code = (
-        "import sys\n"
+        "import sys, runpy\n"
         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
         "sys.argv = ['bench_suite.py', '--quick', '--skip-hour']\n"
-        f"exec(open({os.path.join(REPO, 'bench_suite.py')!r}).read())\n"
+        f"runpy.run_path({path!r}, run_name='__main__')\n"
     )
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, timeout=1500, cwd=REPO)
