@@ -288,6 +288,10 @@ def _build_parser():
     dc.add_argument("--max-click-ms", type=float, default=15.0,
                     help="spans longer than this are not clicks "
                     "(default 15)")
+    dc.add_argument("--contrast", type=float, default=1.5,
+                    help="local-isolation gate vs the +-10ms surround "
+                    "(default 1.5; 0 disables — flags musical "
+                    "transients too)")
     dc.add_argument("--detect-only", action="store_true",
                     help="print detected spans, write nothing")
     dc.add_argument("--channel", type=int, default=None,
@@ -1025,7 +1029,8 @@ def _declick_cmd(args):
             if args.detect_only:
                 for ci, ch in enumerate(wav):
                     spans = find_clicks(ch, sr, thresh=args.thresh,
-                                        max_click_ms=args.max_click_ms)
+                                        max_click_ms=args.max_click_ms,
+                                        contrast=args.contrast)
                     for (a, b) in spans:
                         print(f"  {f} ch{ci}  {a / sr:.4f}s - {b / sr:.4f}s"
                               f"  ({b - a} samples)")
@@ -1036,7 +1041,8 @@ def _declick_cmd(args):
             for ch in wav:
                 rep, spans, skipped = declick(
                     ch, sr, thresh=args.thresh,
-                    max_click_ms=args.max_click_ms)
+                    max_click_ms=args.max_click_ms,
+                    contrast=args.contrast)
                 chans.append(rep)
                 n_rep += len(spans)
                 n_skip += len(skipped)
