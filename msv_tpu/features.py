@@ -1166,6 +1166,7 @@ def analyze(wav, sr: int) -> dict:
     NON-SILENT frames, RMS-gated active span — every field from an
     oracle-pinned op.  Shared by ``msv_tpu analyze`` and the viewer's
     ``/api/analyze/<id>``; JSON-serializable output."""
+    from .ops.declick import find_clicks
     from .ops.effects import trim
     from .ops.loudness import r128_stats
     from .ops.rhythm import beat_track
@@ -1209,4 +1210,8 @@ def analyze(wav, sr: int) -> dict:
             "rms": round(float(np.median(spec[:, 4])), 5),
         },
         "active_s": [round(a / sr, 3), round(b / sr, 3)],
+        # defect scan (ops/declick.py): contrast-gated LPC click
+        # detection; a clean recording reports 0 or a handful
+        "n_clicks": int(len(find_clicks(
+            np.asarray(wav, np.float32), sr))),
     }
