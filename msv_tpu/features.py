@@ -1211,7 +1211,9 @@ def analyze(wav, sr: int) -> dict:
         },
         "active_s": [round(a / sr, 3), round(b / sr, 3)],
         # defect scan (ops/declick.py): contrast-gated LPC click
-        # detection; a clean recording reports 0 or a handful
-        "n_clicks": int(len(find_clicks(
-            np.asarray(wav, np.float32), sr))),
+        # detection; a clean recording reports 0 or a handful.  Skipped
+        # (None) past 10 minutes — the two-pass AR fit over an hour
+        # track would dominate the whole report's wall
+        "n_clicks": (int(len(find_clicks(
+            np.asarray(wav, np.float32), sr))) if dur <= 600.0 else None),
     }
