@@ -172,7 +172,20 @@ def probe_backend(timeout_s: float) -> tuple[bool, str]:
 
 def run_guarded(argv) -> int:
     """Parent mode: probe w/ retries, then run the measurement child
-    under a watchdog.  Always prints one JSON line; always returns 0."""
+    under a watchdog.  Always prints one JSON line; always returns 0 —
+    including when the CALLER gives up first: SIGTERM/SIGINT mid-probe
+    or mid-child still emits the structured error line (with the
+    last-good sidecar) before exiting, so a driver with a shorter
+    timeout than the probe budget never records an empty capture."""
+    import signal
+
+    def _bail(signum, frame):
+        print(_error_line("terminated_by_caller", signal=int(signum)))
+        sys.stdout.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _bail)
+    signal.signal(signal.SIGINT, _bail)
     attempts_env = os.environ.get("MSV_BENCH_PROBE_ATTEMPTS")
     budget = float(os.environ.get("MSV_BENCH_PROBE_BUDGET", "2700"))
     probe_timeout = float(os.environ.get("MSV_BENCH_PROBE_TIMEOUT", "120"))

@@ -171,3 +171,44 @@ def test_quick_bench_on_cpu_succeeds_end_to_end():
     assert out.get("error") is None
     assert out["value"] > 0 and out["vs_baseline"] > 0
     assert out["hour_reps"] >= 1
+
+
+def test_sigterm_mid_probe_still_emits_json(tmp_path):
+    """A caller with a shorter timeout than the probe budget (e.g. the
+    driver during an outage) must still get one structured line: SIGTERM
+    mid-probe prints the error (with any last-good sidecar) and exits 0."""
+    import signal
+    import time as _time
+
+    lg = {"metric": "mel_spectrogram_streaming_realtime_factor_48k",
+          "value": 222.0}
+    p = tmp_path / "lg.json"
+    p.write_text(json.dumps(lg))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.update({
+        "MSV_BENCH_FORCE_PROBE_FAIL": "1",
+        "MSV_BENCH_PROBE_BUDGET": "600",
+        "MSV_BENCH_PROBE_WAIT": "30",
+        "MSV_BENCH_LAST_GOOD_PATH": str(p),
+    })
+    errf = tmp_path / "stderr.txt"
+    with open(errf, "w") as ef:
+        proc = subprocess.Popen(
+            [sys.executable, BENCH, "--quick"], env=env,
+            stdout=subprocess.PIPE, stderr=ef, text=True)
+        # interpreter startup takes seconds under load: signal only once
+        # the guard is demonstrably inside its probe loop
+        for _ in range(600):
+            if "probe 1" in errf.read_text():
+                break
+            _time.sleep(0.1)
+        else:
+            proc.kill()
+            pytest.fail("probe loop never started")
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=30)
+    assert proc.returncode == 0
+    parsed = parse_single_json_line(out)
+    assert parsed["error"] == "terminated_by_caller"
+    assert parsed["last_good"]["value"] == 222.0
