@@ -179,7 +179,13 @@ def run_guarded(argv) -> int:
     timeout than the probe budget never records an empty capture."""
     import signal
 
+    child_holder = [None]  # the --child Popen, killable from the handler
+
     def _bail(signum, frame):
+        ch = child_holder[0]
+        if ch is not None and ch.poll() is None:
+            # don't orphan an hour-scale measurement onto the tunnel
+            ch.kill()
         print(_error_line("terminated_by_caller", signal=int(signum)))
         sys.stdout.flush()
         os._exit(0)
@@ -222,14 +228,22 @@ def run_guarded(argv) -> int:
 
     cmd = [sys.executable, os.path.abspath(__file__), "--child"] + argv
     try:
-        r = subprocess.run(cmd, capture_output=True, text=True,
-                           timeout=child_timeout)
-    except subprocess.TimeoutExpired as e:
-        tail = ((e.stdout or b"").decode() if isinstance(e.stdout, bytes)
-                else (e.stdout or ""))[-300:]
-        print(_error_line("bench_timeout",
-                          timeout_s=child_timeout, partial_stdout=tail))
-        return 0
+        # Popen (not run): the SIGTERM handler above must be able to kill
+        # the measurement child instead of orphaning it onto the tunnel
+        child = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                 stderr=subprocess.PIPE, text=True)
+        child_holder[0] = child
+        try:
+            out, err = child.communicate(timeout=child_timeout)
+        except subprocess.TimeoutExpired:
+            child.kill()
+            out, err = child.communicate()
+            print(_error_line("bench_timeout", timeout_s=child_timeout,
+                              partial_stdout=(out or "")[-300:]))
+            return 0
+        r = subprocess.CompletedProcess(cmd, child.returncode, out, err)
+    finally:
+        child_holder[0] = None
     sys.stderr.write(r.stderr)
     # the child prints exactly one JSON line last; relay it if parseable
     for line in reversed(r.stdout.strip().splitlines()):

@@ -474,6 +474,14 @@ def unpack_device(words, block_w, block_start, head, order, shift, *, n,
         (z >> jnp.uint32(1)) ^ (jnp.uint32(0) - (z & jnp.uint32(1))),
         jnp.int32,
     )
+    # the v1 grid covers n - order residuals, so for n % BLOCK in
+    # {1, .., order} the dense stream is SHORTER than n and the
+    # lax.switch branches below would trace mismatched shapes (inv0
+    # yields n_blocks*BLOCK < n vs inv1/inv2's n) — found by review with
+    # a 2049-sample repro.  Static zero-pad restores the invariant; the
+    # inverse never reads the padding (inv_k uses r[:n-k]).
+    if r.shape[0] < n:
+        r = jnp.pad(r, (0, n - r.shape[0]))
 
     # delta inverse per order, all branches emitting (n,) so `order` can
     # stay traced (3 programs -> 1)

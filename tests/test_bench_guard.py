@@ -212,3 +212,51 @@ def test_sigterm_mid_probe_still_emits_json(tmp_path):
     parsed = parse_single_json_line(out)
     assert parsed["error"] == "terminated_by_caller"
     assert parsed["last_good"]["value"] == 222.0
+
+
+def test_sigterm_mid_child_kills_the_measurement(tmp_path):
+    """SIGTERM while the measurement child runs: the parent must emit
+    the structured line AND kill the child (an orphaned hour-scale run
+    would keep burning the tunnel for up to MSV_BENCH_TIMEOUT)."""
+    import signal
+    import time as _time
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.update({
+        "MSV_BENCH_FORCE_CHILD_HANG": "1",
+        "MSV_BENCH_PROBE_PLATFORM": "cpu",
+        "MSV_BENCH_PROBE_ATTEMPTS": "1",
+        "MSV_BENCH_LAST_GOOD_PATH": str(tmp_path / "lg.json"),
+    })
+    proc = subprocess.Popen(
+        [sys.executable, BENCH, "--quick"], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+
+    def children_of(pid):
+        out = subprocess.run(
+            ["ps", "-o", "pid=", "--ppid", str(pid)],
+            capture_output=True, text=True).stdout.split()
+        return [int(p) for p in out]
+
+    # wait for the hanging child to exist
+    kids = []
+    for _ in range(600):
+        kids = children_of(proc.pid)
+        if kids:
+            break
+        _time.sleep(0.1)
+    assert kids, "measurement child never spawned"
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=30)
+    assert proc.returncode == 0
+    parsed = parse_single_json_line(out)
+    assert parsed["error"] == "terminated_by_caller"
+    # the child must be gone (reparented zombies still vanish on reap)
+    for _ in range(100):
+        alive = [k for k in kids if os.path.isdir(f"/proc/{k}")
+                 and "zombie" not in open(f"/proc/{k}/status").read()]
+        if not alive:
+            break
+        _time.sleep(0.1)
+    assert not alive, f"orphaned child pids still alive: {alive}"

@@ -193,3 +193,25 @@ def test_streaming_auto_uses_v2_and_matches_pack1(rng):
                           chunk_frames=256, transfer="pack1")
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     assert a[1:] == b[1:]
+
+
+@pytest.mark.parametrize("n", [1025, 2049, 2050, 5122])
+def test_grid_shorter_than_n_edge_lengths(rng, n):
+    """n % BLOCK in {1, 2} with delta order >= that: the v1 grid covers
+    n - order residuals, SHORTER than n, and the device switch branches
+    traced mismatched shapes (review repro at n=2049).  The unpacker now
+    pads the dense stream statically; every packer round-trips."""
+    from msv_tpu.parallel.wirepack import unpack_jax
+
+    t = np.arange(n) / 48000.0
+    x = (np.round(18000 * np.sin(2 * np.pi * 220 * t))
+         + rng.integers(-20, 21, n)).astype(np.int16)
+    for packer in (lambda a: pack_int(a, native=False), pack_int,
+                   lambda a: pack_int2(a, native=False), pack_best):
+        p = packer(x)
+        if p is None:
+            continue
+        assert _rt_equal(unpack2_jax(p), x)
+        assert _rt_equal(unpack2_np(p), x)
+        if isinstance(p, PackedPCM):
+            assert _rt_equal(unpack_jax(p), x)
