@@ -451,7 +451,7 @@ def sharded_envelope_minmax(mesh, wav, n_cols: int):
     """
     import numpy as np
 
-    from ..utils.rounding import rust_round_np
+    from ..render.envelope import column_windows
 
     f32 = np.float32
     n = len(wav)
@@ -459,13 +459,10 @@ def sharded_envelope_minmax(mesh, wav, n_cols: int):
         raise ValueError(f"need 1 <= n_cols <= len(wav), got {n_cols}, {n}")
     n_dev = mesh.shape["dp"] * mesh.shape["sp"]
     spp = f32(n) / f32(n_cols)
-    # identical f32 value stream to EnvelopeState._windows_for
+    # the one shared window-math helper: bit-identical to the single-chip
+    # EnvelopeState builds by construction
     i_px = np.arange(n_cols, dtype=np.float32)
-    starts = rust_round_np((i_px - f32(1.5)) * spp)
-    starts = np.maximum(starts, 0.0).astype(np.int64)
-    ends = rust_round_np((i_px + f32(1.5)) * spp).astype(np.int64)
-    ends = np.minimum(ends, n)
-    ends = np.maximum(ends, starts + 1)
+    starts, ends = column_windows(i_px, n_cols, n, n)
 
     cols_per_dev = -(-n_cols // n_dev)
     n_cols_pad = cols_per_dev * n_dev

@@ -48,6 +48,25 @@ _COLW_FULL_LIMIT = 1 << 20
 _FORCE_MODE = None  # test hook: "sparse" / "direct" pins the minmax path
 
 
+def column_windows(i_px: np.ndarray, nwidth: int, n: int, buf_len: int):
+    """±1.5·spp column windows (display.rs:92-97 semantics): window i
+    spans [round((i-1.5)·spp), round((i+1.5)·spp)) clamped to
+    [0, buf_len), rust round-half-away on f32 products.
+
+    THE single source of the window math — EnvelopeState (full-width and
+    viewport builds) and the sequence-sharded reducer
+    (parallel/sharded.py::sharded_envelope_minmax) both call it, so
+    their bit-for-bit parity cannot silently drift (review finding)."""
+    f32 = np.float32
+    samples_per_px = f32(n) / f32(nwidth)
+    starts = rust_round_np((i_px - f32(1.5)) * samples_per_px)
+    starts = np.maximum(starts, 0.0).astype(np.int64)
+    ends = rust_round_np((i_px + f32(1.5)) * samples_per_px).astype(np.int64)
+    ends = np.minimum(ends, buf_len)
+    ends = np.maximum(ends, starts + 1)  # deviation: no empty-window panic
+    return starts, ends
+
+
 def _upsample_reference_quirk(wav: np.ndarray, factor: int) -> np.ndarray:
     """Linear upsample exactly like display.rs:76-91 (f32):
     out[i] = b * (i%f)/f + wav[i//f] * (1 - (i%f)/f),
@@ -362,14 +381,7 @@ class EnvelopeState:
         """±1.5·spp column windows (display.rs:92-97 semantics) for the
         given f32 column indices.  Shared by the cached full-width build
         and the O(viewport) range build — identical f32 value streams."""
-        f32 = np.float32
-        samples_per_px = f32(self.n) / f32(nwidth)
-        starts = rust_round_np((i_px - f32(1.5)) * samples_per_px)
-        starts = np.maximum(starts, 0.0).astype(np.int64)
-        ends = rust_round_np((i_px + f32(1.5)) * samples_per_px).astype(np.int64)
-        ends = np.minimum(ends, buf_len)
-        ends = np.maximum(ends, starts + 1)  # deviation: no empty-window panic
-        return starts, ends
+        return column_windows(i_px, nwidth, self.n, buf_len)
 
     def col_windows(self, nwidth: int, buf_len: int):
         """Full-width per-column sample windows for one zoom level,
